@@ -1,0 +1,71 @@
+"""Table/catalog conventions.
+
+The reference keeps a 3-level Unity Catalog namespace with a ``full_name``
+helper (syntetic_data.py:32-35) and saves every stage as a managed table
+(syntetic_data.py:66,180).  Vanilla Spark gives us a 2-level namespace; the
+fixture corpus is plain parquet, so the catalog layer here is a thin loader
+that (a) reads each table lazily, (b) registers temp views so the SQL front
+end works, and (c) never materializes anything on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Fixture corpus (TESTDATA.md): TPC-H-ish star schema + events + the two
+# reference-derived domain tables (documents, embeddings).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def full_name(database: str, table: str) -> str:
+    """2-level namespace helper (reference's 3-level ``full_name``,
+    syntetic_data.py:35, collapsed to vanilla-Spark catalog depth)."""
+    return f"{database}.{table}"
+
+
+def ensure_database(spark: SparkSession, database: str) -> None:
+    """Idempotent namespace DDL (reference syntetic_data.py:32-34)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Expose fixture tables to ``spark.sql`` as temp views."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Parquet sink (reference's delta ``saveAsTable``, syntetic_data.py:66).
+
+    Partitioned writes are the scale path: index artifacts are partitioned by
+    bucket id so the search job prunes partitions instead of scanning.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,82 @@
+"""Expression-only vector algebra (SURVEY.md B6).
+
+The reference's scoring kernel is delegated to the Databricks Vector Search
+service (query_endpoint.py:136-150); here it is rebuilt as pure Catalyst
+expressions — ``zip_with`` + ``aggregate`` — so similarity math runs JVM-side
+inside whole-stage codegen, never in Python.  All accumulation is done in
+DOUBLE regardless of the stored element type (fixtures store float32;
+computing in double keeps Spark and the DuckDB oracle bit-identical because
+both fold left-to-right over the array after an exact float->double widen).
+
+Every function takes/returns ``pyspark.sql.Column`` so it composes with any
+DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def lit_vector(values) -> Column:
+    """A literal query vector as an array<double> column."""
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product: fold of elementwise products, left to right."""
+    a, b = _as_double(a), _as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity, NULL-safe on zero vectors."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize; zero vectors pass through unchanged (match the
+    reference's clamp-don't-divide-by-zero posture, syntetic_data.py:162)."""
+    a = _as_double(a)
+    n = l2_norm(a)
+    return F.when(n != 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def vec_add(a: Column | str, b: Column | str) -> Column:
+    return F.zip_with(_as_double(a), _as_double(b), lambda x, y: x + y)
+
+
+def vec_scale(a: Column | str, s: Column) -> Column:
+    return F.transform(_as_double(a), lambda x: x * s)
+
+
+def vec_dim_ok(a: Column | str, dim: int) -> Column:
+    """Cheap validity pre-filter (reference's dimension assert,
+    query_endpoint.py:111)."""
+    c = F.col(a) if isinstance(a, str) else a
+    return c.isNotNull() & (F.size(c) == F.lit(dim))
