@@ -43,8 +43,24 @@ def ensure_database(spark: SparkSession, database: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
 
 
+def _ensure_conf(spark: SparkSession) -> None:
+    """Runtime-settable configs the engine depends on, applied defensively
+    so externally created sessions (the driver harness) behave like ours."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _ensure_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), read as long ns under
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs (same floor
+        # division DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,130 @@
+"""Text-embedding operators (SURVEY.md B5 — the A7/A12 port).
+
+The reference embeds with a Hugging Face model inside a scalar ``pandas_udf``
+(syntetic_data.py:135-169): tokenizer -> forward pass -> masked mean pooling
+(sum(token_emb*mask,1) / clamp(sum(mask,1), 1e-9)).  Its anti-patterns at
+scale (driver-global model captured in the closure; hand-rolled BATCH_SIZE=2
+micro-batching, syntetic_data_arxiv.py:198) are fixed here:
+
+- the encoder is **pluggable**: a deterministic hashing encoder (pure
+  Catalyst expressions, test path / no model deps) and a transformer
+  encoder behind the same signature (lazy per-executor-process init,
+  Arrow-batch sized via spark.sql.execution.arrow.maxRecordsPerBatch);
+- both corpus and query embedding go through the same function (the
+  reference duplicates the pooling logic on the driver,
+  query_endpoint.py:83-115).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from ..operators.text import tokens
+
+
+def hashing_embedding(text: Column | str, dim: int = 64, normalize: bool = True) -> Column:
+    """Deterministic hashing-trick embedding, pure Catalyst expressions.
+
+    Each token hashes to a bucket (xxhash64 mod dim) with sign from a second
+    hash bit — the classic signed feature-hashing map — then the vector is
+    L2-normalized.  JVM-side, codegen-friendly, model-free: the engine's
+    default test-path encoder (same role as HashingTF+Normalizer, without
+    leaving Catalyst or bridging to VectorUDT).
+    """
+    t = tokens(text)
+    h = F.transform(t, lambda tok: F.xxhash64(tok))
+    # bucket = |h| % dim ; sign from bit 62 (a bit independent of the bucket)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            h,
+            F.lit(0.0),
+            lambda acc, hv: acc
+            + F.when(
+                F.pmod(hv, F.lit(dim)) == d,
+                F.when(F.shiftright(hv, 62).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+            ).otherwise(0.0),
+        ),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.when(norm != 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
+    return vec.cast(ArrayType(FloatType()))
+
+
+def make_transformer_encoder_udf(
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+):
+    """Transformer embedding as a scalar pandas_udf (the A7 port).
+
+    Mirrors the reference's semantics — tokenizer(padding, truncation) ->
+    no-grad forward -> masked mean pooling with clamp(min=1e-9)
+    (syntetic_data.py:148-163) — with the scale fixes: the model loads
+    lazily ONCE PER EXECUTOR PYTHON WORKER (module-level cache inside the
+    UDF, never pickled from the driver), and batching is Arrow's, not a
+    hand-rolled BATCH_SIZE=2 loop.
+
+    The transformers/torch stack is not installed in this container, so the
+    UDF raises ImportError at first execution unless the libs are present;
+    the Spark-side plumbing (signature, schema, lazy-init pattern) is real
+    and tested via the deterministic fake in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        global _ENCODER_CACHE  # per-Python-worker singleton
+        try:
+            cache = _ENCODER_CACHE
+        except NameError:
+            cache = _ENCODER_CACHE = {}
+        if model_name not in cache:
+            try:
+                import torch  # noqa: F401
+                from transformers import AutoModel, AutoTokenizer
+            except ImportError as e:  # pragma: no cover - environment-dependent
+                raise ImportError(
+                    "transformer encoder requires `torch` and `transformers`; "
+                    "use hashing_embedding for a dependency-free encoder"
+                ) from e
+            tok = AutoTokenizer.from_pretrained(model_name)
+            model = AutoModel.from_pretrained(model_name)
+            model.eval()
+            cache[model_name] = (tok, model)
+        tok, model = cache[model_name]
+        import torch
+
+        enc = tok(
+            texts.fillna("").tolist(),
+            padding=True,
+            truncation=True,
+            max_length=512,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            out = model(**enc)
+        # masked mean pooling, clamp 1e-9 (reference syntetic_data.py:158-163)
+        mask = enc["attention_mask"].unsqueeze(-1).expand(out.last_hidden_state.size()).float()
+        summed = (out.last_hidden_state * mask).sum(1)
+        counts = mask.sum(1).clamp(min=1e-9)
+        vecs = (summed / counts).cpu().numpy()
+        return pd.Series([v.astype("float32").tolist() for v in vecs])
+
+    return embed
+
+
+def embed_text(df, text_col: str = "text", out_col: str = "embedding",
+               encoder: str = "hashing", dim: int = 64):
+    """Append an embedding column (A8's ``withColumn`` append) with the
+    chosen encoder."""
+    if encoder == "hashing":
+        return df.withColumn(out_col, hashing_embedding(text_col, dim=dim))
+    if encoder == "transformer":
+        udf = make_transformer_encoder_udf()
+        return df.withColumn(out_col, udf(F.col(text_col)))
+    raise ValueError(f"unknown encoder {encoder!r}")

@@ -1,0 +1,271 @@
+"""Deduplication operators (SURVEY.md B9/B10; north-star "dedup").
+
+The reference's only dedup is a Python ``seen``-set over top-k results
+(main.py:62-67).  At 100 TB dedup is a first-class pipeline stage; this
+module gives the standard ladder:
+
+- exact: hash group-by on the key (deterministic keeper = min id);
+- MinHash + LSH banding: shingle -> minhash signature -> band buckets ->
+  bucket equi-join -> Jaccard verify (near-dup at scale, one shuffle on
+  band buckets instead of an all-pairs product);
+- SimHash: 64-bit signed-projection fingerprint, hamming-ball verify;
+- n-gram Jaccard: exact set-similarity join for small candidate sets;
+- embedding cosine: near-dup via the vector kernel.
+
+All hash-based signatures use Spark's ``xxhash64``/``hash`` (engine-local,
+not oracle-portable — the driver records these as rows-only checks; the
+pytest suite asserts planted-duplicate recall instead, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import vectors as V
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key — the minimum id (deterministic, unlike
+    ``dropDuplicates`` whose survivor depends on partition order)."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def minhash_signature(text: Column | str, n: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, seed=i).  Vectorized: one pass per hash seed, all
+    inside codegen."""
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: rows sharing any band of
+    the MinHash signature.  Returns (id_a, id_b) with id_a < id_b.
+
+    The band bucket is the join key — the only shuffle is on
+    (band_idx, band_hash), so cost scales with collisions, not n^2.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, n, num_hashes).alias("_sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col(f"l._band") == F.col(f"r._band"),
+                F.col(f"l._bucket") == F.col(f"r._bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint: sign of per-bit weighted sums of token hashes.
+
+    Implemented bit-parallel: for each token take xxhash64, then for each bit
+    add +1/-1 to that bit's counter; fingerprint bit = counter >= 0.
+    Returns a long (bits<=64).
+    """
+    t = tokens(text)
+    hashes = F.transform(t, lambda tok: F.xxhash64(tok))
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        cnt = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp.bitwiseOR(F.when(cnt >= 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: block the 64-bit fingerprint into ``blocks`` chunks;
+    by pigeonhole any pair within ``max_hamming`` (< blocks) distance shares
+    at least one exact block -> equi-join on (block_idx, block_value), then
+    verify full hamming distance."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("_fp"))
+    blocked = sig.select(
+        id_col,
+        "_fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("_fp", i * width).bitwiseAND(F.lit(mask).cast("long"))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("_blk", "_val"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l._blk") == F.col("r._blk"),
+                F.col("l._val") == F.col("r._val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shingle inverted index:
+    explode shingles -> self-join on shingle -> count shared / union.
+    SQL-expressible (oracle-checkable), and still one shuffle on the
+    shingle key rather than an n^2 cross product."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("_sh"),
+    )
+    sizes = sh.select("id", F.size("_sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("_sh").alias("shingle"))
+    shared = (
+        inv.alias("a")
+        .join(inv.alias("b"), on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup by embedding cosine similarity.  Brute-force all-pairs —
+    use only under a size threshold or after LSH pruning (B8's lsh path);
+    oracle-checkable because it is exact."""
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

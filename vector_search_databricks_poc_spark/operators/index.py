@@ -1,0 +1,118 @@
+"""Vector index build + search (SURVEY.md A9/B8-scale-path port).
+
+The reference delegates index building to the Databricks Vector Search
+service (`create_delta_sync_index`, syntetic_data.py:95-107) and never sees
+the physical structure.  Spark-first, a batch "index" is a *prepared table*:
+
+- vectors L2-normalized once at build time (cosine becomes a plain dot);
+- an IVF-style coarse quantizer: KMeans centroids, each row assigned to its
+  nearest centroid, table **written partitioned by centroid id** — so a
+  probe reads only `nprobe` partitions (partition pruning, no custom
+  physical operator);
+- searches rescore exactly within the probed partitions (IVF-Flat).
+
+At 100 TB: the index build is one pass (fit on a sample, transform all),
+and every search touches nprobe/k_centroids of the data.  No driver-side
+materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import vectors as V
+from .topk import top_k_similar
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    extra_cols: tuple[str, ...] = (),
+) -> "IvfIndex":
+    """Build the IVF index table: normalize -> KMeans-assign -> write
+    partitioned by centroid.
+
+    KMeans fits on a (seeded) sample — at 100 TB you never fit on the full
+    corpus — then assignment is a deterministic nearest-centroid expression
+    over broadcast centroids, so the transform stage is shuffle-free.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normalized = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
+    )
+    fit_src = normalized if sample_fraction >= 1.0 else normalized.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    km = KMeans(k=k_centroids, seed=seed, featuresCol="_features", predictionCol="_centroid")
+    model = km.fit(fit_src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")))
+    centroids = [c.toArray().tolist() for c in model.clusterCenters()]
+
+    assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    return IvfIndex(index_path, centroids, id_col=id_col, vec_col=vec_col)
+
+
+def assign_centroid(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment as a pure expression over a literal
+    centroid array (broadcast by construction — it lives in the plan)."""
+    cents = F.array(*[V.lit_vector(c) for c in centroids])
+    dists = F.transform(cents, lambda c: _l2sq(F.col(vec_col).cast("array<double>"), c))
+    return df.withColumn("centroid_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def _l2sq(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v)
+
+
+class IvfIndex:
+    """Handle to a built IVF index table (path + centroids)."""
+
+    def __init__(self, path: str, centroids: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.path = path
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def nearest_centroids(self, query_vector: list[float], nprobe: int) -> list[int]:
+        import math
+
+        q = query_vector
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+        q = [x / qn for x in q]
+        d = [
+            (sum((x - y) ** 2 for x, y in zip(q, c)), i)
+            for i, c in enumerate(self.centroids)
+        ]
+        return [i for _, i in sorted(d)[:nprobe]]
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vector: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Probe: read ONLY the nprobe closest centroid partitions (partition
+        pruning via the centroid_id filter), exact-rescore within them."""
+        import math
+
+        probes = self.nearest_centroids(query_vector, nprobe)
+        qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+        qnorm = [x / qn for x in query_vector]
+        scan = spark.read.parquet(self.path).where(F.col("centroid_id").isin(probes))
+        return top_k_similar(
+            scan, qnorm, k=k, id_col=self.id_col, vec_col=self.vec_col, metric=metric
+        )

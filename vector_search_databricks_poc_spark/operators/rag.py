@@ -1,0 +1,38 @@
+"""Result post-processing + RAG context assembly (SURVEY.md A13/A14).
+
+The reference post-processes top-k hits in driver Python — drop empty texts,
+drop exact-duplicate texts with a ``seen`` set, keep {id, text}
+(main.py:59-70) — then formats "[{id}] {text}" blocks joined by blank lines
+with a fallback string (main.py:98-104).  Same semantics, declarative:
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_hits(df: DataFrame, id_col: str = "vec_id", text_col: str = "text") -> DataFrame:
+    """A13: null/empty filter + exact text dedup (deterministic keeper =
+    min id, where the reference keeps first-seen) + projection."""
+    keep = (
+        df.where(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+        .groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keep.select(id_col, text_col)
+
+
+def assemble_context(df: DataFrame, id_col: str = "vec_id", text_col: str = "text",
+                     order_col: str | None = None) -> DataFrame:
+    """A14: one-row DataFrame with the "[id] text\n\n…" context block;
+    empty input yields the reference's fallback string (main.py:104)."""
+    ordered = F.collect_list(F.format_string("[%s] %s", F.col(id_col), F.col(text_col)))
+    blocks = df.orderBy(order_col if order_col else id_col).agg(
+        F.array_join(ordered, "\n\n").alias("context")
+    )
+    return blocks.select(
+        F.when(F.col("context") == "", F.lit("No relevant context found."))
+        .otherwise(F.col("context"))
+        .alias("context")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators (SURVEY.md B2/B12; north-star "text analysis").
+
+Everything here is a pure Catalyst expression — no Python UDFs — so the
+whole suite stays inside whole-stage codegen and scales linearly with the
+corpus.  The reference's only text processing is driver-side Python string
+cleanup during arXiv ingest (syntetic_data_arxiv.py:87-105); these operators
+re-express that surface (and the LLM-pipeline extensions) over a ``text``
+column of any width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword list used by the quality score; deliberately
+# deterministic and engine-local (no external model).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal (matches DuckDB
+    ``list_filter(string_split(text, ' '), t -> t != '')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length in characters (NULL on token-free text)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t))
+
+
+def stopword_ratio(text: Column | str, stopwords=STOPWORDS) -> Column:
+    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, n_sw.cast("double") / F.size(t))
+
+
+def whitespace_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    spaces = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return F.when(F.length(c) > 0, spaces.cast("double") / F.length(c))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: length sweet-spot,
+    stopword presence, token-length sanity.  Deterministic; the LLM-pipeline
+    'keep or drop' signal."""
+    tc = token_count(text)
+    length_ok = F.when((tc >= 5) & (tc <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    sw_ok = F.when((sw > 0.0) & (sw < 0.8), F.lit(1.0)).otherwise(F.lit(0.0))
+    atl = F.coalesce(avg_token_length(text), F.lit(0.0))
+    atl_ok = F.when((atl >= 2.0) & (atl <= 15.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + sw_ok + atl_ok) / F.lit(3.0)
+
+
+def language_filter(df: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
+    return df.where(F.col(lang_col).isin(langs))
+
+
+def lang_id_heuristic(text: Column | str) -> Column:
+    """N-gram-free language-ID heuristic: pick the language whose marker
+    stopwords appear most often.  A deterministic stand-in for a real
+    langid model (the real model would be a pandas_udf, B22)."""
+    markers = {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "fr": ("le", "la", "et"),
+        "de": ("der", "die", "und"),
+    }
+    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        n = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+        best = F.when(n > best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(n > best_n, n).otherwise(best_n)
+    return best
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide term frequency: explode tokens -> groupBy(token).count().
+    Map-side partial aggregation makes this a single shuffle of distinct
+    terms, not of token instances."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )
+
+
+def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataFrame:
+    return df.where(F.col(text_col).contains(keyword))
+
+
+def fingerprint(text: Column | str, mod: int = 2**31 - 1) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    token first-characters and lengths, exactly expressible in both Spark
+    and ANSI SQL (no engine-specific hash function).
+
+    fp = fold(tokens, 0, (acc, tok) -> (acc*31 + ascii(substr(tok,1,1))*7
+                                        + length(tok)) % mod)
+    """
+    t = tokens(text)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * 31 + F.ascii(F.substring(tok, 1, 1)) * 7 + F.length(tok))
+        % F.lit(mod).cast("long"),
+    )

@@ -47,6 +47,9 @@ def get_spark(
         # Broadcast small dims (region/nation/queries side of similarity join).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long, catalog.load_table converts to µs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
