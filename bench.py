@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sum sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized via a count-ish action (collect for small
+results) so the full plan executes; times exclude session startup (reported
+separately in "startup_sec").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_databricks_poc_spark import queries_registry as R
+from vector_search_databricks_poc_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "topk_cosine_search",       # B7 flagship
+    "batch_similarity_join",    # B8
+    "rerank_two_stage",         # B11
+    "embedding_near_dup",       # B10 exact cosine pairs
+    "minhash_near_dup",         # B10 minhash+LSH
+    "exact_dedup_keeper",       # B9
+    "join_star_revenue",        # B14
+    "pricing_summary",          # B15
+    "window_rank_topn_per_group",  # B16
+    "term_frequencies",         # B12
+    "tumbling_window",          # B20
+    "hashing_embed",            # B5
+]
+
+
+def main() -> None:
+    t0 = time.time()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    startup = time.time() - t0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = R.QUERIES[name]
+        t = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "startup_sec": round(startup, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Dedup ladder (B9/B10) with planted duplicates; text analysis (B12);
+embedding encoder (B5); RAG assembly (A13/A14)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.operators import dedup as D
+from vector_search_databricks_poc_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    """Fixture docs + planted near-duplicates: doc 9001/9002 are copies of
+    doc 1/2 with one word changed; 9003 is an exact copy of doc 3."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in d.where(F.col("doc_id").isin([1, 2, 3])).collect()}
+    toks1 = base[1].split(" ")
+    toks1[len(toks1) // 2] = "XYZZY"
+    toks2 = base[2].split(" ")
+    toks2[0] = "QUUX"
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=9001, text=" ".join(toks1)),
+            Row(doc_id=9002, text=" ".join(toks2)),
+            Row(doc_id=9003, text=base[3]),
+        ]
+    )
+    return d.unionByName(planted).cache()
+
+
+def test_exact_dedup_keeps_min_id(docs_with_dups):
+    out = D.exact_dedup(docs_with_dups, ["text"], "doc_id")
+    assert out.count() == docs_with_dups.count() - 1  # only 9003 is exact dup
+    assert out.where(F.col("doc_id") == 9003).count() == 0
+    assert out.where(F.col("doc_id") == 3).count() == 1
+
+
+def test_minhash_finds_planted_near_dups(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dup_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert (1, 9001) in pairs
+    assert (2, 9002) in pairs
+    assert (3, 9003) in pairs
+
+
+def test_simhash_finds_planted_near_dups(docs_with_dups):
+    pairs = D.simhash_near_dup_pairs(docs_with_dups, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (3, 9003) in got  # exact copy -> hamming 0
+    assert (1, 9001) in got or (2, 9002) in got  # one-word edits stay close
+
+
+def test_ngram_jaccard_exactness(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy cat today"
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    out = D.ngram_jaccard_pairs(df, n=2, threshold=0.1).collect()
+    assert len(out) == 1
+    # bigrams: 9 each, shared 7 -> jaccard 7/11 (operator rounds to 6 dp)
+    assert abs(out[0]["jaccard"] - 7 / 11) < 1e-6
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.999, 0.04]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = D.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([Row(text="  a  bb  ccc ")])
+    row = df.select(
+        X.tokens("text").alias("t"),
+        X.token_count("text").alias("n"),
+        X.avg_token_length("text").alias("avg"),
+    ).first()
+    assert row["t"] == ["a", "bb", "ccc"]
+    assert row["n"] == 3
+    assert abs(row["avg"] - 2.0) < 1e-12
+
+
+def test_n_chars_column_consistency(spark, sf_dir):
+    """Fixture sanity: our char_count matches the precomputed n_chars."""
+    d = load_table(spark, sf_dir, "documents")
+    bad = d.where(X.char_count("text") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_quality_score_range(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    row = d.select(X.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_lang_id_heuristic_beats_chance(spark, sf_dir):
+    """Marker-based lang-id on the synthetic corpus: better than uniform
+    guessing over {en,es,fr,de,und} on the docs it claims to identify."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang").isin(["en", "es", "fr", "de"]))
+    scored = d.select("lang", X.lang_id_heuristic("text").alias("guess"))
+    n = scored.count()
+    hit = scored.where(F.col("lang") == F.col("guess")).count()
+    assert hit / n > 0.2, f"lang-id accuracy {hit / n}"
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    fp1 = d.select("doc_id", X.fingerprint("text").alias("fp"))
+    n_distinct = fp1.select("fp").distinct().count()
+    assert n_distinct > 95  # distinct texts -> distinct fingerprints
+    again = d.select("doc_id", X.fingerprint("text").alias("fp"))
+    assert fp1.exceptAll(again).count() == 0  # deterministic
+
+
+def test_hashing_embedding_deterministic_unit(spark, sf_dir):
+    from vector_search_databricks_poc_spark.functions.embedding import embed_text
+
+    d = load_table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+    e1 = embed_text(d, dim=16)
+    norms = e1.select(
+        F.sqrt(F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x)).alias("n")
+    )
+    lo, hi = norms.agg(F.min("n"), F.max("n")).first()
+    assert abs(lo - 1.0) < 1e-6 and abs(hi - 1.0) < 1e-6
+    assert e1.select("doc_id", "embedding").exceptAll(embed_text(d, dim=16).select("doc_id", "embedding")).count() == 0
+
+
+def test_rag_assembly_and_fallback(spark):
+    from vector_search_databricks_poc_spark.operators.rag import assemble_context, clean_hits
+
+    hits = spark.createDataFrame(
+        [Row(vec_id=2, text="beta"), Row(vec_id=1, text="alpha"), Row(vec_id=3, text="alpha"),
+         Row(vec_id=4, text=""), Row(vec_id=5, text=None)]
+    )
+    cleaned = clean_hits(hits)
+    assert {(r["vec_id"], r["text"]) for r in cleaned.collect()} == {(1, "alpha"), (2, "beta")}
+    ctx = assemble_context(cleaned).first()["context"]
+    assert ctx == "[1] alpha\n\n[2] beta"
+    empty = clean_hits(spark.createDataFrame([], hits.schema))
+    assert assemble_context(empty).first()["context"] == "No relevant context found."
+
+
+def test_arxiv_clean_fields(spark):
+    from vector_search_databricks_poc_spark.sources.arxiv import RAW_SCHEMA, clean_arxiv_fields
+
+    raw = spark.createDataFrame(
+        [("http://arxiv.org/abs/1234.5678v1", "A\ntitle ", " sum\nmary", None, None,
+          "2024-01-01", "http://arxiv.org/abs/1234.5678v1")],
+        RAW_SCHEMA,
+    )
+    row = clean_arxiv_fields(raw).first()
+    assert row["id"] == "1234.5678v1"
+    assert row["title"] == "A title"
+    assert row["summary"] == "sum mary"
+    assert row["authors"] == ""
+    assert row["category"] == "unknown"
+    assert row["link"] == "http://arxiv.org/pdf/1234.5678v1"

@@ -1,0 +1,44 @@
+"""Driver-contract conformance: entry() smoke, every oracle query
+hash-matches DuckDB at sf0.001 (the fast gate; the driver runs sf0.01)."""
+
+import pytest
+
+import __spark_entry__ as E
+from tests.oracle_utils import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["vec_id", "text", "score"]
+
+
+def test_every_query_has_callable():
+    qs = E.queries()
+    assert len(qs) >= 30
+    for name, fn in qs.items():
+        assert callable(fn), name
+    # every oracle entry refers to a declared query
+    assert set(E.oracle_sql()) <= set(qs)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql()))
+def test_oracle_match(spark, duck, name):
+    res = compare(E.queries()[name](spark, SF), duck, E.oracle_sql()[name])
+    assert res["values_match"], {k: v for k, v in res.items() if k != "first_diffs"}
+
+
+@pytest.mark.parametrize("name", sorted(set(E.queries()) - set(E.oracle_sql())))
+def test_rows_only_queries_run(spark, name):
+    df = E.queries()[name](spark, SF)
+    assert df.count() >= 0

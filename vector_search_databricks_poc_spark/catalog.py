@@ -59,7 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # division DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -76,8 +76,11 @@ def make_transformer_encoder_udf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # NOTE: no parameter annotations here — `from __future__ import
+    # annotations` stringifies hints, which breaks pandas_udf eval-type
+    # inference; the explicit returnType + default SCALAR type suffice.
     @pandas_udf(ArrayType(FloatType()))
-    def embed(texts: pd.Series) -> pd.Series:
+    def embed(texts):
         global _ENCODER_CACHE  # per-Python-worker singleton
         try:
             cache = _ENCODER_CACHE

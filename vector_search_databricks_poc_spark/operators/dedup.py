@@ -44,15 +44,42 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(text: Column | str, n: int = 3, num_hashes: int = 32) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed=i).  Vectorized: one pass per hash seed, all
-    inside codegen."""
+    """MinHash signature as a single Column: per hash function i, min over
+    shingles of xxhash64(shingle, seed=i).
+
+    Note: higher-order functions are interpreted (no whole-stage codegen);
+    for corpus-scale signature computation prefer ``minhash_signatures_df``,
+    which explodes shingles and lets a codegen'd hash aggregate do the mins.
+    """
     sh = shingles(text, n)
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, _sig array<long>) via the scale path: explode shingles ->
+    num_hashes codegen'd xxhash64 columns -> hash-aggregate mins ->
+    reassemble the signature array.  One shuffle on id; every hash call is
+    JVM codegen, no interpreted lambdas in the hot loop."""
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh"))
+    hashed = ex.select(
+        id_col, *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -71,9 +98,7 @@ def minhash_lsh_candidates(
     (band_idx, band_hash), so cost scales with collisions, not n^2.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, n, num_hashes).alias("_sig")
-    )
+    sig = minhash_signatures_df(df, id_col, text_col, n, num_hashes)
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -158,8 +183,44 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        fp = fp.bitwiseOR(F.when(cnt >= 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
+        fp = fp.bitwiseOR(
+            F.when(cnt >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
     return fp
+
+
+def simhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, _fp long) via the scale path: explode tokens -> one xxhash64 ->
+    per-bit +-1 contribution columns -> codegen hash-aggregate sums ->
+    assemble the fingerprint.  Same result as ``simhash`` without the
+    interpreted per-row lambda fold."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok")).select(
+        id_col, F.xxhash64("_tok").alias("_h")
+    )
+    contrib = ex.select(
+        id_col,
+        *[
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sums = contrib.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_b{b}") for b in range(bits)]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(id_col, fp.alias("_fp"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -180,7 +241,7 @@ def simhash_near_dup_pairs(
     verify full hamming distance."""
     width = bits // blocks
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col), simhash(text_col, bits).alias("_fp"))
+    sig = simhash_df(df, id_col, text_col, bits)
     blocked = sig.select(
         id_col,
         "_fp",
@@ -261,11 +322,20 @@ def embedding_near_dup_pairs(
     """Near-dup by embedding cosine similarity.  Brute-force all-pairs —
     use only under a size threshold or after LSH pruning (B8's lsh path);
     oracle-checkable because it is exact."""
-    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Precompute each row's norm once (|n| traversals) instead of per pair
+    # (|n^2| traversals); the pair expression is then a single dot product.
+    l = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        V.l2_norm(vec_col).alias("_na"),
+    )
+    r = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        V.l2_norm(vec_col).alias("_nb"),
+    )
+    cos = F.round(V.dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(V.cosine("_va", "_vb"), 6))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -57,7 +57,10 @@ def build_ivf_index(
     )
     km = KMeans(k=k_centroids, seed=seed, featuresCol="_features", predictionCol="_centroid")
     model = km.fit(fit_src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")))
-    centroids = [c.toArray().tolist() for c in model.clusterCenters()]
+    centroids = [
+        (c.tolist() if hasattr(c, "tolist") else c.toArray().tolist())
+        for c in model.clusterCenters()
+    ]
 
     assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)

@@ -43,17 +43,27 @@ def brute_force_topk_join(
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
+    # Norms are precomputed ONCE per side before the join — at n_queries x
+    # corpus scale this turns 2*|pairs| norm traversals into |q|+|corpus|.
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).cast("array<double>").alias("_qv"),
+            V.l2_norm(query_vec_col).alias("_qn"),
         )
     )
-    score = score_expr(vec_col, F.col("_qv"), metric)
+    c = corpus.select(F.col(id_col), F.col(vec_col), V.l2_norm(vec_col).alias("_cn"))
+    if metric == "cosine":
+        denom = F.col("_cn") * F.col("_qn")
+        score = F.when(denom != 0, V.dot(vec_col, F.col("_qv")) / denom)
+    elif metric == "dot":
+        score = V.dot(vec_col, F.col("_qv"))
+    else:
+        score = score_expr(vec_col, F.col("_qv"), metric)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = (
-        corpus.crossJoin(q)
+        c.crossJoin(q)
         .select("query_id", F.col(id_col), score.alias("score"))
         .where(F.col("score").isNotNull())
     )
@@ -105,11 +115,13 @@ def lsh_topk_join(
     ch = model.transform(c)
     qh = model.transform(qn)
 
+    from pyspark.ml.functions import vector_to_array
+
     # Explode hash tables into (table_idx, bucket) join keys -> pure equi-join.
     def keyed(df: DataFrame) -> DataFrame:
         return df.select(
             "*", F.posexplode("_hashes").alias("_tbl", "_bucket")
-        ).withColumn("_bucket", F.col("_bucket")[0].cast("long"))
+        ).withColumn("_bucket", vector_to_array(F.col("_bucket"))[0].cast("long"))
 
     pairs = (
         keyed(qh)

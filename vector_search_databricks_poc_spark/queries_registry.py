@@ -673,3 +673,687 @@ def array_funcs(spark, sf_dir):
         F.round(F.aggregate(F.slice(emb, 1, 8), F.lit(0.0), lambda a, x: a + x), 6).alias("head_sum"),
         F.exists(emb, lambda x: x > 0.2).alias("any_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B6: vector algebra
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def vector_norms(spark, sf_dir):
+    """B6: expression-kernel norms over every vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(V.l2_norm("embedding"), 6).alias("l2"),
+        F.round(V.dot("embedding", "embedding"), 6).alias("self_dot"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "vector_normalize_check",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(nrm), 4) AS min_unit_norm, ROUND(MAX(nrm), 4) AS max_unit_norm
+    FROM (
+      SELECT label,
+             sqrt(list_dot_product(
+               list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+               list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+             )) AS nrm
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def vector_normalize_check(spark, sf_dir):
+    """B6: l2_normalize really produces unit vectors (per-label min/max of
+    the re-computed norm)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = e.select("label", V.l2_normalize("embedding").alias("u"))
+    return (
+        unit.select("label", V.l2_norm("u").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nrm"), 4).alias("min_unit_norm"),
+            F.round(F.max("nrm"), 4).alias("max_unit_norm"),
+        )
+    )
+
+
+@register(
+    "vector_mean_by_label",
+    """
+    SELECT label, i AS dim, ROUND(AVG(embedding[i]::DOUBLE), 6) AS mean_val
+    FROM embeddings, range(1, 9) t(i)
+    GROUP BY label, i
+    """,
+)
+def vector_mean_by_label(spark, sf_dir):
+    """B6 vec_mean: centroid components per label via posexplode +
+    per-dimension aggregation (first 8 dims to keep the result compact).
+    This is the distributed mean — no collect, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias("pos", "v"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8/B11: batch similarity join + reranking
+# ---------------------------------------------------------------------------
+
+_PAIR_COSINE = (
+    "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "batch_similarity_join",
+    f"""
+    SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             ROUND({_PAIR_COSINE}, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_PAIR_COSINE}, 6) DESC, e.vec_id) AS rank
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+    ) WHERE rank <= 3
+    """,
+)
+def batch_similarity_join(spark, sf_dir):
+    """B8: 8 query vectors x corpus, top-3 each — broadcast cross join +
+    window rank (the exact path; LSH path is the rows-only variant)."""
+    from .operators.similarity_join import brute_force_topk_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk_join(queries, e, k=3)
+
+
+@register(
+    "rerank_two_stage",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+    cands AS (
+      SELECT e.vec_id, e.embedding, ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS dot_score
+      FROM embeddings e CROSS JOIN q
+      ORDER BY dot_score DESC, e.vec_id LIMIT 50
+    )
+    SELECT vec_id, score FROM (
+      SELECT e.vec_id, ROUND({_PAIR_COSINE}, 6) AS score
+      FROM cands e CROSS JOIN q
+    ) ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def rerank_two_stage(spark, sf_dir):
+    """B11 (A15 port): cheap dot-product recall of 50 candidates, exact
+    cosine rerank to top-5."""
+    from .operators.topk import rerank, top_k_similar
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 7)
+    cands = top_k_similar(e, qv, k=50, metric="dot").select("vec_id")
+    cand_vecs = e.join(F.broadcast(cands), "vec_id", "left_semi")
+    return rerank(cand_vecs, qv, k=5, metric="cosine")
+
+
+@register(
+    "knn_label_agreement",
+    f"""
+    SELECT CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           COUNT(*) AS n_total
+    FROM (
+      SELECT q.label AS q_label, e.label AS n_label,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_PAIR_COSINE}, 6) DESC, e.vec_id) AS rank
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 32) q
+      WHERE e.vec_id != q.vec_id
+    ) WHERE rank <= 1
+    """,
+)
+def knn_label_agreement(spark, sf_dir):
+    """Sanity semantics check (FIXTURES.md): nearest neighbor of a vector
+    should usually share its cluster label.  Output: agreement count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("label").alias("q_label")
+    )
+    score = F.round(V.cosine("embedding", F.col("qv").cast("array<double>")), 6)
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "q_label", F.col("label").alias("n_label"), score.alias("score"), "vec_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    nn = pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 1)
+    return nn.agg(
+        F.sum(F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)).alias("n_agree"),
+        F.count("*").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9/B10: dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_keeper",
+    """
+    SELECT lang, source, CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def exact_dedup_keeper(spark, sf_dir):
+    """B9: exact dedup on (lang, source) with deterministic min-id keeper
+    (the reference's seen-set dedup, main.py:62-67, made distributed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size")
+    )
+
+
+@register(
+    "result_clean_dedup",
+    """
+    SELECT MIN(doc_id) AS vec_id, text
+    FROM documents
+    WHERE doc_id < 200 AND text IS NOT NULL AND text != ''
+    GROUP BY text
+    """,
+)
+def result_clean_dedup(spark, sf_dir):
+    """A13 port: null/empty filter + exact text dedup + projection via
+    operators.rag.clean_hits."""
+    from .operators.rag import clean_hits
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return clean_hits(d.select(F.col("doc_id").alias("vec_id"), "text"))
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """B10-cosine: exact embedding near-dup pairs (threshold 0.8)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.8)
+
+
+def minhash_near_dup(spark, sf_dir):
+    """B10-minhash: LSH-banded MinHash near-dup (xxhash64 signatures are
+    engine-local -> rows-only; recall asserted in pytest on planted dups)."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.5)
+
+
+QUERIES["minhash_near_dup"] = minhash_near_dup
+
+
+def simhash_near_dup(spark, sf_dir):
+    """B10-simhash: 64-bit simhash, pigeonhole-blocked hamming join
+    (rows-only: xxhash64)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+QUERIES["simhash_near_dup"] = simhash_near_dup
+
+
+def ngram_jaccard_dedup(spark, sf_dir):
+    """B10-ngram: exact n-gram Jaccard pairs via shingle inverted index
+    (rows-only: shingle generation is SQL-expressible but the inverted-index
+    join shape is the point here; exactness covered by pytest)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+QUERIES["ngram_jaccard_dedup"] = ngram_jaccard_dedup
+
+
+# ---------------------------------------------------------------------------
+# B12: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_frequencies",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def term_frequencies_q(spark, sf_dir):
+    """B12: corpus term frequency (explode + partial agg)."""
+    from .operators.text import term_frequencies
+
+    return term_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+           length(text) AS n_chars_check,
+           ROUND(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+                                          t -> length(t)))::DOUBLE
+                 / len(list_filter(string_split(text, ' '), t -> t != '')), 6) AS avg_token_len,
+           ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text), 6) AS ws_ratio
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_stats(spark, sf_dir):
+    """B12: token/char counts, mean token length, whitespace ratio — all
+    pure expressions from operators.text."""
+    from .operators import text as X
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_check"),
+        F.round(X.avg_token_length("text"), 6).alias("avg_token_len"),
+        F.round(X.whitespace_ratio("text"), 6).alias("ws_ratio"),
+    )
+
+
+@register(
+    "stopword_quality",
+    """
+    SELECT doc_id,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+                 / len(list_filter(string_split(lower(text), ' '), t -> t != '')), 6) AS stopword_ratio
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def stopword_quality(spark, sf_dir):
+    """B12: stopword-ratio quality signal."""
+    from .operators import text as X
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select("doc_id", F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"))
+
+
+@register(
+    "language_filter_stats",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr')
+    GROUP BY lang, source
+    """,
+)
+def language_filter_stats(spark, sf_dir):
+    """B12: language filter + per-source corpus stats."""
+    from .operators.text import language_filter
+
+    d = language_filter(load_table(spark, sf_dir, "documents"), ["en", "fr"])
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "keyword_search",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE text LIKE '%vector%' AND contains(text, 'join')
+    """,
+)
+def keyword_search_q(spark, sf_dir):
+    """B12: substring keyword search."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").contains("vector") & F.col("text").contains("join"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+                              t -> CAST(ascii(substr(t,1,1)) * 7 + length(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """B12: polynomial rolling-hash document fingerprint (engine-portable —
+    no murmur/xxhash — so the oracle can recompute it)."""
+    from .operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def lang_id_heuristic_q(spark, sf_dir):
+    """B12: marker-stopword language-ID heuristic (rows-only; the CASE
+    cascade is deterministic but verbose to mirror in SQL — pytest checks
+    accuracy against the lang column)."""
+    from .operators.text import lang_id_heuristic
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_heuristic("text").alias("lang_guess"))
+
+
+QUERIES["lang_id_heuristic"] = lang_id_heuristic_q
+
+
+def hashing_embed(spark, sf_dir):
+    """B5: deterministic hashing-trick embedding (xxhash64 buckets ->
+    rows-only; unit norms + determinism asserted in pytest)."""
+    from .functions.embedding import embed_text
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return embed_text(d.select("doc_id", "text"), dim=32).select(
+        "doc_id", F.size("embedding").alias("dim"), "embedding"
+    )
+
+
+QUERIES["hashing_embed"] = hashing_embed
+
+
+def pipeline_embed_search(spark, sf_dir):
+    """§3.2 end-to-end: embed corpus (hashing encoder) -> embed a query
+    text through the SAME path (A7=A12 unification) -> top-5 (rows-only)."""
+    from .functions.embedding import embed_text
+    from .operators.topk import top_k_similar
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = embed_text(d.select("doc_id", "text"), dim=32)
+    qrow = embed_text(
+        d.where(F.col("doc_id") == 0).select("text"), dim=32
+    ).select("embedding").first()
+    return top_k_similar(corpus, list(qrow[0]), k=5, id_col="doc_id")
+
+
+QUERIES["pipeline_embed_search"] = pipeline_embed_search
+
+
+# ---------------------------------------------------------------------------
+# A14: RAG context assembly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rag_context",
+    """
+    SELECT CASE WHEN ctx = '' THEN 'No relevant context found.' ELSE ctx END AS context
+    FROM (
+      SELECT COALESCE(string_agg('[' || vec_id || '] ' || text, chr(10) || chr(10) ORDER BY vec_id), '') AS ctx
+      FROM (SELECT MIN(doc_id) AS vec_id, text
+            FROM documents WHERE doc_id < 8 AND text IS NOT NULL AND text != ''
+            GROUP BY text)
+    )
+    """,
+)
+def rag_context(spark, sf_dir):
+    """A14: '[id] text' blocks joined by blank lines, fallback string on
+    empty input (main.py:98-104)."""
+    from .operators.rag import assemble_context, clean_hits
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 8)
+    hits = clean_hits(d.select(F.col("doc_id").alias("vec_id"), "text"))
+    return assemble_context(hits)
+
+
+# ---------------------------------------------------------------------------
+# B20: event-time windows (batch forms; streaming twins are pytest-verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window",
+    """
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS win_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """B20 batch tumbling window (same code path as the streaming twin)."""
+    from .streaming.windows import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "sliding_window",
+    """
+    SELECT win_start, COUNT(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL (k * 30) MINUTE AS win_start,
+             ts::TIMESTAMP AS ts
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    WHERE ts < win_start + INTERVAL '1 hour'
+    GROUP BY win_start
+    """,
+)
+def sliding_window(spark, sf_dir):
+    """B20: 1h windows sliding every 30min (each event lands in 2)."""
+    from .streaming.windows import sliding_counts
+
+    return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "session_windows",
+    """
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+               CASE WHEN epoch(ts::TIMESTAMP) - lag(epoch(ts::TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                         > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_seq
+    """,
+)
+def session_windows(spark, sf_dir):
+    """B20 batch sessionization (30-min gap) — lag + cumulative-sum rewrite;
+    the streaming twin uses native session_window (pytest equivalence)."""
+    from .streaming.windows import session_windows_batch
+
+    return session_windows_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _events_stream(spark, sf_dir):
+    """Replay the events fixture as a file-source stream.  The parquet file
+    is symlinked into a temp directory (Spark's file stream source requires
+    a directory), read with the raw ns-long schema, converted to µs — the
+    same normalization the batch loader applies."""
+    import os
+    import tempfile
+
+    load_table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long ns
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def streaming_tumbling_equiv(spark, sf_dir):
+    """B20 streaming: replay the events table through a file-source stream
+    with a watermark, aggregate with the SAME tumbling logic, drain with
+    availableNow into a memory sink, return the batch result (rows-only;
+    pytest asserts equality with the batch form)."""
+    import uuid
+
+    from .streaming.windows import streaming_tumbling_counts
+
+    stream = _events_stream(spark, sf_dir)
+    out_name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tumbling_counts(stream, "1 hour", "10 minutes")
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_name)
+
+
+QUERIES["streaming_tumbling"] = streaming_tumbling_equiv
+
+
+def streaming_dedup_q(spark, sf_dir):
+    """B20 streaming dedup with bounded state (rows-only)."""
+    import uuid
+
+    from .streaming.windows import streaming_dedup
+
+    stream = _events_stream(spark, sf_dir)
+    out_name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"], "10 minutes")
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_name)
+
+
+QUERIES["streaming_dedup"] = streaming_dedup_q
+
+
+# ---------------------------------------------------------------------------
+# B13: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_struct",
+    """
+    SELECT d.doc_id AS asset_id, d.lang, d.source,
+           octet_length(encode(d.text)) AS payload_bytes,
+           len(e.embedding) AS emb_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.doc_id < 200
+    """,
+)
+def multimodal_struct(spark, sf_dir):
+    """B13: pack text+vector+binary+map into one record, then access
+    struct fields / binary length (struct accessors are the query surface;
+    the binary payload is the multimodal carrier)."""
+    from .functions.multimodal import pack_multimodal
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = pack_multimodal(d, e)
+    return packed.select(
+        "asset_id",
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.source").alias("source"),
+        F.octet_length("payload").alias("payload_bytes"),
+        F.size("embedding").alias("emb_dim"),
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """B13/B22: binary payload -> feature vector via Arrow-batched
+    mapInPandas (deterministic fake extractor standing in for the decode
+    libs; plumbing is real — rows-only)."""
+    from .functions.multimodal import extract_features, pack_multimodal
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    e = load_table(spark, sf_dir, "embeddings")
+    media = pack_multimodal(d, e).withColumn("modality", F.lit("image"))
+    feats = extract_features(media, dim=8)
+    return feats.select("asset_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0"))
+
+
+QUERIES["multimodal_features"] = multimodal_features
+
+
+def ivf_index_search(spark, sf_dir):
+    """A9/B21 scale path: build the IVF index table (normalize -> KMeans ->
+    partitioned-by-centroid parquet), then probe 4 of 8 partitions and
+    exact-rescore (rows-only: KMeans centroids are engine-local)."""
+    import tempfile
+
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = build_ivf_index(e, f"{tmp}/ivf", k_centroids=8)
+        out = idx.search(spark, qv, k=10, nprobe=4)
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before tmp cleanup
+    return out
+
+
+QUERIES["ivf_index_search"] = ivf_index_search
