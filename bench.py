@@ -48,6 +48,13 @@ def main() -> None:
     startup = time.time() - t0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Untimed warmup: spin up executors, codegen, parquet footer caches —
+    # measured times then reflect the queries, not first-job JVM warmup.
+    t = time.time()
+    R.QUERIES["global_topn"](spark, SF_DIR).count()
+    warmup = time.time() - t
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = R.QUERIES[name]
@@ -64,6 +71,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
+        "warmup_sec": round(warmup, 3),
     }
     print(json.dumps(out))
 

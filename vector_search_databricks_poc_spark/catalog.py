@@ -75,6 +75,21 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the plan is under-parallel for CPU-heavy work.
+
+    Small fixture files arrive as 1-2 scan partitions (one 128 MB split per
+    file), which serializes hashing/embedding across an entire multi-core
+    executor.  At 100 TB inputs already have thousands of splits and this is
+    a no-op — the check costs one metadata call, not a job.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def save_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """Parquet sink (reference's delta ``saveAsTable``, syntetic_data.py:66).
 

@@ -125,6 +125,9 @@ def embed_text(df, text_col: str = "text", out_col: str = "embedding",
                encoder: str = "hashing", dim: int = 64):
     """Append an embedding column (A8's ``withColumn`` append) with the
     chosen encoder."""
+    from ..catalog import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if encoder == "hashing":
         return df.withColumn(out_col, hashing_embedding(text_col, dim=dim))
     if encoder == "transformer":

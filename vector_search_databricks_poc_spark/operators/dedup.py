@@ -71,9 +71,28 @@ def minhash_signatures_df(
     num_hashes codegen'd xxhash64 columns -> hash-aggregate mins ->
     reassemble the signature array.  One shuffle on id; every hash call is
     JVM codegen, no interpreted lambdas in the hot loop."""
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh"))
+    from ..catalog import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
+    )
+    # Double-hashing family from 2 real hash calls per shingle:
+    # h_i = h1 XOR rot(h2, i) — overflow-free (ANSI-mode safe), good enough
+    # independence for minhash banding (Kirsch-Mitzenmacher style).
+    def rot(c, i):
+        i = i % 64
+        if i == 0:
+            return c
+        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
     hashed = ex.select(
-        id_col, *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        id_col, F.xxhash64("_sh").alias("_h1"), F.xxhash64("_sh", F.lit(1)).alias("_h2")
+    ).select(
+        id_col,
+        *[
+            F.col("_h1").bitwiseXOR(rot(F.col("_h2"), i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
     )
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
@@ -152,9 +171,19 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard."""
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+
+    Shingle sets are materialized ONLY for rows that appear in some candidate
+    pair (semi-join first) — at corpus scale the candidate set is tiny
+    relative to the corpus and full shingle materialization would dominate.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = df.select(
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
         F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_sh")
     )
     return (
@@ -199,9 +228,11 @@ def simhash_df(
     per-bit +-1 contribution columns -> codegen hash-aggregate sums ->
     assemble the fingerprint.  Same result as ``simhash`` without the
     interpreted per-row lambda fold."""
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok")).select(
-        id_col, F.xxhash64("_tok").alias("_h")
-    )
+    from ..catalog import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).select(id_col, F.xxhash64("_tok").alias("_h"))
     contrib = ex.select(
         id_col,
         *[
@@ -318,10 +349,89 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    block_size: int = 1024,
 ) -> DataFrame:
-    """Near-dup by embedding cosine similarity.  Brute-force all-pairs —
-    use only under a size threshold or after LSH pruning (B8's lsh path);
-    oracle-checkable because it is exact."""
+    """Near-dup by embedding cosine: exact all-pairs via **block matrix
+    multiply** — rows are hashed into blocks, every block pair is scored in
+    one Arrow batch with a numpy matmul inside ``applyInPandas``.
+
+    Why not the expression kernel: per-pair ``aggregate(zip_with(...))`` is
+    interpreted (no codegen), ~15x slower than one BLAS matmul per block
+    pair.  Replication factor is n/block_size (inherent to all-pairs);
+    above ~10^5 rows prune candidates first (MinHash/LSH paths above).
+    Exact and oracle-checkable either way.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..catalog import ensure_parallelism
+
+    n = df.count()
+    n_blocks = max(1, _math.ceil(n / block_size))
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    # each row joins every block-pair where its block appears on either side
+    tagged = (
+        src.join(F.broadcast(block_pairs), on=F.col("_blk") == F.col("bi"))
+        .select("bi", "bj", "_id", "_v", F.lit("L").alias("_side"))
+        .unionByName(
+            src.join(
+                F.broadcast(block_pairs),
+                on=(F.col("_blk") == F.col("bj")) & (F.col("bi") != F.col("bj")),
+            ).select("bi", "bj", "_id", "_v", F.lit("R").alias("_side"))
+        )
+    )
+
+    thr = float(threshold)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = (pdf["bi"].iat[0] == pdf["bj"].iat[0]) if len(pdf) else True
+        left = pdf[pdf["_side"] == "L"] if not same else pdf
+        right = pdf[pdf["_side"] == "R"] if not same else pdf
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        la = np.stack(left["_v"].to_numpy())
+        rb = np.stack(right["_v"].to_numpy())
+        ids_a = left["_id"].to_numpy()
+        ids_b = right["_id"].to_numpy()
+        na = np.sqrt((la * la).sum(axis=1))
+        nb = np.sqrt((rb * rb).sum(axis=1))
+        cos = np.round((la @ rb.T) / np.outer(na, nb), 6)
+        ia, ib = np.where(cos >= thr)
+        if same:
+            # symmetric matrix: keep each unordered pair once, skip diagonal
+            keep = ids_a[ia] < ids_b[ib]
+            ia, ib = ia[keep], ib[keep]
+            a, b = ids_a[ia], ids_b[ib]
+        else:
+            # each unordered pair appears once in this (bi,bj) group, but the
+            # smaller id may sit on either side — canonicalize to (min,max)
+            a = np.minimum(ids_a[ia], ids_b[ib])
+            b = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": cos[ia, ib]})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        score_block, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_near_dup_pairs_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Expression-only variant of ``embedding_near_dup_pairs`` (no Python
+    boundary at all) — prefer the blocked path for large inputs."""
     # Precompute each row's norm once (|n| traversals) instead of per pair
     # (|n^2| traversals); the pair expression is then a single dot product.
     l = df.select(
