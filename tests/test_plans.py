@@ -1,0 +1,60 @@
+"""Plan-shape regression tests (SURVEY.md §4.2): the physical plans the
+engine relies on at scale are asserted, not assumed."""
+
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.plans import audit as A
+from vector_search_databricks_poc_spark.queries_registry import QUERIES
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["scan_filter_project"](spark, sf_dir)
+    assert A.has_pushed_filters(df), A.plan_string(df)
+    cols = A.read_schema_columns(df)
+    # projection reaches the scan: no column outside filter+select is read
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    }, cols
+
+
+def test_flagship_topk_no_global_sort(spark, sf_dir):
+    df = QUERIES["topk_cosine_search"](spark, sf_dir)
+    assert A.uses_take_ordered(df), A.plan_string(df)
+
+
+def test_global_topn_take_ordered(spark, sf_dir):
+    df = QUERIES["global_topn"](spark, sf_dir)
+    assert A.uses_take_ordered(df)
+    assert not A.uses_sort_merge_join(df)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["join_star_revenue"](spark, sf_dir)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+
+
+def test_batch_similarity_join_broadcasts_queries(spark, sf_dir):
+    df = QUERIES["batch_similarity_join"](spark, sf_dir)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+
+
+def test_agg_has_single_shuffle(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    # partial+final hash agg -> exactly one exchange
+    assert A.count_exchanges(df) == 1, A.plan_string(df, "simple")
+
+
+def test_codegen_alive_on_relational_path(spark, sf_dir):
+    # AQE wraps the plan until runtime, hiding codegen subtrees from
+    # explain; plan once without it to assert codegen coverage.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["pricing_summary"](spark, sf_dir)
+        assert A.whole_stage_codegen_spans(df) >= 1, A.plan_string(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

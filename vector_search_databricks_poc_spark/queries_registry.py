@@ -1357,3 +1357,74 @@ def ivf_index_search(spark, sf_dir):
 
 
 QUERIES["ivf_index_search"] = ivf_index_search
+
+
+# ---------------------------------------------------------------------------
+# B19-map, B4, B21: map accessors, ingest timestamp, incremental refresh
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT doc_id,
+           (m['lang'])[1] AS lang_val,
+           (m['source'])[1] AS source_val,
+           CAST(cardinality(m) AS INTEGER) AS n_keys,
+           array_to_string(map_keys(m), ',') AS keys_csv
+    FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """B19-map: create_map + element_at + map_keys/size."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+def ingest_timestamp(spark, sf_dir):
+    """B4/A8: ingest-timestamp append (current_timestamp is
+    non-deterministic by definition -> rows-only; the declared check is
+    that every row gets a timestamp in a sane window)."""
+    from .operators.rag import clean_hits  # noqa: F401  (namespace warm)
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    stamped = d.withColumn("ingest_ts", F.current_timestamp())
+    return stamped.agg(
+        F.count("*").alias("n"),
+        F.count("ingest_ts").alias("n_stamped"),
+        (F.max("ingest_ts") >= F.min("ingest_ts")).alias("monotone_ok"),
+    )
+
+
+QUERIES["ingest_timestamp"] = ingest_timestamp
+
+
+def incremental_index_refresh(spark, sf_dir):
+    """B21/A6: high-watermark incremental index maintenance — build on the
+    first half of the corpus, refresh with the full corpus, report counts
+    (rows-only; exact behavior pytest-verified)."""
+    import tempfile
+
+    from .operators.incremental import incremental_refresh
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    half = e.agg((F.max("vec_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = build_ivf_index(e.where(F.col("vec_id") <= half), f"{tmp}/ivf", k_centroids=4)
+        n_new = incremental_refresh(spark, idx, e)
+        n_total = spark.read.parquet(idx.path).count()
+    return spark.createDataFrame(
+        [(int(half), int(n_new), int(n_total))], "watermark long, n_new long, n_total long"
+    )
+
+
+QUERIES["incremental_index_refresh"] = incremental_index_refresh
