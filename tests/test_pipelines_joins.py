@@ -1,0 +1,110 @@
+"""Pipeline assembly (§3.1/§3.2), bucketed/salted joins (B14 scale),
+stateful streaming (B20/B22)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.plans import audit as A
+
+
+def test_build_and_search_pipeline(spark, sf_dir, tmp_path):
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_index_pipeline,
+        search_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_index_pipeline(docs, str(tmp_path / "idx"), k_centroids=4, dim=32)
+    # index table is partitioned by centroid
+    import os
+
+    parts = [p for p in os.listdir(idx.path) if p.startswith("centroid_id=")]
+    assert len(parts) >= 2
+
+    # search with a query that IS a corpus document -> that document must
+    # be the top hit and appear in the context
+    target = docs.where(F.col("doc_id") == 42).first()["text"]
+    ctx = search_pipeline(
+        spark, idx, docs, target, k=3, nprobe=4, dim=32
+    ).first()["context"]
+    assert ctx != "No relevant context found."
+    assert "[42]" in ctx
+
+    # garbage query still returns a well-formed (possibly fallback) context
+    ctx2 = search_pipeline(spark, idx, docs, "zzz qqq www", k=3, nprobe=2, dim=32).first()[
+        "context"
+    ]
+    assert isinstance(ctx2, str) and len(ctx2) > 0
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    from vector_search_databricks_poc_spark.operators.joins import (
+        bucketed_join,
+        save_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    save_bucketed(li, "li_b", "l_orderkey", num_buckets=4)
+    save_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"), "od_b", "l_orderkey", num_buckets=4
+    )
+    joined = bucketed_join(spark, "li_b", "od_b", on="l_orderkey")
+    # co-located: no shuffle exchange on either side
+    assert A.count_exchanges(joined) == 0, A.plan_string(joined, "simple")
+    # and correct
+    expect = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+    assert joined.count() == expect
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_salted_join_correctness(spark, sf_dir):
+    from vector_search_databricks_poc_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(od, on="l_orderkey").agg(F.count("*")).first()[0]
+    salted = salted_join(li, od, on="l_orderkey", salt=4).agg(F.count("*")).first()[0]
+    assert salted == plain
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    import uuid
+
+    from vector_search_databricks_poc_spark.queries_registry import _events_stream
+    from vector_search_databricks_poc_spark.streaming.stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir)
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    # one update row per user per micro-batch; the LAST row per user must
+    # equal the batch ground truth
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r["user_id"]: (r["n"], round(r["tv"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in out.orderBy("n_events").collect()  # later updates overwrite
+    }
+    assert len(got) == len(truth)
+    for uid, (n, tv) in truth.items():
+        gn, gtv = got[uid]
+        assert gn == n, (uid, gn, n)
+        assert abs(gtv - tv) < 0.05, (uid, gtv, tv)

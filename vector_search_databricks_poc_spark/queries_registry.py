@@ -1428,3 +1428,28 @@ def incremental_index_refresh(spark, sf_dir):
 
 
 QUERIES["incremental_index_refresh"] = incremental_index_refresh
+
+
+def stateful_user_stats(spark, sf_dir):
+    """B20/B22: custom stateful streaming operator via
+    applyInPandasWithState — per-user running stats with event-time timeout
+    (rows-only; batch ground-truth equivalence in pytest)."""
+    import uuid
+
+    from .streaming.stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir)
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+QUERIES["stateful_user_stats"] = stateful_user_stats
