@@ -33,6 +33,8 @@ HEADLINE = [
     "minhash_near_dup",         # B10 minhash+LSH
     "exact_dedup_keeper",       # B9
     "join_star_revenue",        # B14
+    "shipping_priority",        # B14/B17 (TPC-H Q3 shape)
+    "local_supplier_volume",    # B14 (TPC-H Q5 shape)
     "pricing_summary",          # B15
     "window_rank_topn_per_group",  # B16
     "term_frequencies",         # B12

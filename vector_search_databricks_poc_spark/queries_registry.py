@@ -1453,3 +1453,91 @@ def stateful_user_stats(spark, sf_dir):
 
 
 QUERIES["stateful_user_stats"] = stateful_user_stats
+
+
+# ---------------------------------------------------------------------------
+# B14/B15/B17 composite analytics (TPC-H-shaped; the bench's relational legs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o  ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.
+    Customer is broadcast; only lineitem/orders shuffle."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY nation
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join with a same-nation theta condition;
+    all dims broadcast, single fact shuffle."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    o = t["orders"].where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
