@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the vector kernel and dedup math —
+randomized inputs catch edge cases fixture data can't."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from vector_search_databricks_poc_spark import vectors as V
+from vector_search_databricks_poc_spark.operators.dedup import jaccard
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite, min_size=2, max_size=16)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=5))
+def test_cosine_bounds_and_symmetry(spark, pairs):
+    pairs = [(a, b[: len(a)] + [0.0] * max(0, len(a) - len(b))) for a, b in pairs]
+    df = spark.createDataFrame(
+        [Row(a=[float(x) for x in a], b=[float(x) for x in b]) for a, b in pairs]
+    )
+    rows = df.select(
+        V.cosine("a", "b").alias("ab"), V.cosine("b", "a").alias("ba")
+    ).collect()
+    for r in rows:
+        if r["ab"] is None:
+            assert r["ba"] is None  # zero-vector on either side
+            continue
+        assert -1.0 - 1e-9 <= r["ab"] <= 1.0 + 1e-9
+        assert abs(r["ab"] - r["ba"]) < 1e-9  # symmetric
+
+
+@settings(max_examples=15, deadline=None)
+@given(vec)
+def test_normalize_idempotent(spark, v):
+    df = spark.createDataFrame([Row(a=[float(x) for x in v])])
+    once = df.select(V.l2_normalize("a").alias("u"))
+    twice = once.select(V.l2_normalize("u").alias("u"))
+    u1 = once.first()["u"]
+    u2 = twice.first()["u"]
+    assert all(abs(x - y) < 1e-9 for x, y in zip(u1, u2))
+    norm = math.sqrt(sum(x * x for x in u1))
+    assert norm == pytest.approx(1.0, abs=1e-9) or norm == 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+)
+def test_jaccard_properties(spark, xs, ys):
+    df = spark.createDataFrame(
+        [([str(x) for x in xs], [str(y) for y in ys])],
+        "a array<string>, b array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    j = df.select(
+        jaccard(F.array_distinct("a"), F.array_distinct("b")).alias("j"),
+        jaccard(F.array_distinct("b"), F.array_distinct("a")).alias("jr"),
+    ).first()
+    assert 0.0 <= j["j"] <= 1.0
+    assert j["j"] == pytest.approx(j["jr"], abs=1e-12)
+    expected = (
+        len(set(xs) & set(ys)) / len(set(xs) | set(ys)) if (set(xs) | set(ys)) else 0.0
+    )
+    assert j["j"] == pytest.approx(expected, abs=1e-12)

@@ -1541,3 +1541,83 @@ def local_supplier_volume(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B15/B19 extras: pivot, percentiles, extended string functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS F,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS O,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """B15: pivot (wide aggregation) — status counts per priority."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """B15: exact interpolated percentiles (median/p90) per group."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "string_funcs_extended",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+           levenshtein(lang, 'en') AS lang_dist,
+           CAST(strpos(text, 'data') AS INTEGER) AS data_pos,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang2
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def string_funcs_extended(spark, sf_dir):
+    """B19-string: regexp_extract, lpad, levenshtein, instr, reverse, repeat."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.instr("text", "data").alias("data_pos"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang2"),
+    )
