@@ -1,0 +1,114 @@
+"""IVF batch search and int8 quantization (scale-path features)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.operators.similarity_join import (
+    brute_force_topk_join,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_batch_search_recall(spark, emb, tmp_path):
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+
+    idx = build_ivf_index(emb, str(tmp_path / "ivfb"), k_centroids=8)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk_join(queries, emb, k=5).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
+
+    # full probe recovers the exact result
+    full = idx.batch_search(spark, queries, k=5, nprobe=8).collect()
+    full_pairs = {(r["query_id"], r["vec_id"]) for r in full}
+    assert full_pairs == exact_pairs
+
+    # partial probe keeps most of it
+    part = idx.batch_search(spark, queries, k=5, nprobe=3).collect()
+    part_pairs = {(r["query_id"], r["vec_id"]) for r in part}
+    recall = len(part_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, recall
+
+    # every query found itself as top hit in the full probe
+    tops = {r["query_id"]: r["vec_id"] for r in full if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in tops.items())
+
+
+def test_quantization_roundtrip_error(spark, emb):
+    from vector_search_databricks_poc_spark.functions.quantization import (
+        dequantize,
+        quantize_table,
+    )
+    from vector_search_databricks_poc_spark import vectors as V
+
+    q = quantize_table(emb.select("vec_id", "embedding"))
+    assert dict(q.dtypes)["q_vec"] == "array<tinyint>"
+    orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    rt = q.select("vec_id", dequantize("q_scale", "q_vec").alias("rt"))
+    err = (
+        orig.join(rt, "vec_id")
+        .select(V.l2_distance("v", "rt").alias("e"), V.l2_norm("v").alias("n"))
+        .agg(F.max(F.col("e") / F.col("n")).alias("rel"))
+        .first()["rel"]
+    )
+    assert err < 0.02, err  # <2% relative L2 error
+
+
+def test_quantized_dot_vs_exact(spark, emb):
+    from vector_search_databricks_poc_spark.functions.quantization import (
+        quantize_table,
+        quantized_dot,
+    )
+    from vector_search_databricks_poc_spark import vectors as V
+
+    q = quantize_table(emb.select("vec_id", "embedding")).where(F.col("vec_id") < 50)
+    a = q.select(
+        F.col("vec_id").alias("ida"), F.col("q_scale").alias("sa"), F.col("q_vec").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("idb"), F.col("q_scale").alias("sb"), F.col("q_vec").alias("qb")
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    approx = pairs.select("ida", "idb", quantized_dot("sa", "qa", "sb", "qb").alias("qd"))
+    orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    exact = (
+        orig.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+        .join(orig.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb")), F.col("ida") < F.col("idb"))
+        .select("ida", "idb", V.dot("va", "vb").alias("d"), (V.l2_norm("va") * V.l2_norm("vb")).alias("nn"))
+    )
+    joined = approx.join(exact, ["ida", "idb"])
+    worst = joined.agg(F.max(F.abs(F.col("qd") - F.col("d")) / F.col("nn")).alias("w")).first()["w"]
+    assert worst < 0.05, worst  # quantized dot within 5% of exact (normalized)
+
+
+def test_quantized_topk_ranking_agrees(spark, emb):
+    """Top-10 by quantized dot ~= top-10 by exact cosine on unit-ish data:
+    at least 8/10 overlap (the rerank stage recovers the rest)."""
+    from vector_search_databricks_poc_spark.functions.quantization import (
+        quantize_table,
+        quantized_dot,
+    )
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    qv_row = emb.where(F.col("vec_id") == 0).first()
+    exact = {r["vec_id"] for r in top_k_similar(emb, list(qv_row["embedding"]), k=10).collect()}
+    qt = quantize_table(emb.select("vec_id", "embedding"))
+    qrow = qt.where(F.col("vec_id") == 0).first()
+    qlit = F.array(*[F.lit(int(x)).cast("tinyint") for x in qrow["q_vec"]])
+    approx = (
+        qt.select(
+            "vec_id",
+            quantized_dot(F.lit(float(qrow["q_scale"])), qlit, "q_scale", "q_vec").alias("s"),
+        )
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    overlap = exact & {r["vec_id"] for r in approx}
+    assert len(overlap) >= 8, (exact, approx)

@@ -119,3 +119,51 @@ class IvfIndex:
         return top_k_similar(
             scan, qnorm, k=k, id_col=self.id_col, vec_col=self.vec_col, metric=metric
         )
+
+    def batch_search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        score_decimals: int | None = 6,
+    ) -> DataFrame:
+        """Many queries against the index in ONE job.
+
+        Each query is expression-assigned to its ``nprobe`` nearest
+        centroids (broadcast literal centroids, no shuffle), exploded to
+        (centroid_id, query) pairs, and equi-joined to the index on
+        centroid_id — so the scan only touches partitions some query probes,
+        and each query is scored only against its own probed partitions.
+        Top-k per query via window rank.  Returns (query_id, id, score, rank).
+        """
+        from pyspark.sql import Window
+
+        from .. import vectors as V
+
+        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
+        qv = V.l2_normalize(query_vec_col)
+        dists = F.transform(cents, lambda c: _l2sq(qv, c))
+        order = F.array_sort(
+            F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(self.centroids) - 1)),
+                       lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        probes = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            qv.alias("_qv"),
+            F.explode(probes).alias("centroid_id"),
+        )
+        scan = spark.read.parquet(self.path)
+        pairs = scan.join(F.broadcast(q), on="centroid_id")
+        score = V.dot(self.vec_col, F.col("_qv"))  # both sides unit-norm -> cosine
+        if score_decimals is not None:
+            score = F.round(score, score_decimals)
+        scored = pairs.select("query_id", F.col(self.id_col), score.alias("score"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(self.id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )

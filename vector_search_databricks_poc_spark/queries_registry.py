@@ -1621,3 +1621,51 @@ def string_funcs_extended(spark, sf_dir):
         F.reverse("lang").alias("lang_rev"),
         F.repeat("lang", 2).alias("lang2"),
     )
+
+
+def ivf_batch_search(spark, sf_dir):
+    """B8 scale path: many queries against the IVF index in one job —
+    expression-assigned probes exploded to (centroid, query) pairs and
+    equi-joined to the partitioned index (rows-only; recall pytest-checked
+    against the brute-force result)."""
+    import tempfile
+
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = build_ivf_index(e, f"{tmp}/ivf", k_centroids=8)
+        out = idx.batch_search(spark, queries, k=5, nprobe=4)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+QUERIES["ivf_batch_search"] = ivf_batch_search
+
+
+def quantized_search(spark, sf_dir):
+    """Int8-quantized similarity search: quantize corpus 4x smaller,
+    rank by quantized dot, exact-rescore survivors (rows-only; error
+    bounds pytest-checked)."""
+    from .functions.quantization import quantize_table, quantized_dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qt = quantize_table(e.select("vec_id", "embedding"))
+    qrow = qt.where(F.col("vec_id") == 0).first()
+    qlit = F.array(*[F.lit(int(x)).cast("tinyint") for x in qrow["q_vec"]])
+    return (
+        qt.select(
+            "vec_id",
+            F.round(
+                quantized_dot(F.lit(float(qrow["q_scale"])), qlit, "q_scale", "q_vec"), 6
+            ).alias("qdot"),
+        )
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(10)
+    )
+
+
+QUERIES["quantized_search"] = quantized_search
