@@ -8,11 +8,16 @@ gives the DuckDB-equivalent SQL for each hash-checkable query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vector_search_databricks_poc_spark import queries_registry as R
+# make the package importable regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_search_databricks_poc_spark import queries_registry as R  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
