@@ -117,7 +117,13 @@ def minhash_lsh_candidates(
     (band_idx, band_hash), so cost scales with collisions, not n^2.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, n, num_hashes)
+    # The self-join below references the signature table twice; without a
+    # materialization the whole shingle->hash->min pipeline runs twice.
+    # Signatures are tiny (num_hashes longs per doc) — checkpoint them.
+    # (In a production pipeline this is the persisted signature table.)
+    sig = minhash_signatures_df(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
     banded = sig.select(
         id_col,
         F.posexplode(

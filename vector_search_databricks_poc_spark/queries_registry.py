@@ -85,11 +85,18 @@ _COSINE_DUCK = (
 )
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11+A13 Spark-native: score = cosine as Catalyst expression, top-k via
-    TakeOrderedAndProject, broadcast join back to text."""
+    TakeOrderedAndProject, broadcast join back to text.
+
+    The query vector stays IN the plan (broadcast one-row cross join) —
+    no driver collect, one job end to end."""
+    from .operators.similarity_join import brute_force_topk_join
+
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    qv = _query_vector(spark, sf_dir, 0)
-    hits = T.top_k_similar(emb, qv, k=10, id_col="vec_id", vec_col="embedding")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = brute_force_topk_join(queries, emb, k=10).select("vec_id", "score")
     return T.search_with_text(hits, docs)
 
 
