@@ -1,0 +1,83 @@
+"""As-of (temporal) join — an operator Spark lacks natively (SURVEY.md §2A
+absent-categories: range/as-of join).
+
+Semantics (backward, inclusive): for each left row, attach the right row
+with the greatest right_ts <= left_ts within the same key — "the latest
+known state as of this moment".  The standard scalable Spark rendition is
+the **union + last-over-window trick**:
+
+    union(left-tagged, right-tagged)
+      -> window per key ordered by (ts, is_left)   [right first on ties]
+      -> last(right_payload, ignorenulls) over unbounded-preceding
+      -> keep left rows
+
+One shuffle on the key, no per-row subquery, no skew beyond the key's own
+distribution — this is how as-of joins scale to 100 TB trade/event tables.
+DuckDB has a native ASOF JOIN, which serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    ``payload``: right columns to attach (default: all but key/ts).
+    ``how``: 'inner' drops left rows with no prior right row (DuckDB ASOF
+    JOIN default); 'left' keeps them with null payload.
+
+    Determinism contract: callers must ensure at most one right row per
+    (key, right_ts) — ties at identical timestamps are arbitrary in every
+    as-of implementation (dedupe with max_by first).
+    """
+    if payload is None:
+        payload = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = left.columns
+
+    l2 = left.select(
+        *lcols,
+        F.col(left_ts).cast("timestamp_ntz").alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("timestamp_ntz").alias("_rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+    )
+    r2 = right.select(
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).cast("timestamp_ntz").alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    u = l2.unionByName(r2)
+    # right rows sort before left rows at the same timestamp -> inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        "_is_left",
+        F.last("_rt", ignorenulls=True).over(w).alias("_matched_ts"),
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = filled.where(F.col("_is_left") == 1).drop("_is_left")
+    if how == "inner":
+        out = out.where(F.col("_matched_ts").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.drop("_matched_ts")

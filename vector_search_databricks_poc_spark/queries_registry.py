@@ -1676,3 +1676,54 @@ def quantized_search(spark, sf_dir):
 
 
 QUERIES["quantized_search"] = quantized_search
+
+
+# ---------------------------------------------------------------------------
+# As-of join (absent from Spark; union+window implementation vs native
+# DuckDB ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events_orders",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_id < 2000)
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+    FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    """As-of join: each event attaches the user's most recent order as of
+    the event time (backward inclusive).  Right side deduped per
+    (key, ts) with max_by for tie determinism."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        how="inner",
+    )
+    return out.select(
+        "event_id", F.col("o_custkey").alias("user_id"), "o_orderkey", "o_totalprice"
+    )
