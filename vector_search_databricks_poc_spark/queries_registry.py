@@ -1727,3 +1727,42 @@ def asof_join_events_orders(spark, sf_dir):
     return out.select(
         "event_id", F.col("o_custkey").alias("user_id"), "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "bucketed_range_join",
+    """
+    SELECT o.o_orderkey, COUNT(*) AS n_events_in_window
+    FROM (SELECT o_orderkey, o_custkey,
+                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72) HOUR AS win_start,
+                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72 + 6) HOUR AS win_end
+          FROM orders WHERE o_orderkey < 200) o
+    JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+      ON e.user_id = o.o_custkey AND e.ts >= o.win_start AND e.ts < o.win_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def bucketed_range_join_q(spark, sf_dir):
+    """B14 interval join at scale: synthesize 6-hour windows from orders,
+    count events per window via granule-bucket equi-join + exact refine
+    (no BroadcastNestedLoopJoin)."""
+    from .operators.interval import bucketed_range_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.lit("2024-01-01").cast("timestamp_ntz")
+             + F.make_interval(hours=(F.col("o_orderkey") % 72).cast("int"))).alias("win_start"),
+            (F.lit("2024-01-01").cast("timestamp_ntz")
+             + F.make_interval(hours=(F.col("o_orderkey") % 72 + 6).cast("int"))).alias("win_end"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
+    joined = bucketed_range_join(
+        ev, o, point_ts="ts", start_ts="win_start", end_ts="win_end",
+        bucket="6 hours", extra_equi="o_custkey",
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events_in_window"))
