@@ -110,6 +110,22 @@ def keyword_search(df: DataFrame, keyword: str, text_col: str = "text") -> DataF
     return df.where(F.col(text_col).contains(keyword))
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish tokenization: letter runs, single digits, single punctuation —
+    the shape GPT-style byte-pair pre-tokenizers produce (digits split,
+    punctuation isolated).  A deterministic stand-in for a real BPE vocab;
+    token COUNTS from this are the cost-estimation signal for LLM pipelines."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def bpe_token_count(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    return F.size(regex_tokens(text, pattern))
+
+
 def fingerprint(text: Column | str, mod: int = 2**31 - 1) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash over
     token first-characters and lengths, exactly expressible in both Spark

@@ -1766,3 +1766,50 @@ def bucketed_range_join_q(spark, sf_dir):
         bucket="6 hours", extra_equi="o_custkey",
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events_in_window"))
+
+
+@register(
+    "token_counting",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t != '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def token_counting(spark, sf_dir):
+    """B12: token counting two ways — whitespace and a BPE-ish regex
+    (letter runs / single digits / single punctuation), the LLM-pipeline
+    cost signal."""
+    from .operators import text as X
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+_SQL_FRONTEND = """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_frontend", _SQL_FRONTEND)
+def sql_frontend(spark, sf_dir):
+    """SQL front end: the same ANSI SQL string runs on Spark (over
+    registered temp views) and on the DuckDB oracle — the engine's
+    spark.sql surface (SURVEY.md A5's DDL generalized to full SELECT)."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(_SQL_FRONTEND)
