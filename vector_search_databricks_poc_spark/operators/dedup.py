@@ -375,7 +375,15 @@ def embedding_near_dup_pairs(
     from ..catalog import ensure_parallelism
 
     n = df.count()
-    n_blocks = max(1, _math.ceil(n / block_size))
+    # enough block-pairs to keep every core busy: B(B+1)/2 >= 2*cores,
+    # bounded below by the memory-driven block_size cap.  Replication per
+    # row is B (trivial vs the n^2 d flops the blocks distribute).
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    n_blocks = max(
+        1,
+        _math.ceil(n / block_size),
+        min(_math.ceil(_math.sqrt(4 * cores)), max(1, n // 8)),
+    )
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -279,13 +279,16 @@ def join_semi(spark, sf_dir):
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark, sf_dir):
-    """B14 left-anti join: customers with no orders at all."""
+    """B14 left-anti join: customers with no >400k order (every fixture
+    customer has SOME order, so the predicate keeps the result non-empty —
+    a 0-row anti-join would make the oracle check vacuous)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
 
 
@@ -912,15 +915,17 @@ def result_clean_dedup(spark, sf_dir):
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
     """,
 )
 def embedding_near_dup(spark, sf_dir):
-    """B10-cosine: exact embedding near-dup pairs (threshold 0.8)."""
+    """B10-cosine: exact embedding near-dup pairs.  Threshold 0.4 sits in
+    the fixture corpus's actual similarity range (max pairwise cosine is
+    ~0.5-0.6), so the check compares real pair sets, not empty ones."""
     from .operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.8)
+    return embedding_near_dup_pairs(e, threshold=0.4)
 
 
 def minhash_near_dup(spark, sf_dir):
