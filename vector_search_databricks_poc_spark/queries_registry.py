@@ -1818,3 +1818,133 @@ def sql_frontend(spark, sf_dir):
 
     register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
     return spark.sql(_SQL_FRONTEND)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: splits, caps, quality bins, outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_test_split",
+    """
+    SELECT split, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN ((doc_id * 2654435761) % 2147483647) % 100 < 20
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def train_test_split_q(spark, sf_dir):
+    """Deterministic engine-portable train/test split (multiplicative-mix
+    bucket, no RNG) — identical assignment on Spark and the oracle."""
+    from .operators.sampling import train_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(d, "doc_id", test_fraction=0.2)
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@register(
+    "cap_per_group",
+    """
+    SELECT lang, COUNT(*) AS n_kept, CAST(MAX(doc_id) AS BIGINT) AS max_kept_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    GROUP BY lang
+    """,
+)
+def cap_per_group_q(spark, sf_dir):
+    """Per-group cap (max N docs per language) — the de-biasing step."""
+    from .operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(d, "lang", 20, "doc_id")
+    return capped.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.max("doc_id").alias("max_kept_id")
+    )
+
+
+def stratified_sample_q(spark, sf_dir):
+    """Seeded stratified sampling (engine-local RNG -> rows-only; fraction
+    sanity asserted in pytest)."""
+    from .operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.5, "es": 0.5, "fr": 0.2, "de": 0.2, "zh": 1.0}
+    ).groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+QUERIES["stratified_sample"] = stratified_sample_q
+
+
+@register(
+    "quality_bins",
+    """
+    SELECT lang, bin, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+      FROM documents
+    )
+    GROUP BY lang, bin
+    """,
+)
+def quality_bins(spark, sf_dir):
+    """B16/B12: quality binning — ntile quartiles of doc length per
+    language (curriculum/filter buckets)."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.ntile(4).over(w).alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "centroid_outliers",
+    """
+    WITH cent AS (
+      SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(SUM((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c))), 4) AS d
+      FROM embeddings e JOIN cent c ON e.label = c.label
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, d FROM dist ORDER BY d DESC, vec_id LIMIT 20
+    """,
+)
+def centroid_outliers(spark, sf_dir):
+    """Embedding outlier detection: distance of each vector to its label
+    centroid, top-20 farthest (the 'mislabeled/garbage embedding' sweep).
+    Fully distributed: posexplode -> per-(label,dim) mean -> rejoin."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    cent = exploded.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    return (
+        exploded.join(cent, on=["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))), 4).alias("d"))
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(20)
+    )
