@@ -1,0 +1,65 @@
+"""Empty-input robustness: operators must return empty results, not throw."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+from vector_search_databricks_poc_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+)
+from vector_search_databricks_poc_spark.operators.similarity_join import (
+    brute_force_topk_join,
+)
+from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def test_topk_on_empty_corpus(empty_emb):
+    assert top_k_similar(empty_emb, [1.0, 2.0], k=5).count() == 0
+
+
+def test_batch_join_empty_queries(spark, sf_dir, empty_emb):
+    from vector_search_databricks_poc_spark.catalog import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = empty_emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert brute_force_topk_join(queries, corpus, k=3).count() == 0
+
+
+def test_dedup_on_empty(empty_docs):
+    assert exact_dedup(empty_docs, ["text"], "doc_id").count() == 0
+    assert minhash_near_dup_pairs(empty_docs).count() == 0
+
+
+def test_near_dup_on_empty(empty_emb):
+    assert embedding_near_dup_pairs(empty_emb).count() == 0
+
+
+def test_near_dup_single_row(spark):
+    one = spark.createDataFrame([(1, [1.0, 0.0])], EMB_SCHEMA)
+    assert embedding_near_dup_pairs(one, threshold=0.0).count() == 0
