@@ -39,6 +39,15 @@ def test_batch_similarity_join_broadcasts_queries(spark, sf_dir):
     assert A.uses_broadcast_join(df), A.plan_string(df)
 
 
+def test_batch_join_group_limit_before_shuffle(spark, sf_dir):
+    """Spark's WindowGroupLimit must prune per-partition top-k BEFORE the
+    exchange — the shuffle then carries <= k rows per (query, map task)
+    instead of the full corpus x queries score matrix."""
+    df = QUERIES["batch_similarity_join"](spark, sf_dir)
+    s = A.plan_string(df, "simple")
+    assert "WindowGroupLimit" in s and "Partial" in s, s[:2000]
+
+
 def test_agg_has_single_shuffle(spark, sf_dir):
     df = (
         load_table(spark, sf_dir, "lineitem")
