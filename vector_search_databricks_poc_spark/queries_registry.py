@@ -1948,3 +1948,78 @@ def centroid_outliers(spark, sf_dir):
         .orderBy(F.desc("d"), "vec_id")
         .limit(20)
     )
+
+
+def streaming_index_sync_q(spark, sf_dir):
+    """B20+B21: streaming index sync — build on half the corpus, stream
+    the other half through foreachBatch append, report final counts
+    (rows-only; searchability asserted in pytest)."""
+    import tempfile
+
+    from .functions.embedding import embed_text
+    from .operators.index import build_ivf_index
+    from .streaming.index_sync import stream_index_sync
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        emb_first = embed_text(docs.where(F.col("doc_id") <= half), dim=32).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        idx = build_ivf_index(emb_first, f"{tmp}/idx", k_centroids=4)
+        stage = f"{tmp}/incoming"
+        rest = docs.where(F.col("doc_id") > half)
+        rest.write.parquet(stage)
+        stream = spark.readStream.schema(rest.schema).parquet(stage)
+        q = stream_index_sync(
+            stream.withColumnRenamed("doc_id", "vec_id"), idx,
+            id_col="vec_id", dim=32, checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(120)
+        n_total = spark.read.parquet(idx.path).count()
+    return spark.createDataFrame(
+        [(int(half), int(n_total))], "watermark long, n_indexed long"
+    )
+
+
+QUERIES["streaming_index_sync"] = streaming_index_sync_q
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'o_totalprice' AS col, COUNT(*) AS n, COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_val, ROUND(MAX(o_totalprice), 2) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(value), COUNT(DISTINCT value),
+           ROUND(MIN(value), 2), ROUND(MAX(value), 2)
+    FROM events
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """Data profiling: per-column counts/nulls/distincts/min/max — the
+    pre-flight quality report every ingest pipeline runs."""
+
+    def prof(df, col):
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 2).alias("min_val"),
+            F.round(F.max(col).cast("double"), 2).alias("max_val"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        prof(o, "o_totalprice")
+        .unionByName(prof(o, "o_custkey"))
+        .unionByName(prof(ev, "value"))
+    )
