@@ -36,6 +36,102 @@ def quantize_table(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumns({"q_scale": scale, "q_vec": qvec}).drop(vec_col)
 
 
+class PqCodebook:
+    """Product quantization: split the vector into ``m`` subspaces, KMeans
+    each subspace to ``k`` centroids, store each vector as ``m`` byte codes
+    (64-dim float32 -> 8 bytes at m=8: 32x compression).
+
+    Search uses asymmetric distance computation (ADC): per query, a
+    (m x k) lookup table of query-subvector->centroid dot products is
+    precomputed once, and each corpus vector's score is m table lookups —
+    no float math per dimension.  All executor-side work is expressions
+    over broadcast literal codebooks.
+    """
+
+    def __init__(self, m: int, k: int, dim: int, centroids: list[list[list[float]]]):
+        self.m = m
+        self.k = k
+        self.dim = dim
+        self.sub = dim // m
+        self.centroids = centroids  # [m][k][sub]
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        m: int = 8,
+        k: int = 16,
+        seed: int = 42,
+        sample_fraction: float = 1.0,
+    ) -> "PqCodebook":
+        """Fit one KMeans per subspace (on a seeded sample at scale)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = len(df.select(vec_col).first()[0])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        sub = dim // m
+        src = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+        src = src.select(F.col(vec_col).cast("array<double>").alias("_v")).cache()
+        centroids = []
+        for j in range(m):
+            feats = src.select(
+                array_to_vector(F.slice("_v", j * sub + 1, sub)).alias("_f")
+            )
+            model = KMeans(k=k, seed=seed + j, featuresCol="_f").fit(feats)
+            centroids.append(
+                [
+                    (c.tolist() if hasattr(c, "tolist") else c.toArray().tolist())
+                    for c in model.clusterCenters()
+                ]
+            )
+        src.unpersist()
+        return cls(m, k, dim, centroids)
+
+    def _sub_codebook_col(self, j: int) -> Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for cent in self.centroids[j]
+            ]
+        )
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Append ``pq_code`` (array<int>, length m): nearest sub-centroid
+        per subspace, chosen by a pure expression over the broadcast
+        literal codebook."""
+        v = F.col(vec_col).cast("array<double>")
+        codes = []
+        for j in range(self.m):
+            subv = F.slice(v, j * self.sub + 1, self.sub)
+            cb = self._sub_codebook_col(j)
+            d2 = F.transform(
+                cb,
+                lambda c: F.aggregate(
+                    F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
+        return df.withColumn("pq_code", F.array(*codes))
+
+    def adc_score(self, query: list[float]) -> Column:
+        """ADC dot-product score of a ``pq_code`` column against ``query``:
+        per subspace, lookup table of dot(query_sub, centroid) built
+        driver-side (m*k floats), score = sum of m lookups."""
+        score = F.lit(0.0)
+        for j in range(self.m):
+            qsub = query[j * self.sub : (j + 1) * self.sub]
+            table = [
+                sum(a * b for a, b in zip(qsub, cent)) for cent in self.centroids[j]
+            ]
+            lut = F.array(*[F.lit(float(x)) for x in table])
+            score = score + F.element_at(lut, F.element_at("pq_code", j + 1) + 1)
+        return score
+
+
 def quantized_dot(
     a_scale: Column | str, a_q: Column | str, b_scale: Column | str, b_q: Column | str
 ) -> Column:
