@@ -1,0 +1,131 @@
+"""Hybrid search: lexical BM25 + vector similarity with reciprocal-rank
+fusion (the query mode managed vector-search services call "hybrid"; the
+reference's service exposes it, ours rebuilds it as DataFrame plans).
+
+- BM25 is computed entirely with expressions: document term frequencies by
+  explode+filter, document frequencies by a broadcast aggregate over the
+  corpus, the classic k1/b saturation formula per (doc, term).
+- Fusion is RRF: score = sum over systems of 1/(rrf_k + rank) — robust to
+  incomparable score scales, no tuning beyond rrf_k=60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, bm25) for every document containing at least one query term.
+
+    IDF uses the standard BM25 form ln(1 + (N-df+0.5)/(df+0.5)); corpus
+    stats (N, avgdl, df per term) are one aggregate pass, broadcast into
+    the scoring join.
+    """
+    terms = [t.lower() for t in query_terms]
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    doc_len = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doc_len.agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+
+    qterms = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        tok.where(F.array_contains(qterms, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(doc_len), id_col)
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("_s"),
+        )
+    )
+    return per_term.groupBy(id_col).agg(F.round(F.sum("_s"), 6).alias("bm25"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_cols: list[str] | None = None,
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of pre-ranked result sets.  Each input must
+    have (id_col, <rank_col>); missing ids in one system contribute 0."""
+    rank_cols = rank_cols or [f"rank_{i}" for i in range(len(rankings))]
+    fused = None
+    for df, rc in zip(rankings, rank_cols):
+        part = df.select(
+            F.col(id_col), (1.0 / (F.lit(rrf_k) + F.col(rc))).alias("_c")
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    return (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vector,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Top-k by RRF of (BM25 top-``pool``, cosine top-``pool``)."""
+    from .. import vectors as V
+
+    lex = bm25_scores(docs, query_terms, id_col=id_col)
+    w_lex = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    lex_ranked = lex.orderBy(F.desc("bm25"), F.col(id_col)).limit(pool).withColumn(
+        "rank_lex", F.row_number().over(w_lex)
+    )
+
+    q = V.lit_vector(query_vector)
+    vec = vectors.select(
+        F.col(vec_id_col).alias(id_col),
+        F.round(V.cosine("embedding", q), 6).alias("cos"),
+    ).where(F.col("cos").isNotNull())
+    w_vec = Window.orderBy(F.desc("cos"), F.col(id_col))
+    vec_ranked = vec.orderBy(F.desc("cos"), F.col(id_col)).limit(pool).withColumn(
+        "rank_vec", F.row_number().over(w_vec)
+    )
+
+    return rrf_fuse(
+        [lex_ranked, vec_ranked],
+        id_col=id_col,
+        rank_cols=["rank_lex", "rank_vec"],
+        rrf_k=rrf_k,
+        k=k,
+    )

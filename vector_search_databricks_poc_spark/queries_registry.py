@@ -2023,3 +2023,63 @@ def profile_columns(spark, sf_dir):
         .unionByName(prof(o, "o_custkey"))
         .unionByName(prof(ev, "value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 + vector cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hybrid_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*)::DOUBLE AS N, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ('vector', 'join', 'spark') GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln(1 + (s.N - dfc.df + 0.5) / (dfc.df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS bm25
+      FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r
+             FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      FROM embeddings e CROSS JOIN q
+    ),
+    vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS r
+             FROM (SELECT * FROM cosd ORDER BY cos DESC, doc_id LIMIT 50))
+    SELECT doc_id, ROUND(SUM(c), 6) AS rrf
+    FROM (
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM vecr
+    )
+    GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_q(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking + cosine vector ranking,
+    fused by RRF — the 'hybrid' query mode of managed vector-search
+    services, as pure DataFrame plans."""
+    from .operators.hybrid import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    return hybrid_search(docs, vecs, ["vector", "join", "spark"], qv, k=10, pool=50)
