@@ -2083,3 +2083,43 @@ def hybrid_search_q(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir, 0)
     return hybrid_search(docs, vecs, ["vector", "join", "spark"], qv, k=10, pool=50)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (iterative) vs DuckDB recursive CTE
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_EDGES_SQL = """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+"""
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE edges AS ({_NEAR_DUP_EDGES_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup clustering: connected components of the cosine>=0.4 pair
+    graph via iterative min-label propagation — hash-matched against
+    DuckDB's WITH RECURSIVE transitive closure."""
+    from .operators.components import connected_components
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
+    return connected_components(pairs)
