@@ -2123,3 +2123,35 @@ def dedup_components(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
     return connected_components(pairs)
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts::TIMESTAMP)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_total,
+           COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts::TIMESTAMP)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_events
+    FROM events WHERE event_id < 3000
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """B16: RANGE frame over event time — per event, the trailing-hour
+    total and count for its user (value-based frame, not row-based)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_total"),
+        F.count("*").over(w).alias("hour_events"),
+    )
