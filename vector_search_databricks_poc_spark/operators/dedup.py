@@ -60,6 +60,54 @@ def minhash_signature(text: Column | str, n: int = 3, num_hashes: int = 32) -> C
     )
 
 
+_PORTABLE_P = 2147483647  # Mersenne prime 2^31-1; products stay in int64
+
+
+def portable_string_hash(s: Column) -> Column:
+    """Engine-portable polynomial string hash: fold over characters,
+    acc = (acc*131 + ascii(char)) mod (2^31-1).  Pure integer arithmetic —
+    any SQL engine (the DuckDB oracle included) reproduces it bit-exactly.
+    Slower than xxhash64 (per-char fold); use for oracle-verified paths."""
+    idx = F.sequence(F.lit(1), F.length(s))
+    return F.aggregate(
+        F.transform(idx, lambda i: F.ascii(F.substring(s, i.cast("int"), 1)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + c) % _PORTABLE_P,
+    )
+
+
+def _affine(i: int, x: Column) -> Column:
+    """i-th portable hash family member: (a_i*x + b_i) mod P."""
+    a = 2 * i + 3
+    b = (i * 2654435761) % _PORTABLE_P
+    return (F.lit(a).cast("long") * x + F.lit(b).cast("long")) % _PORTABLE_P
+
+
+def minhash_signatures_portable_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Portable-arithmetic MinHash signatures: same shape as
+    ``minhash_signatures_df`` but with the polynomial shingle hash and an
+    affine hash family — every value reproducible by the DuckDB oracle."""
+    from ..catalog import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
+    )
+    hashed = ex.select(id_col, portable_string_hash(F.col("_sh")).alias("_x"))
+    cols = [_affine(i, F.col("_x")).alias(f"_h{i}") for i in range(num_hashes)]
+    mins = hashed.select(id_col, *cols).groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -109,39 +157,38 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band of
     the MinHash signature.  Returns (id_a, id_b) with id_a < id_b.
 
     The band bucket is the join key — the only shuffle is on
     (band_idx, band_hash), so cost scales with collisions, not n^2.
+    ``portable=True`` switches to the arithmetic hash family the DuckDB
+    oracle can reproduce bit-exactly.
     """
     rows_per_band = num_hashes // bands
     # The self-join below references the signature table twice; without a
     # materialization the whole shingle->hash->min pipeline runs twice.
     # Signatures are tiny (num_hashes longs per doc) — checkpoint them.
     # (In a production pipeline this is the persisted signature table.)
-    sig = minhash_signatures_df(df, id_col, text_col, n, num_hashes).localCheckpoint(
-        eager=False
-    )
+    sig_fn = minhash_signatures_portable_df if portable else minhash_signatures_df
+    sig = sig_fn(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=False)
+
+    def band_bucket(b: int) -> Column:
+        vals = [F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        if portable:
+            acc = F.lit(0).cast("long")
+            for v in vals:
+                acc = (acc * 131 + v) % _PORTABLE_P
+            return acc
+        return F.xxhash64(F.concat_ws(",", *vals))
+
     banded = sig.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("_sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
+            "_band", "_bucket"
+        ),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -176,6 +223,7 @@ def minhash_near_dup_pairs(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
@@ -183,7 +231,7 @@ def minhash_near_dup_pairs(
     pair (semi-join first) — at corpus scale the candidate set is tiny
     relative to the corpus and full shingle materialization would dominate.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, portable)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))

@@ -2155,3 +2155,138 @@ def window_range_frame(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_total"),
         F.count("*").over(w).alias("hour_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash: bit-exact oracle for the full LSH dedup pipeline
+# ---------------------------------------------------------------------------
+
+_MINHASH_PORTABLE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id, list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN((3*x + 0) % 2147483647) AS h0,
+             MIN((5*x + 506952114) % 2147483647) AS h1,
+             MIN((7*x + 1013904228) % 2147483647) AS h2,
+             MIN((9*x + 1520856342) % 2147483647) AS h3,
+             MIN((11*x + 2027808456) % 2147483647) AS h4,
+             MIN((13*x + 387276923) % 2147483647) AS h5,
+             MIN((15*x + 894229037) % 2147483647) AS h6,
+             MIN((17*x + 1401181151) % 2147483647) AS h7,
+             MIN((19*x + 1908133265) % 2147483647) AS h8,
+             MIN((21*x + 267601732) % 2147483647) AS h9,
+             MIN((23*x + 774553846) % 2147483647) AS h10,
+             MIN((25*x + 1281505960) % 2147483647) AS h11,
+             MIN((27*x + 1788458074) % 2147483647) AS h12,
+             MIN((29*x + 147926541) % 2147483647) AS h13,
+             MIN((31*x + 654878655) % 2147483647) AS h14,
+             MIN((33*x + 1161830769) % 2147483647) AS h15,
+             MIN((35*x + 1668782883) % 2147483647) AS h16,
+             MIN((37*x + 28251350) % 2147483647) AS h17,
+             MIN((39*x + 535203464) % 2147483647) AS h18,
+             MIN((41*x + 1042155578) % 2147483647) AS h19,
+             MIN((43*x + 1549107692) % 2147483647) AS h20,
+             MIN((45*x + 2056059806) % 2147483647) AS h21,
+             MIN((47*x + 415528273) % 2147483647) AS h22,
+             MIN((49*x + 922480387) % 2147483647) AS h23,
+             MIN((51*x + 1429432501) % 2147483647) AS h24,
+             MIN((53*x + 1936384615) % 2147483647) AS h25,
+             MIN((55*x + 295853082) % 2147483647) AS h26,
+             MIN((57*x + 802805196) % 2147483647) AS h27,
+             MIN((59*x + 1309757310) % 2147483647) AS h28,
+             MIN((61*x + 1816709424) % 2147483647) AS h29,
+             MIN((63*x + 176177891) % 2147483647) AS h30,
+             MIN((65*x + 683130005) % 2147483647) AS h31
+      FROM hs GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, u[1] AS band, u[2] AS bucket
+      FROM sig, unnest([
+               [CAST(0 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h0) % 2147483647) * 131 + h1) % 2147483647) * 131 + h2) % 2147483647) * 131 + h3) % 2147483647],
+               [CAST(1 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h4) % 2147483647) * 131 + h5) % 2147483647) * 131 + h6) % 2147483647) * 131 + h7) % 2147483647],
+               [CAST(2 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h8) % 2147483647) * 131 + h9) % 2147483647) * 131 + h10) % 2147483647) * 131 + h11) % 2147483647],
+               [CAST(3 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h12) % 2147483647) * 131 + h13) % 2147483647) * 131 + h14) % 2147483647) * 131 + h15) % 2147483647],
+               [CAST(4 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h16) % 2147483647) * 131 + h17) % 2147483647) * 131 + h18) % 2147483647) * 131 + h19) % 2147483647],
+               [CAST(5 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h20) % 2147483647) * 131 + h21) % 2147483647) * 131 + h22) % 2147483647) * 131 + h23) % 2147483647],
+               [CAST(6 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h24) % 2147483647) * 131 + h25) % 2147483647) * 131 + h26) % 2147483647) * 131 + h27) % 2147483647],
+               [CAST(7 AS BIGINT), ((((((((CAST(0 AS BIGINT)) * 131 + h28) % 2147483647) * 131 + h29) % 2147483647) * 131 + h30) % 2147483647) * 131 + h31) % 2147483647]
+             ]) AS _(u)
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cands c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND a.s = b.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b,
+           ROUND(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE ROUND(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.5
+"""
+
+
+@register("minhash_near_dup_portable", _MINHASH_PORTABLE_ORACLE)
+def minhash_near_dup_portable(spark, sf_dir):
+    """B10-minhash, oracle-exact variant: polynomial shingle hash + affine
+    hash family (pure integer arithmetic) so the ENTIRE pipeline —
+    shingling, signatures, banding, candidate join, Jaccard verification —
+    is reproduced bit-for-bit by the DuckDB oracle.  The xxhash64 variant
+    (minhash_near_dup) remains the faster engine default."""
+    from .operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.5, portable=True)
+
+
+_NGRAM_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           ROUND(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE ROUND(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.2
+"""
+
+ORACLE_SQL["ngram_jaccard_dedup"] = _NGRAM_JACCARD_ORACLE
