@@ -26,7 +26,9 @@ from pyspark.sql.types import ArrayType, FloatType
 from ..operators.text import tokens
 
 
-def hashing_embedding(text: Column | str, dim: int = 64, normalize: bool = True) -> Column:
+def hashing_embedding(
+    text: Column | str, dim: int = 64, normalize: bool = True, portable: bool = False
+) -> Column:
     """Deterministic hashing-trick embedding, pure Catalyst expressions.
 
     Each token hashes to a bucket (xxhash64 mod dim) with sign from a second
@@ -34,10 +36,22 @@ def hashing_embedding(text: Column | str, dim: int = 64, normalize: bool = True)
     L2-normalized.  JVM-side, codegen-friendly, model-free: the engine's
     default test-path encoder (same role as HashingTF+Normalizer, without
     leaving Catalyst or bridging to VectorUDT).
+
+    ``portable=True`` swaps xxhash64 for the polynomial token hash
+    (operators.dedup.portable_string_hash) so the DuckDB oracle can
+    recompute the embedding — the hook that makes the whole
+    embed->similarity-search pipeline oracle-checkable.
     """
     t = tokens(text)
-    h = F.transform(t, lambda tok: F.xxhash64(tok))
-    # bucket = |h| % dim ; sign from bit 62 (a bit independent of the bucket)
+    if portable:
+        from ..operators.dedup import portable_string_hash
+
+        h = F.transform(t, lambda tok: portable_string_hash(tok))
+    else:
+        h = F.transform(t, lambda tok: F.xxhash64(tok))
+    # bucket = |h| % dim ; sign from a high-ish bit independent of the
+    # bucket (bit 62 for xxhash64; bit 15 for the 31-bit portable hash)
+    sign_bit = 15 if portable else 62
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.aggregate(
@@ -46,7 +60,7 @@ def hashing_embedding(text: Column | str, dim: int = 64, normalize: bool = True)
             lambda acc, hv: acc
             + F.when(
                 F.pmod(hv, F.lit(dim)) == d,
-                F.when(F.shiftright(hv, 62).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+                F.when(F.shiftright(hv, sign_bit).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
             ).otherwise(0.0),
         ),
     )

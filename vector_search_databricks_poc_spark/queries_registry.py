@@ -2290,3 +2290,56 @@ _NGRAM_JACCARD_ORACLE = """
 """
 
 ORACLE_SQL["ngram_jaccard_dedup"] = _NGRAM_JACCARD_ORACLE
+
+
+@register(
+    "portable_embed_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS x
+      FROM toks
+    ),
+    w AS (
+      SELECT doc_id, x % 32 AS bucket,
+             SUM(CASE WHEN (x >> 15) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS w
+      FROM hx GROUP BY doc_id, bucket
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS n FROM w GROUP BY doc_id),
+    q AS (SELECT bucket, w FROM w WHERE doc_id = 0),
+    qn AS (SELECT n FROM norms WHERE doc_id = 0),
+    dots AS (
+      SELECT w.doc_id, SUM(w.w * q.w) AS dot
+      FROM w JOIN q USING (bucket) GROUP BY w.doc_id
+    )
+    SELECT n.doc_id, ROUND(COALESCE(d.dot, 0) / (n.n * qn.n), 6) AS score
+    FROM norms n LEFT JOIN dots d USING (doc_id) CROSS JOIN qn
+    ORDER BY score DESC, n.doc_id
+    LIMIT 10
+    """,
+)
+def portable_embed_search(spark, sf_dir):
+    """B5+B7 end-to-end, oracle-exact: documents embedded with the PORTABLE
+    hashing encoder (polynomial token hash -> signed bucket counts), query
+    = document 0 embedded through the SAME path, cosine top-10.  The
+    oracle recomputes the entire embed->score->rank pipeline — the
+    reference's core flow (A7+A11+A12) verified end to end."""
+    from .functions.embedding import hashing_embedding
+    from .operators.similarity_join import brute_force_topk_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id",
+        hashing_embedding("text", dim=32, normalize=False, portable=True).alias("embedding"),
+    )
+    queries = emb.where(F.col("doc_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = brute_force_topk_join(queries, emb, k=10, id_col="doc_id")
+    return hits.select("doc_id", "score")
