@@ -277,16 +277,23 @@ def simhash_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, _fp long) via the scale path: explode tokens -> one xxhash64 ->
     per-bit +-1 contribution columns -> codegen hash-aggregate sums ->
     assemble the fingerprint.  Same result as ``simhash`` without the
-    interpreted per-row lambda fold."""
+    interpreted per-row lambda fold.  ``portable=True`` uses the
+    polynomial token hash (31-bit, oracle-reproducible) — pass bits<=31."""
     from ..catalog import ensure_parallelism
 
     ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
-    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    )
+    if portable:
+        assert bits <= 31, "portable hash is 31-bit"
+        ex = ex.select(id_col, portable_string_hash(F.col("_tok")).alias("_h"))
+    else:
+        ex = ex.select(id_col, F.xxhash64("_tok").alias("_h"))
     contrib = ex.select(
         id_col,
         *[
@@ -319,6 +326,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: block the 64-bit fingerprint into ``blocks`` chunks;
     by pigeonhole any pair within ``max_hamming`` (< blocks) distance shares
@@ -326,7 +334,7 @@ def simhash_near_dup_pairs(
     verify full hamming distance."""
     width = bits // blocks
     mask = (1 << width) - 1
-    sig = simhash_df(df, id_col, text_col, bits)
+    sig = simhash_df(df, id_col, text_col, bits, portable)
     blocked = sig.select(
         id_col,
         "_fp",

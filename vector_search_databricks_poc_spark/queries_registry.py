@@ -2343,3 +2343,83 @@ def portable_embed_search(spark, sf_dir):
     )
     hits = brute_force_topk_join(queries, emb, k=10, id_col="doc_id")
     return hits.select("doc_id", "score")
+
+
+_SIMHASH_PORTABLE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS x
+      FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (x >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+             SUM(CASE WHEN (x >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+             SUM(CASE WHEN (x >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+             SUM(CASE WHEN (x >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+             SUM(CASE WHEN (x >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+             SUM(CASE WHEN (x >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+             SUM(CASE WHEN (x >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+             SUM(CASE WHEN (x >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+             SUM(CASE WHEN (x >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+             SUM(CASE WHEN (x >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+             SUM(CASE WHEN (x >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+             SUM(CASE WHEN (x >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+             SUM(CASE WHEN (x >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+             SUM(CASE WHEN (x >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+             SUM(CASE WHEN (x >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+             SUM(CASE WHEN (x >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+             SUM(CASE WHEN (x >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+             SUM(CASE WHEN (x >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+             SUM(CASE WHEN (x >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+             SUM(CASE WHEN (x >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+             SUM(CASE WHEN (x >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+             SUM(CASE WHEN (x >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+             SUM(CASE WHEN (x >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+             SUM(CASE WHEN (x >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+             SUM(CASE WHEN (x >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+             SUM(CASE WHEN (x >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+             SUM(CASE WHEN (x >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+             SUM(CASE WHEN (x >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+             SUM(CASE WHEN (x >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+             SUM(CASE WHEN (x >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+             SUM(CASE WHEN (x >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30
+      FROM hx GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, (CASE WHEN b0 >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN b1 >= 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN b2 >= 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN b3 >= 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN b4 >= 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN b5 >= 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN b6 >= 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN b7 >= 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN b8 >= 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN b9 >= 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN b10 >= 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN b11 >= 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN b12 >= 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN b13 >= 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN b14 >= 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN b15 >= 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN b16 >= 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN b17 >= 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN b18 >= 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN b19 >= 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN b20 >= 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN b21 >= 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN b22 >= 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN b23 >= 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN b24 >= 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN b25 >= 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN b26 >= 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN b27 >= 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN b28 >= 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN b29 >= 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN b30 >= 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) AS fp FROM sums),
+    blocked AS (
+      SELECT doc_id, fp, u[1] AS blk, u[2] AS val
+      FROM fps, unnest([
+               [CAST(0 AS BIGINT), (fp >> 0) & 127],
+               [CAST(1 AS BIGINT), (fp >> 7) & 127],
+               [CAST(2 AS BIGINT), (fp >> 14) & 127],
+               [CAST(3 AS BIGINT), (fp >> 21) & 127]
+             ]) AS _(u)
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             bit_count(xor(l.fp, r.fp)) AS hamming
+      FROM blocked l JOIN blocked r
+        ON l.blk = r.blk AND l.val = r.val AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+    FROM cands WHERE hamming <= 3
+"""
+
+
+@register("simhash_near_dup_portable", _SIMHASH_PORTABLE_ORACLE)
+def simhash_near_dup_portable(spark, sf_dir):
+    """B10-simhash, oracle-exact: 31-bit simhash over the portable token
+    hash, pigeonhole-blocked candidate join, full hamming verify — the
+    oracle recomputes fingerprints, blocks, and distances bit-for-bit."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = simhash_near_dup_pairs(d, max_hamming=3, bits=31, blocks=4, portable=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
