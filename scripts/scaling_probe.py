@@ -31,12 +31,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["global_topn"](spark, SFS[1]).count()  # warm
 
+    import vector_search_databricks_poc_spark.queries_registry as _R
+
     rows = []
     for name in NAMES:
+        fn = QUERIES.get(name) or getattr(_R, name)
         times = []
         for sf in SFS:
             t = time.time()
-            QUERIES[name](spark, sf).count()
+            fn(spark, sf).count()
             times.append(round(time.time() - t, 2))
         rows.append((name, *times))
 

@@ -45,12 +45,20 @@ def asof_join(
         payload = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
 
+    # Payload travels as ONE struct (non-null for every right row), so
+    # last(ignorenulls) fills all payload columns from the SAME matched
+    # right row.  Per-column fills would backfill a NULL payload value from
+    # an older right row, mixing columns across rows — DuckDB ASOF JOIN
+    # returns the matched row's NULLs as-is, and so do we.
+    from pyspark.sql import types as T
+
+    p_struct = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     l2 = left.select(
         *lcols,
         F.col(left_ts).cast("timestamp_ntz").alias("_t"),
         F.lit(1).alias("_is_left"),
         F.lit(None).cast("timestamp_ntz").alias("_rt"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(p_struct).alias("_p"),
     )
     r2 = right.select(
         *[
@@ -60,7 +68,7 @@ def asof_join(
         F.col(right_ts).cast("timestamp_ntz").alias("_t"),
         F.lit(0).alias("_is_left"),
         F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_p"),
     )
     u = l2.unionByName(r2)
     # right rows sort before left rows at the same timestamp -> inclusive
@@ -73,7 +81,11 @@ def asof_join(
         *lcols,
         "_is_left",
         F.last("_rt", ignorenulls=True).over(w).alias("_matched_ts"),
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
+    )
+    filled = filled.select(
+        *lcols, "_is_left", "_matched_ts",
+        *[F.col(f"_p.{c}").alias(c) for c in payload],
     )
     out = filled.where(F.col("_is_left") == 1).drop("_is_left")
     if how == "inner":

@@ -158,6 +158,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band of
     the MinHash signature.  Returns (id_a, id_b) with id_a < id_b.
@@ -166,6 +167,15 @@ def minhash_lsh_candidates(
     (band_idx, band_hash), so cost scales with collisions, not n^2.
     ``portable=True`` switches to the arithmetic hash family the DuckDB
     oracle can reproduce bit-exactly.
+
+    ``max_bucket_size`` caps band-bucket skew: on pathological corpora
+    (thousands of near-identical docs) one bucket can hold a large share of
+    the corpus and the bucket self-join explodes quadratically on a single
+    task.  With a cap, buckets above the limit are dropped — the docs in
+    them are near-identical to each other, so any surviving smaller bucket
+    (a less-collapsed band) still links them; worst case the cap trades
+    bounded recall loss for bounded cost.  Default None = exact banding
+    (required for the oracle-portable path).
     """
     rows_per_band = num_hashes // bands
     # The self-join below references the signature table twice; without a
@@ -190,6 +200,15 @@ def minhash_lsh_candidates(
             "_band", "_bucket"
         ),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as _W
+
+        bucket_n = F.count("*").over(_W.partitionBy("_band", "_bucket"))
+        banded = (
+            banded.withColumn("_bn", bucket_n)
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -224,6 +243,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
@@ -231,7 +251,9 @@ def minhash_near_dup_pairs(
     pair (semi-join first) — at corpus scale the candidate set is tiny
     relative to the corpus and full shingle materialization would dominate.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, portable)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, portable, max_bucket_size
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -323,15 +345,29 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bits: int = 64,
-    blocks: int = 4,
+    blocks: int | None = None,
     portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup: block the 64-bit fingerprint into ``blocks`` chunks;
+    """SimHash near-dup: block the fingerprint into ``blocks`` chunks;
     by pigeonhole any pair within ``max_hamming`` (< blocks) distance shares
     at least one exact block -> equi-join on (block_idx, block_value), then
-    verify full hamming distance."""
+    verify full hamming distance.
+
+    ``blocks`` defaults to ``max_hamming + 1`` — the minimum satisfying the
+    pigeonhole precondition.  Passing blocks <= max_hamming raises: the
+    candidate join would silently miss true pairs (a pair can differ in
+    every block while staying within max_hamming)."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < blocks, got "
+            f"max_hamming={max_hamming}, blocks={blocks}"
+        )
+    if blocks > bits:
+        raise ValueError(f"blocks={blocks} cannot exceed bits={bits}")
     width = bits // blocks
     mask = (1 << width) - 1
     sig = simhash_df(df, id_col, text_col, bits, portable)
@@ -406,22 +442,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def _estimate_rows(df: DataFrame, assumed_row_bytes: int = 512) -> int:
+    """Driver-side row-count estimate from Catalyst plan statistics — runs
+    NO job.  Uses the optimizer's rowCount when available (CBO / AQE),
+    falling back to sizeInBytes / assumed_row_bytes (order-of-magnitude is
+    all the callers need: block sizing and exact-vs-pruned routing)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return max(1, int(str(stats.sizeInBytes())) // assumed_row_bytes)
+
+
+def srp_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs for EMBEDDINGS via sign-random-projection
+    LSH: each vector is hashed to ``n_planes`` sign bits (sign of the dot
+    product with a pseudo-random +-1 hyperplane), the bits are grouped into
+    ``bands``, and rows sharing any (band, bucket) become candidates.
+
+    P(bit agrees) = 1 - angle/pi, so near-identical vectors collide in some
+    band with high probability while unrelated ones don't.  The plane signs
+    come from a hash of (plane, dim_index) — no materialized plane matrix,
+    works for any dimensionality, deterministic under ``seed``.  Scale
+    shape: explode to (row, dim) -> codegen hash-agg of per-plane sums ->
+    band-bucket equi-join.  One shuffle on the bucket key, never n^2.
+    """
+    from ..catalog import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_i", "_v"),
+    )
+    sign = lambda p: (  # noqa: E731
+        F.when(
+            F.pmod(F.xxhash64(F.lit(p * 1_000_003) + F.col("_i"), F.lit(seed)), 2) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    )
+    contrib = ex.select(
+        id_col, *[(F.col("_v") * sign(p)).alias(f"_p{p}") for p in range(n_planes)]
+    )
+    sums = contrib.groupBy(id_col).agg(
+        *[F.sum(f"_p{p}").alias(f"_p{p}") for p in range(n_planes)]
+    )
+    per_band = n_planes // bands
+
+    def band_val(b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(per_band):
+            bit = F.when(F.col(f"_p{b * per_band + j}") >= 0, 1).otherwise(0).cast("long")
+            acc = acc * 2 + bit
+        return acc
+
+    banded = sums.select(
+        id_col,
+        F.posexplode(F.array(*[band_val(b) for b in range(bands)])).alias("_band", "_bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l._band") == F.col("r._band"),
+                F.col("l._bucket") == F.col("r._bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_size: int = 1024,
+    n_rows: int | None = None,
+    max_exact_rows: int = 100_000,
+    lsh_planes: int = 16,
+    lsh_bands: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup by embedding cosine: exact all-pairs via **block matrix
-    multiply** — rows are hashed into blocks, every block pair is scored in
-    one Arrow batch with a numpy matmul inside ``applyInPandas``.
+    """Near-dup by embedding cosine.  Safe-by-default at scale:
 
-    Why not the expression kernel: per-pair ``aggregate(zip_with(...))`` is
-    interpreted (no codegen), ~15x slower than one BLAS matmul per block
-    pair.  Replication factor is n/block_size (inherent to all-pairs);
-    above ~10^5 rows prune candidates first (MinHash/LSH paths above).
-    Exact and oracle-checkable either way.
+    - up to ``max_exact_rows`` rows: exact all-pairs via **block matrix
+      multiply** — rows are hashed into blocks, every block pair scored in
+      one Arrow batch with a numpy matmul inside ``applyInPandas``;
+    - above it: auto-route through SRP-LSH candidate generation
+      (``srp_lsh_candidates``) + exact cosine verification of candidates —
+      all-pairs is O(n^2 d) no matter how it's blocked, so past ~10^5 rows
+      the pruned path is the only one that survives a 100x scale-up.
+
+    ``n_rows`` skips the row estimate when the caller knows the count;
+    otherwise a plan-statistics estimate is used (no job, see
+    ``_estimate_rows``).  Force a path with ``max_exact_rows=0`` (always
+    pruned) or a large value (always exact).
+
+    Why a matmul and not the expression kernel: per-pair
+    ``aggregate(zip_with(...))`` is interpreted (no codegen), ~15x slower
+    than one BLAS matmul per block pair.
     """
     import math as _math
 
@@ -430,7 +558,31 @@ def embedding_near_dup_pairs(
 
     from ..catalog import ensure_parallelism
 
-    n = df.count()
+    n = n_rows if n_rows is not None else _estimate_rows(df)
+    if n > max_exact_rows:
+        cands = srp_lsh_candidates(
+            df, id_col, vec_col, n_planes=lsh_planes, bands=lsh_bands, seed=seed
+        )
+        src = df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            V.l2_norm(F.col(vec_col).cast("array<double>")).alias("_n"),
+        )
+        a = src.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        )
+        b = src.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        )
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "cosine", F.round(V.dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
+            )
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     # enough block-pairs to keep every core busy: B(B+1)/2 >= 2*cores,
     # bounded below by the memory-driven block_size cap.  Replication per
     # row is B (trivial vs the n^2 d flops the blocks distribute).

@@ -27,9 +27,11 @@ def bm25_scores(
 ) -> DataFrame:
     """(id, bm25) for every document containing at least one query term.
 
-    IDF uses the standard BM25 form ln(1 + (N-df+0.5)/(df+0.5)); corpus
-    stats (N, avgdl, df per term) are one aggregate pass, broadcast into
-    the scoring join.
+    IDF uses the standard BM25 form ln(1 + (N-df+0.5)/(df+0.5)).  Corpus
+    stats (N, avgdl) stay IN the plan as a broadcast one-row cross join —
+    no driver-side action, the whole pipeline is one lazy plan.  df_counts
+    (bounded by the query-term count) is broadcast; doc_len is per-document
+    and left to Catalyst (a forced broadcast would OOM at corpus scale).
     """
     terms = [t.lower() for t in query_terms]
     tok = docs.select(
@@ -38,9 +40,8 @@ def bm25_scores(
     )
     doc_len = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = doc_len.agg(
-        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = stats["N"], stats["avgdl"]
+        F.count("*").cast("double").alias("_N"), F.avg("dl").alias("_avgdl")
+    )
 
     qterms = F.array(*[F.lit(t) for t in terms])
     tf = (
@@ -51,17 +52,18 @@ def bm25_scores(
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0
-        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
         tf.join(F.broadcast(df_counts), "term")
-        .join(F.broadcast(doc_len), id_col)
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             (
                 idf
                 * (F.col("tf") * (k1 + 1))
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
             ).alias("_s"),
         )
     )

@@ -26,10 +26,22 @@ def clean_hits(df: DataFrame, id_col: str = "vec_id", text_col: str = "text") ->
 def assemble_context(df: DataFrame, id_col: str = "vec_id", text_col: str = "text",
                      order_col: str | None = None) -> DataFrame:
     """A14: one-row DataFrame with the "[id] text\n\n…" context block;
-    empty input yields the reference's fallback string (main.py:104)."""
-    ordered = F.collect_list(F.format_string("[%s] %s", F.col(id_col), F.col(text_col)))
-    blocks = df.orderBy(order_col if order_col else id_col).agg(
-        F.array_join(ordered, "\n\n").alias("context")
+    empty input yields the reference's fallback string (main.py:104).
+
+    Ordering is enforced AFTER the aggregate: collect_list gives no order
+    guarantee across the partial-aggregate shuffle merge, so we collect
+    (order_key, formatted) structs and sort_array them — deterministic on
+    any partitioning."""
+    key = F.col(order_col if order_col else id_col)
+    item = F.struct(
+        key.alias("k"),
+        F.format_string("[%s] %s", F.col(id_col), F.col(text_col)).alias("fmt"),
+    )
+    blocks = df.agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(item)), lambda x: x["fmt"]),
+            "\n\n",
+        ).alias("context")
     )
     return blocks.select(
         F.when(F.col("context") == "", F.lit("No relevant context found."))
