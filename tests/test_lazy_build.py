@@ -1,0 +1,86 @@
+"""Regression: declared query builders must construct ONE lazy plan.
+
+VERDICT r1 flagged driver-side actions (.first()/.collect()/.count())
+inside `queries()` builders — an anti-pattern because every declared
+query should hand the driver a plan, not run jobs of its own.  This
+test patches every DataFrame action method to raise, then calls every
+builder.  Builders whose *contract* is eager (index build = CREATE
+INDEX analog; streaming queries that must run a stream to produce a
+batch-readable result) are allowlisted explicitly so any new eager
+builder fails loudly.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_DIR
+
+# Builders whose contract requires actions during build:
+#  - ivf_*: KMeans fit + index-table write (CREATE INDEX analog)
+#  - incremental_index_refresh / streaming_index_sync: run a refresh job
+#    and report its effect
+#  - streaming_* / stateful_user_stats: execute a Structured Streaming
+#    query into a memory sink, then return the sink table
+#  - near_dup_pairs_components: iterative label propagation — the
+#    driver-side convergence loop (count per round) IS the algorithm
+EAGER_BY_CONTRACT = {
+    "ivf_index_search",
+    "ivf_batch_search",
+    "incremental_index_refresh",
+    "streaming_index_sync",
+    "streaming_tumbling",
+    "streaming_dedup",
+    "stateful_user_stats",
+    "near_dup_pairs_components",
+}
+
+ACTIONS = [
+    "collect",
+    "first",
+    "count",
+    "head",
+    "take",
+    "tail",
+    "toPandas",
+    "toLocalIterator",
+    "foreach",
+    "foreachPartition",
+]
+
+
+class _ActionFired(Exception):
+    pass
+
+
+@pytest.fixture()
+def forbid_actions(spark, monkeypatch):
+    cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+
+    def _raiser(name):
+        def _fail(self, *a, **k):
+            raise _ActionFired(f"DataFrame.{name}() fired during query build")
+
+        return _fail
+
+    for name in ACTIONS:
+        monkeypatch.setattr(cls, name, _raiser(name))
+    yield
+
+
+def test_declared_queries_build_lazily(spark, forbid_actions):
+    lazy = {k: v for k, v in E.queries().items() if k not in EAGER_BY_CONTRACT}
+    fired = {}
+    for name, fn in lazy.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except _ActionFired as ex:
+            fired[name] = str(ex)
+        else:
+            assert df is not None
+    assert not fired, f"builders ran driver-side actions: {fired}"
+
+
+def test_allowlist_is_tight(spark):
+    """Every allowlisted name must still be a declared query — stale
+    entries would silently shrink the lazy check's coverage."""
+    assert EAGER_BY_CONTRACT <= set(E.queries())

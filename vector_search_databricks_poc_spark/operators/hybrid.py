@@ -105,7 +105,12 @@ def hybrid_search(
     vec_id_col: str = "vec_id",
     rrf_k: int = 60,
 ) -> DataFrame:
-    """Top-k by RRF of (BM25 top-``pool``, cosine top-``pool``)."""
+    """Top-k by RRF of (BM25 top-``pool``, cosine top-``pool``).
+
+    ``query_vector`` may be a Python sequence (becomes a literal) or a
+    ONE-ROW DataFrame whose single column is the vector — the DataFrame
+    form keeps the query inside the plan (broadcast cross join), so the
+    whole hybrid search is one lazy plan with no driver-side fetch."""
     from .. import vectors as V
 
     lex = bm25_scores(docs, query_terms, id_col=id_col)
@@ -114,8 +119,14 @@ def hybrid_search(
         "rank_lex", F.row_number().over(w_lex)
     )
 
-    q = V.lit_vector(query_vector)
-    vec = vectors.select(
+    if isinstance(query_vector, DataFrame):
+        qcol = query_vector.columns[0]
+        src = vectors.crossJoin(F.broadcast(query_vector))
+        q = F.col(qcol)
+    else:
+        src = vectors
+        q = V.lit_vector(query_vector)
+    vec = src.select(
         F.col(vec_id_col).alias(id_col),
         F.round(V.cosine("embedding", q), 6).alias("cos"),
     ).where(F.col("cos").isNotNull())

@@ -61,6 +61,17 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     return row[0]
 
 
+def _query_vector_df(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Lazy twin of ``_query_vector``: the query embedding as a ONE-ROW
+    DataFrame (column ``_qv``), kept inside the plan via a broadcast cross
+    join — builders using this run no driver-side action."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("_qv"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # B7 flagship: top-k cosine similarity search + document join
 # ---------------------------------------------------------------------------
@@ -817,14 +828,19 @@ def batch_similarity_join(spark, sf_dir):
 )
 def rerank_two_stage(spark, sf_dir):
     """B11 (A15 port): cheap dot-product recall of 50 candidates, exact
-    cosine rerank to top-5."""
+    cosine rerank to top-5.  The query vector stays in the plan (broadcast
+    one-row cross join) — no driver-side fetch."""
     from .operators.topk import rerank, top_k_similar
 
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vector(spark, sf_dir, 7)
-    cands = top_k_similar(e, qv, k=50, metric="dot").select("vec_id")
-    cand_vecs = e.join(F.broadcast(cands), "vec_id", "left_semi")
-    return rerank(cand_vecs, qv, k=5, metric="cosine")
+    qdf = _query_vector_df(spark, sf_dir, 7)
+    cands = top_k_similar(
+        e.crossJoin(F.broadcast(qdf)), F.col("_qv"), k=50, metric="dot"
+    ).select("vec_id")
+    cand_vecs = e.join(F.broadcast(cands), "vec_id", "left_semi").crossJoin(
+        F.broadcast(qdf)
+    )
+    return rerank(cand_vecs, F.col("_qv"), k=5, metric="cosine")
 
 
 @register(
@@ -2038,8 +2054,8 @@ def hybrid_search_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     vecs = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vector(spark, sf_dir, 0)
-    return hybrid_search(docs, vecs, ["vector", "join", "spark"], qv, k=10, pool=50)
+    qdf = _query_vector_df(spark, sf_dir, 0)
+    return hybrid_search(docs, vecs, ["vector", "join", "spark"], qdf, k=10, pool=50)
 
 
 # ---------------------------------------------------------------------------
