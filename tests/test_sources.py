@@ -50,3 +50,102 @@ def test_ensure_database(spark):
     ensure_database(spark, "engine_test_db")
     assert spark.catalog.databaseExists("engine_test_db")
     spark.sql("DROP DATABASE IF EXISTS engine_test_db")
+
+
+# ---------------------------------------------------------------------------
+# arXiv Atom ingest (A2) against recorded fixtures — no network, no
+# feedparser (VERDICT r1 item 8: pagination / truncation / missing-field
+# semantics, reference syntetic_data_arxiv.py:75-129)
+# ---------------------------------------------------------------------------
+
+
+def _atom_page(entries):
+    body = []
+    for e in entries:
+        authors = "".join(
+            f"<author><name>{a}</name></author>" for a in e.get("authors", [])
+        )
+        cat = (
+            f'<category term="{e["category"]}" scheme="x"/>'
+            if e.get("category")
+            else ""
+        )
+        link = (
+            f'<link rel="alternate" type="text/html" href="{e["link"]}"/>'
+            if e.get("link")
+            else ""
+        )
+        body.append(
+            f"<entry><id>{e['id']}</id><title>{e.get('title', '')}</title>"
+            f"<summary>{e.get('summary', '')}</summary>{authors}{cat}{link}"
+            f"<published>{e.get('published', '2024-01-01T00:00:00Z')}</published></entry>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<feed xmlns="http://www.w3.org/2005/Atom">' + "".join(body) + "</feed>"
+    )
+
+
+def _entry(i, **over):
+    e = {
+        "id": f"http://arxiv.org/abs/240{i}.0000{i}v1",
+        "title": f"Paper {i}\n with newline",
+        "summary": f"Summary of paper {i}.\nSecond line.",
+        "authors": [f"Author A{i}", f"Author B{i}"],
+        "category": "cs.LG",
+        "link": f"http://arxiv.org/abs/240{i}.0000{i}v1",
+    }
+    e.update(over)
+    return e
+
+
+def test_arxiv_pagination_and_truncation(spark):
+    from vector_search_databricks_poc_spark.sources.arxiv import fetch_arxiv_paginated
+
+    pages = {0: [_entry(i) for i in range(1, 4)], 3: [_entry(i) for i in range(4, 7)], 6: []}
+    calls = []
+
+    def fake_fetch(start, max_results):
+        calls.append((start, max_results))
+        return _atom_page(pages.get(start, []))
+
+    # target 5 < the 6 available: stops mid-page-2 and truncates to 5
+    df = fetch_arxiv_paginated(
+        spark, target_total=5, batch_size=3, sleep_s=0, fetch_page=fake_fetch
+    )
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 5
+    assert calls == [(0, 3), (3, 3)]  # page 3 never requested
+    assert rows[0]["id"] == "2401.00001v1"  # /abs/ prefix stripped
+    assert "\n" not in rows[0]["title"] and "\n" not in rows[0]["summary"]
+    assert rows[0]["authors"] == "Author A1, Author B1"
+    assert rows[0]["link"].endswith("pdf/2401.00001v1")  # abs/ -> pdf/
+
+
+def test_arxiv_stops_on_empty_page(spark):
+    from vector_search_databricks_poc_spark.sources.arxiv import fetch_arxiv_paginated
+
+    def fake_fetch(start, max_results):
+        return _atom_page([_entry(1), _entry(2)] if start == 0 else [])
+
+    df = fetch_arxiv_paginated(
+        spark, target_total=100, batch_size=2, sleep_s=0, fetch_page=fake_fetch
+    )
+    assert df.count() == 2  # short read, no infinite loop
+
+
+def test_arxiv_missing_field_defaults(spark):
+    from vector_search_databricks_poc_spark.sources.arxiv import fetch_arxiv_paginated
+
+    bare = {"id": "http://arxiv.org/abs/9999.9v1", "authors": [], "category": None, "link": None}
+
+    def fake_fetch(start, max_results):
+        return _atom_page([bare] if start == 0 else [])
+
+    row = fetch_arxiv_paginated(
+        spark, target_total=1, batch_size=10, sleep_s=0, fetch_page=fake_fetch
+    ).first()
+    assert row["id"] == "9999.9v1"
+    assert row["authors"] == ""          # no <author> elements -> empty join
+    assert row["category"] == "unknown"  # reference's default-if-missing
+    assert row["link"] is None

@@ -70,3 +70,46 @@ def test_dim_check(toy):
     n = toy.where(V.vec_dim_ok("a", 3)).count()
     assert n == 3
     assert toy.where(V.vec_dim_ok("a", 4)).count() == 0
+
+
+def test_masked_mean_pool_golden():
+    """Golden-activation contract of the transformer pooling math
+    (reference syntetic_data.py:158-163): sum(h*mask,1)/clamp(sum(mask,1),
+    1e-9), verified on hand-computed activations — torch isn't installed,
+    so this pins the numerics the UDF applies to model output."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.embedding import masked_mean_pool
+
+    hidden = [
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],   # mask drops the 3rd token
+        [[10.0, -2.0], [7.0, 7.0], [1.0, 1.0]],  # only the 1st token counts
+        [[9.0, 9.0], [9.0, 9.0], [9.0, 9.0]],    # fully masked -> clamp path
+    ]
+    mask = [[1, 1, 0], [1, 0, 0], [0, 0, 0]]
+    got = masked_mean_pool(hidden, mask)
+    expected = np.array(
+        [
+            [2.0, 3.0],      # ([1,2]+[3,4])/2
+            [10.0, -2.0],    # first token only
+            [0.0, 0.0],      # 0-sum / 1e-9 clamp = 0, no NaN/inf
+        ]
+    )
+    assert np.allclose(got, expected, atol=1e-12)
+    assert np.isfinite(got).all()
+
+
+def test_masked_mean_pool_matches_reference_formula_random():
+    """Property check against an independent transcription of the
+    reference's torch expression on random activations."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.embedding import masked_mean_pool
+
+    rng = np.random.default_rng(7)
+    h = rng.normal(size=(5, 9, 16))
+    m = (rng.random(size=(5, 9)) > 0.4).astype("int64")
+    # independent transcription: expand mask, elementwise, clamp
+    mexp = np.repeat(m[:, :, None], 16, axis=2).astype("float64")
+    want = (h * mexp).sum(axis=1) / np.maximum(mexp.sum(axis=1), 1e-9)
+    assert np.allclose(masked_mean_pool(h, m), want, atol=1e-12)

@@ -70,6 +70,28 @@ def hashing_embedding(
     return vec.cast(ArrayType(FloatType()))
 
 
+def masked_mean_pool(last_hidden_state, attention_mask):
+    """The reference's masked mean pooling as pure numpy — the numerical
+    contract of the transformer encoder (syntetic_data.py:158-163):
+
+        mask = attention_mask expanded over the hidden dim
+        pooled = sum(token_emb * mask, axis=1) / clamp(sum(mask, axis=1), 1e-9)
+
+    Factored out of the UDF so the math is golden-testable without torch
+    (the env lacks it); the UDF feeds it the model's numpy activations.
+
+    ``last_hidden_state``: (batch, seq, hidden) float array;
+    ``attention_mask``: (batch, seq) 0/1 array.  Returns (batch, hidden).
+    """
+    import numpy as np
+
+    h = np.asarray(last_hidden_state, dtype=np.float64)
+    m = np.asarray(attention_mask, dtype=np.float64)[:, :, None]
+    summed = (h * m).sum(axis=1)
+    counts = np.clip(m.sum(axis=1), 1e-9, None)  # torch .clamp(min=1e-9)
+    return summed / counts
+
+
 def make_transformer_encoder_udf(
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
 ):
@@ -126,10 +148,10 @@ def make_transformer_encoder_udf(
         with torch.no_grad():
             out = model(**enc)
         # masked mean pooling, clamp 1e-9 (reference syntetic_data.py:158-163)
-        mask = enc["attention_mask"].unsqueeze(-1).expand(out.last_hidden_state.size()).float()
-        summed = (out.last_hidden_state * mask).sum(1)
-        counts = mask.sum(1).clamp(min=1e-9)
-        vecs = (summed / counts).cpu().numpy()
+        # — the math lives in masked_mean_pool so it's testable without torch
+        vecs = masked_mean_pool(
+            out.last_hidden_state.cpu().numpy(), enc["attention_mask"].cpu().numpy()
+        )
         return pd.Series([v.astype("float32").tolist() for v in vecs])
 
     return embed

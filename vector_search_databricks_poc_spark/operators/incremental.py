@@ -56,3 +56,61 @@ def incremental_refresh(
     if n:
         assigned.write.mode("append").partitionBy("centroid_id").parquet(index.path)
     return n
+
+
+def incremental_upsert(
+    spark: SparkSession,
+    index: IvfIndex,
+    changed: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Propagate UPDATES (and inserts) into the index — the parquet analog
+    of Delta Change Data Feed sync (reference syntetic_data.py:69-78):
+    ``changed`` holds the post-image rows of a CDF batch; each replaces its
+    old index entry, wherever that entry lives.
+
+    Only touched centroid partitions rewrite (dynamic partition overwrite):
+    a partition is touched if it holds a changed row's OLD entry (the row
+    may move centroids when its vector changed) or receives a NEW one.
+    Within a touched partition, survivors = old rows not in the changed-id
+    set; the partition is rewritten as survivors + fresh assignments.
+    Partition count bounds the rewrite — untouched partitions keep their
+    files, so cost scales with the change set, not the corpus.
+
+    Returns the number of upserted rows.
+    """
+    fresh = changed.select(
+        F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
+    )
+    # materialize assignments once: reused for touched-partition discovery
+    # and the final write (and keeps the write independent of `changed`)
+    assigned = assign_centroid(fresh, index.centroids, vec_col=vec_col).select(
+        id_col, vec_col, "centroid_id"
+    ).localCheckpoint()
+    n = assigned.count()
+    if not n:
+        return 0
+    old = spark.read.parquet(index.path)
+    ids = assigned.select(id_col)
+    touched = (
+        old.join(ids, id_col, "left_semi")
+        .select("centroid_id")
+        .unionByName(assigned.select("centroid_id"))
+        .distinct()
+    )
+    survivors = (
+        old.join(F.broadcast(touched), "centroid_id", "left_semi")
+        .join(ids, id_col, "left_anti")
+        .select(id_col, vec_col, "centroid_id")
+    )
+    # eager checkpoint breaks lineage to index.path — required: the write
+    # below overwrites partitions of the very table `survivors` reads
+    out = survivors.unionByName(assigned).localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(index.path)
+    )
+    return n

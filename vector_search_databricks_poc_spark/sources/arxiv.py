@@ -67,47 +67,92 @@ def clean_arxiv_fields(raw: DataFrame) -> DataFrame:
     )
 
 
+_ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+
+def parse_atom_entries(xml_text: str) -> list[tuple]:
+    """Parse an arXiv Atom page into RAW_SCHEMA tuples with the stdlib XML
+    parser (no feedparser dependency).  Field semantics mirror the
+    reference's feedparser access (syntetic_data_arxiv.py:87-105):
+
+    - authors: ", ".join of <author><name> elements (empty string if none);
+    - category: term of the FIRST <category> element, None if absent
+      (``clean_arxiv_fields`` defaults it to "unknown");
+    - link: the <link> whose rel is "alternate" (the /abs/ page), falling
+      back to the first <link>; None if absent.
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    rows = []
+    for entry in root.iter(f"{_ATOM_NS}entry"):
+
+        def text_of(tag):
+            el = entry.find(f"{_ATOM_NS}{tag}")
+            return el.text if el is not None else None
+
+        authors = ", ".join(
+            name.text
+            for a in entry.findall(f"{_ATOM_NS}author")
+            if (name := a.find(f"{_ATOM_NS}name")) is not None and name.text
+        )
+        cat = entry.find(f"{_ATOM_NS}category")
+        links = entry.findall(f"{_ATOM_NS}link")
+        alt = next((l for l in links if l.get("rel") == "alternate"), None)
+        link = (alt if alt is not None else links[0] if links else None)
+        rows.append(
+            (
+                text_of("id"),
+                text_of("title"),
+                text_of("summary"),
+                authors,
+                cat.get("term") if cat is not None else None,
+                text_of("published"),
+                link.get("href") if link is not None else None,
+            )
+        )
+    return rows
+
+
 def fetch_arxiv_paginated(
     spark: SparkSession,
     query: str = "cat:cs.LG",
     target_total: int = 1000,
     batch_size: int = 500,
     sleep_s: float = 1.0,
+    fetch_page=None,
 ) -> DataFrame:
     """Paginated fetch (reference defaults: 500/page, 1 s politeness sleep,
-    syntetic_data_arxiv.py:75,109).  Requires `feedparser` + network; absent
-    either, raises ImportError/URLError — callers at scale land raw files
-    and use ``clean_arxiv_fields`` instead."""
-    import urllib.request
+    syntetic_data_arxiv.py:75,109).  Pagination stops at ``target_total``
+    rows (truncating the final page) or on the first empty page.
 
-    try:
-        import feedparser  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("fetch_arxiv_paginated requires `feedparser`") from e
+    ``fetch_page(start, max_results) -> str`` abstracts the HTTP call so
+    tests can feed recorded Atom XML; the default fetcher hits the real
+    arXiv export API.  Callers at 100 TB scale land raw files instead and
+    run ``clean_arxiv_fields`` as a distributed job."""
+    from urllib.parse import quote
 
-    rows = []
+    if fetch_page is None:  # pragma: no cover - requires network
+
+        def fetch_page(start: int, max_results: int) -> str:
+            import urllib.request
+
+            url = (
+                "http://export.arxiv.org/api/query?search_query="
+                f"{quote(query)}&start={start}&max_results={max_results}"
+            )
+            with urllib.request.urlopen(url) as resp:
+                return resp.read().decode("utf-8")
+
+    rows: list[tuple] = []
     start = 0
     while len(rows) < target_total:
-        url = (
-            "http://export.arxiv.org/api/query?search_query="
-            f"{urllib.request.quote(query)}&start={start}&max_results={batch_size}"
-        )
-        feed = feedparser.parse(url)
-        if not feed.entries:
+        page = parse_atom_entries(fetch_page(start, batch_size))
+        if not page:
             break
-        for e in feed.entries:
-            rows.append(
-                (
-                    e.id,
-                    e.get("title"),
-                    e.get("summary"),
-                    ", ".join(a.name for a in e.get("authors", [])),
-                    (e.get("tags") or [{}])[0].get("term"),
-                    e.get("published"),
-                    e.get("link"),
-                )
-            )
+        rows.extend(page)
         start += batch_size
-        time.sleep(sleep_s)
+        if len(rows) < target_total:
+            time.sleep(sleep_s)
     raw = spark.createDataFrame(rows[:target_total], RAW_SCHEMA)
     return clean_arxiv_fields(raw)
