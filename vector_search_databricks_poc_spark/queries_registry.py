@@ -1344,16 +1344,44 @@ def multimodal_struct(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
-    """B13/B22: binary payload -> feature vector via Arrow-batched
-    mapInPandas (deterministic fake extractor standing in for the decode
-    libs; plumbing is real — rows-only)."""
-    from .functions.multimodal import extract_features, pack_multimodal
+    """B13/B22: binary payload -> decode -> feature vector via Arrow-batched
+    mapInPandas.  The payloads are REAL containers (24-bit BMP for even
+    ids, 16-bit PCM WAV for odd) synthesized deterministically per asset
+    and decoded with stdlib parsers inside the workers — the full decode
+    path runs, not a stub (rows-only: byte-level synthesis isn't
+    SQL-expressible)."""
+    import pandas as pd
+
+    from .functions.multimodal import extract_media_features, synth_media_payload
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    e = load_table(spark, sf_dir, "embeddings")
-    media = pack_multimodal(d, e).withColumn("modality", F.lit("image"))
-    feats = extract_features(media, dim=8)
-    return feats.select("asset_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0"))
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["doc_id"]
+            mods = ["image" if i % 2 == 0 else "audio" for i in ids]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": mods,
+                    "payload": [synth_media_payload(int(i), m) for i, m in zip(ids, mods)],
+                }
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
 
 
 QUERIES["multimodal_features"] = multimodal_features
