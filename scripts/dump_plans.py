@@ -17,6 +17,9 @@ NAMES = [
     "pricing_summary",
     "global_topn",
     "shipping_priority",
+    "rerank_two_stage",
+    "hybrid_search",
+    "minhash_near_dup_portable",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
