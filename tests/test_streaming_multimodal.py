@@ -200,3 +200,67 @@ def test_extract_media_features_spark_path(spark):
     assert out[3]["width"] == 8 + 3 % 7 and out[3]["sample_rate"] is None
     assert out[1]["sample_rate"] == 8000 and out[1]["duration_s"] > 0
     assert out[2]["width"] is None and len(out[2]["feature"]) == 8
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The B20 late-data contract, tested for real: an event arriving after
+    the watermark passed its window must NOT change the emitted aggregate;
+    one within the watermark must.  Three micro-batches through a file
+    source -> append-mode tumbling count -> memory sink."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two rows in window 10:00, plus 11:30 (drives the
+        # watermark to 11:20, far past the 10:00 window's end)
+        emit([(t(10, 0), 1, "click"), (t(10, 5), 2, "click"), (t(11, 30), 3, "click")])
+        q.processAllAvailable()
+        # batch 2: a LATE row for the closed 10:00 window (must be dropped)
+        # and an in-watermark row at 11:25
+        emit([(t(10, 6), 4, "click"), (t(11, 25), 5, "click")])
+        q.processAllAvailable()
+        # batch 3: push the watermark past every open window so all emit
+        emit([(t(13, 0), 6, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        r["win_start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM late_sink").collect()
+    }
+    assert out.get("10:00") == 2, f"late row leaked into closed window: {out}"
+    assert out.get("11:20") == 1  # the 11:25 in-watermark row counted
+    assert out.get("11:30") == 1
