@@ -39,3 +39,18 @@ def test_plain_session_harness():
         cwd="/root/repo",
     )
     assert "DRIVER_SIM_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_rows_only_outputs_canonicalize(spark):
+    """The driver's rows-only check sorts a pandas frame over all output
+    columns — r1's `hashing_embed` crashed it with an array<float> column
+    ("unhashable type: list").  Replicate that canonicalization for every
+    rows-only declared query so the failure mode can't regress."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    sf = "/root/testdata/sf0.001"
+    for name in [k for k in q if k not in o]:
+        pdf = q[name](spark, sf).limit(200).toPandas()
+        # the driver sorts by every column; lists/dicts/ndarrays break it
+        pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
