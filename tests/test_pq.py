@@ -74,3 +74,37 @@ def test_pq_adc_topk_recall(spark, emb, pq):
     )
     overlap = exact & {r["vec_id"] for r in adc}
     assert len(overlap) >= 6, (sorted(exact), adc)
+
+
+def test_ivf_pq_search_recall(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: partition-pruned probe over the (id, pq_code)
+    table, ADC scoring of residuals + per-centroid dot constant, exact
+    rerank of rerank_factor*k survivors.  Recall@10 vs exact brute force
+    must be high with a meaningful probe fraction, and the index table
+    must store no float vectors."""
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_pq_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_pq_index(
+        e, str(tmp_path / "ivfpq"), k_centroids=8, pq_m=16, pq_k=16
+    )
+    # the stored table is codes only — no embedding column at rest
+    stored = spark.read.parquet(idx.path)
+    assert set(stored.columns) == {"vec_id", "pq_code", "centroid_id"}
+
+    norm = e.select("vec_id", V.l2_normalize("embedding").alias("embedding"))
+    qv = list(e.where(F.col("vec_id") == 5).first()["embedding"])
+    exact = {r["vec_id"] for r in top_k_similar(norm, qv, k=10).collect()}
+
+    got_full = {
+        r["vec_id"]
+        for r in idx.search(spark, qv, source=norm, k=10, nprobe=8, rerank_factor=4).collect()
+    }
+    assert len(exact & got_full) >= 9, f"all-probe recall too low: {exact & got_full}"
+
+    got_pruned = {
+        r["vec_id"]
+        for r in idx.search(spark, qv, source=norm, k=10, nprobe=4, rerank_factor=4).collect()
+    }
+    assert len(exact & got_pruned) >= 6, f"nprobe=4 recall too low: {exact & got_pruned}"
+    assert 5 in got_pruned  # the query's own vector is always found

@@ -44,27 +44,38 @@ def build_ivf_index(
     corpus — then assignment is a deterministic nearest-centroid expression
     over broadcast centroids, so the transform stage is shuffle-free.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     normalized = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
     )
-    fit_src = normalized if sample_fraction >= 1.0 else normalized.sample(
-        fraction=sample_fraction, seed=seed
-    )
-    km = KMeans(k=k_centroids, seed=seed, featuresCol="_features", predictionCol="_centroid")
-    model = km.fit(fit_src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")))
-    centroids = [
-        (c.tolist() if hasattr(c, "tolist") else c.toArray().tolist())
-        for c in model.clusterCenters()
-    ]
-
+    centroids = fit_centroids(normalized, vec_col, k_centroids, seed, sample_fraction)
     assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
     return IvfIndex(index_path, centroids, id_col=id_col, vec_col=vec_col)
+
+
+def fit_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k_centroids: int,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> list[list[float]]:
+    """KMeans coarse-quantizer fit (on a seeded sample at scale); returns
+    plain Python centroid lists for expression-side assignment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_src = df if sample_fraction >= 1.0 else df.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=k_centroids, seed=seed, featuresCol="_features", predictionCol="_centroid")
+    model = km.fit(
+        fit_src.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"))
+    )
+    return [
+        (c.tolist() if hasattr(c, "tolist") else c.toArray().tolist())
+        for c in model.clusterCenters()
+    ]
 
 
 def assign_centroid(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
@@ -77,6 +88,104 @@ def assign_centroid(df: DataFrame, centroids: list[list[float]], vec_col: str = 
 
 def _l2sq(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v)
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    seed: int = 42,
+) -> "IvfPqIndex":
+    """IVF-PQ: coarse quantizer (KMeans centroids, partition pruning) +
+    product-quantized RESIDUALS (vector minus its centroid) inside each
+    partition.  The index table stores only (id, pq_code) per row — at
+    dim=64/m=8 that is m ints instead of 64 floats — so at 100 TB the
+    probe scan reads a ~8x smaller table and never touches float vectors
+    until the exact rerank stage.
+
+    Dot products decompose exactly over the residual: dot(q, v) =
+    dot(q, c) + dot(q, v - c), so ADC scoring adds a per-centroid constant
+    (a broadcast literal lookup) to the residual's ADC sum — no accuracy
+    cliff from quantizing large centroid components.
+    """
+    from ..functions.quantization import PqCodebook
+
+    normalized = df.select(
+        F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
+    )
+    centroids = fit_centroids(normalized, vec_col, k_centroids, seed)
+    assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
+    cents = F.array(*[V.lit_vector(c) for c in centroids])
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents, F.col("centroid_id") + 1),
+        lambda x, c: x - c,
+    )
+    with_res = assigned.withColumn("_res", residual)
+    codebook = PqCodebook.fit(with_res, vec_col="_res", m=pq_m, k=pq_k, seed=seed)
+    encoded = codebook.encode(with_res, vec_col="_res").select(
+        id_col, "centroid_id", "pq_code"
+    )
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    return IvfPqIndex(index_path, centroids, codebook, id_col=id_col, vec_col=vec_col)
+
+
+class IvfPqIndex:
+    """IVF-PQ index handle: centroid list + residual PQ codebook + the
+    (id, centroid_id, pq_code) table partitioned by centroid."""
+
+    def __init__(self, path, centroids, codebook, id_col="vec_id", vec_col="embedding"):
+        self.path = path
+        self.centroids = centroids
+        self.codebook = codebook
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vector: list[float],
+        source: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        rerank_factor: int = 4,
+    ) -> DataFrame:
+        """Probe nprobe centroid partitions (partition-pruned scan of the
+        code table), ADC-score every code there (m lookups/row, no float
+        vector read), keep rerank_factor*k candidates, then exact-rerank
+        those few against the ORIGINAL vectors in ``source``.
+
+        The expensive scan is over PQ codes only; float vectors are read
+        for ~rerank_factor*k rows via a broadcast semi-join on id.
+        """
+        import math
+
+        qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+        q = [x / qn for x in query_vector]
+        # driver-side tiny math: probed centroids + per-centroid dot constant
+        d = [
+            (sum((x - y) ** 2 for x, y in zip(q, c)), i)
+            for i, c in enumerate(self.centroids)
+        ]
+        probes = [i for _, i in sorted(d)[:nprobe]]
+        dot_qc = [sum(a * b for a, b in zip(q, c)) for c in self.centroids]
+        qc_lut = F.array(*[F.lit(float(x)) for x in dot_qc])
+
+        scan = spark.read.parquet(self.path).where(F.col("centroid_id").isin(probes))
+        adc = F.element_at(qc_lut, F.col("centroid_id") + 1) + self.codebook.adc_score(q)
+        cands = (
+            scan.select(F.col(self.id_col), adc.alias("adc"))
+            .orderBy(F.desc("adc"), F.col(self.id_col))
+            .limit(rerank_factor * k)
+        )
+        survivors = source.join(F.broadcast(cands.select(self.id_col)), self.id_col, "left_semi")
+        return top_k_similar(
+            survivors, q, k=k, id_col=self.id_col, vec_col=self.vec_col, metric="cosine"
+        )
 
 
 class IvfIndex:
