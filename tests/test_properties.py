@@ -70,3 +70,54 @@ def test_jaccard_properties(spark, xs, ys):
         len(set(xs) & set(ys)) / len(set(xs) | set(ys)) if (set(xs) | set(ys)) else 0.0
     )
     assert j["j"] == pytest.approx(expected, abs=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_portable_hash_cross_engine_parity(spark, texts):
+    """The polynomial hash under every bit-exact oracle path must agree
+    byte-for-byte across THREE independent implementations: the Spark
+    expression, the DuckDB list_reduce SQL used in oracle queries, and a
+    plain Python fold."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        _PORTABLE_P,
+        portable_string_hash,
+    )
+
+    def py_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 131 + ord(ch)) % _PORTABLE_P
+        return acc
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got_spark = {
+        r["i"]: r["h"]
+        for r in df.select("i", portable_string_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        i: con.execute(
+            """
+            SELECT list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(?) + 1),
+                                      i -> CAST(ascii(?[i]) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 2147483647)
+            """,
+            [t, t],
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    for i, t in enumerate(texts):
+        assert got_spark[i] == py_hash(t) == got_duck[i], (t, got_spark[i], py_hash(t), got_duck[i])
