@@ -108,3 +108,51 @@ def test_stateful_running_user_stats(spark, sf_dir):
         gn, gtv = got[uid]
         assert gn == n, (uid, gn, n)
         assert abs(gtv - tv) < 0.05, (uid, gtv, tv)
+
+
+def test_prepare_training_data_pipeline(spark, sf_dir):
+    """North-star composition: clean -> lang filter -> quality filter ->
+    exact dedup -> near-dup removal -> deterministic split, with planted
+    junk verifying each stage."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    base = load_table(spark, sf_dir, "documents")
+    keep_cols = base.columns
+    some = base.where(F.col("lang") == "en").limit(3).collect()
+    planted = spark.createDataFrame(
+        [
+            # exact duplicate of an en doc (higher id -> dropped by keeper)
+            Row(**{**some[0].asDict(), "doc_id": 90001}),
+            # near-duplicate: one word changed
+            Row(**{**some[1].asDict(), "doc_id": 90002,
+                   "text": some[1]["text"].replace(some[1]["text"].split()[0], "XQJZ", 1)}),
+            # junk: empty-ish text
+            Row(**{**some[2].asDict(), "doc_id": 90003, "text": "   "}),
+        ]
+    ).select(*keep_cols)
+    docs = base.unionByName(planted)
+
+    train, test = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+        test_fraction=0.2,
+    )
+    out = train.unionByName(test).select("doc_id", "lang").cache()
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 90001 not in ids          # exact dup dropped (keeper = min id)
+    assert some[0]["doc_id"] in ids
+    assert 90002 not in ids          # near-dup dropped (greedy keeps min id)
+    assert some[1]["doc_id"] in ids
+    assert 90003 not in ids          # junk text filtered
+    assert {r["lang"] for r in out.collect()} == {"en"}
+
+    # split is deterministic and disjoint
+    t2, s2 = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+        test_fraction=0.2,
+    )
+    assert train.select("doc_id").exceptAll(t2.select("doc_id")).count() == 0
+    assert train.join(test, "doc_id", "inner").count() == 0
+    n_train, n_test = train.count(), test.count()
+    assert n_test > 0 and n_train > 3 * n_test  # ~80/20

@@ -48,6 +48,64 @@ def build_index_pipeline(
     )
 
 
+def prepare_training_data(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    test_fraction: float = 0.1,
+    cluster_exact: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The north-star LLM-data-prep pipeline, composed from the engine's
+    operators in the canonical order a 100 TB corpus runs them:
+
+      clean -> language filter -> quality filter -> exact dedup ->
+      MinHash near-dup removal -> deterministic train/test split
+
+    Cheap row-local filters run FIRST (pushdown-friendly, shrink the
+    corpus before any shuffle); exact dedup next (one shuffle); the
+    near-dup stage runs on the survivors only.  Near-dup removal keeps
+    each pair's min id greedily, or the exact per-cluster representative
+    via connected components when ``cluster_exact`` (iterative — runs
+    jobs).  The split is arithmetic, so membership is stable across runs,
+    partitionings, and engines.
+
+    Returns (train, test) DataFrames — both lazy (greedy path).
+    """
+    from .operators.dedup import exact_dedup, minhash_near_dup_pairs
+    from .operators.sampling import train_test_split
+    from .operators.text import lang_id_heuristic, language_filter, quality_score
+
+    cleaned = docs.withColumn(
+        text_col, F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    ).where(F.col(text_col) != "")
+    if lang_col is not None and lang_col in docs.columns:
+        kept = language_filter(cleaned, list(langs), lang_col)
+    else:
+        kept = cleaned.where(lang_id_heuristic(text_col).isin(list(langs)))
+    kept = kept.where(quality_score(text_col) >= min_quality)
+    kept = exact_dedup(kept, [text_col], id_col)
+
+    pairs = minhash_near_dup_pairs(kept, id_col=id_col, text_col=text_col,
+                                   threshold=near_dup_threshold)
+    if cluster_exact:
+        from .operators.components import dedup_clusters
+
+        rep = dedup_clusters(kept, pairs, id_col)
+        deduped = rep.where(F.col("representative") == F.col(id_col)).drop("representative")
+    else:
+        # greedy: drop the larger id of every near-dup pair (transitive
+        # chains may keep one extra doc per chain — the standard tradeoff
+        # to stay single-pass)
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        deduped = kept.join(drop, id_col, "left_anti")
+
+    return train_test_split(deduped, id_col, test_fraction=test_fraction)
+
+
 def search_pipeline(
     spark: SparkSession,
     index: IvfIndex,

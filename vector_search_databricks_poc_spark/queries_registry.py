@@ -1986,6 +1986,30 @@ def streaming_index_sync_q(spark, sf_dir):
 QUERIES["streaming_index_sync"] = streaming_index_sync_q
 
 
+def training_data_pipeline(spark, sf_dir):
+    """North-star composition as one declared query: clean -> language
+    filter -> quality filter -> exact dedup -> MinHash near-dup removal ->
+    deterministic split (pipelines.prepare_training_data).  Output is the
+    per-split summary (rows-only: the MinHash stage is engine-hashed)."""
+    from .pipelines import prepare_training_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = prepare_training_data(
+        docs, langs=("en",), min_quality=0.2, near_dup_threshold=0.7,
+        test_fraction=0.2,
+    )
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
+QUERIES["training_data_pipeline"] = training_data_pipeline
+
+
 @register(
     "profile_columns",
     """
