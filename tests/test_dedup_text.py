@@ -242,3 +242,34 @@ def test_simhash_pigeonhole_guard(spark):
         D.simhash_near_dup_pairs(df, max_hamming=4, blocks=4)
     # blocks defaults to max_hamming+1 -> always valid
     D.simhash_near_dup_pairs(df, max_hamming=6)
+
+
+def test_repetition_ratio_separates_looping_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog near a river bank"),
+            Row(doc_id=2, text="buy now buy now buy now buy now buy now buy now"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select("doc_id", X.repetition_ratio("text").alias("rep")).collect()
+    }
+    assert got[1] < 0.1
+    assert got[2] > 0.7  # "buy now buy" / "now buy now" loop
+
+
+def test_unigram_logprob_flags_gibberish(spark):
+    """Documents made of corpus-common tokens must outscore documents of
+    corpus-rare tokens under the corpus unigram model (the model-free
+    perplexity-filter analog)."""
+    common = [Row(doc_id=i, text="alpha beta gamma delta epsilon") for i in range(50)]
+    planted = [
+        Row(doc_id=70001, text="alpha beta gamma alpha beta"),     # in-distribution
+        Row(doc_id=70002, text="xq zvv qqj wxk jzx vqk zzq kxw"),  # each token seen once
+    ]
+    scored = X.unigram_logprob_score(spark.createDataFrame(common + planted))
+    got = {r["doc_id"]: r["avg_logprob"] for r in scored.collect()}
+    assert got[70001] > got[70002] + 2.0  # ~50x frequency gap -> ~log(25)+ margin
+    assert all(v == v and v < 0 for v in got.values())  # finite, negative
+    assert got[0] == got[1]  # identical docs score identically

@@ -67,6 +67,52 @@ def quality_score(text: Column | str) -> Column:
     return (length_ok + sw_ok + atl_ok) / F.lit(3.0)
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams in the document (the
+    Gopher/C4-style repetition signal: boilerplate and degenerate text
+    repeat themselves).  0 = all n-grams distinct; near 1 = the same
+    phrase looping.  Pure expressions (shingle array -> distinct ratio)."""
+    from .dedup import shingles
+
+    sh = shingles(text, n)
+    total = F.size(sh)
+    return F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(sh)).cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the CORPUS unigram
+    distribution — the model-free cousin of perplexity filtering: gibberish
+    and off-distribution documents score low because their tokens are rare
+    in the corpus.
+
+    Two-pass, both distributed: (1) corpus term frequencies (one shuffle on
+    term), (2) explode docs -> join term logprobs -> re-aggregate per doc
+    (shuffles on term and id).  Laplace-smoothed so unseen terms are finite.
+    Returns (id_col, n_tokens, avg_logprob).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    freqs = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    totals = freqs.agg(
+        F.sum("tf").cast("double").alias("_total"), F.count("*").cast("double").alias("_vocab")
+    )
+    lp = freqs.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log((F.col("tf") + 1.0) / (F.col("_total") + F.col("_vocab"))).alias("_lp"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def language_filter(df: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
     return df.where(F.col(lang_col).isin(langs))
 
