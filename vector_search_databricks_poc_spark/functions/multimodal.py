@@ -76,10 +76,9 @@ def pack_multimodal(docs: DataFrame, vectors: DataFrame,
 
 
 def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB for compressed formats: JPEG/PNG decode needs PIL/opencv, which
-    are unavailable in this container.  Uncompressed BMP decodes for real —
-    see ``decode_bmp``."""
-    raise NotImplementedError("JPEG/PNG decoding requires PIL/opencv — not installed")
+    """STUB for formats needing external codecs: JPEG (DCT) and video.
+    BMP and PNG decode for REAL — see ``decode_bmp`` / ``decode_png``."""
+    raise NotImplementedError("JPEG/video decoding requires PIL/opencv — not installed")
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +127,133 @@ def decode_bmp(payload: bytes):
     return out
 
 
+def encode_png(pixels, row_filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (stdlib zlib DEFLATE).  ``row_filters`` optionally picks the filter
+    type (0-4) per row — the tests use it to exercise every defilter
+    branch of ``decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    bpp = 3
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+            out = (row - left) % 256
+        elif f == 2:  # Up
+            out = (row - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+            out = (row - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            out = (row - pred) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor (RGB) PNG into an (h, w, 3) uint8 array —
+    real chunk walk, zlib inflate, and per-row defiltering for all five
+    PNG filter types.  Raises ValueError on non-PNG / unsupported layout
+    (palette, alpha, 16-bit, interlace)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            cur = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, bpp)
+
+
 def encode_wav(samples, rate: int = 8000) -> bytes:
     """Encode float samples in [-1, 1] as 16-bit PCM mono WAV (stdlib
     ``wave`` writer)."""
@@ -171,7 +297,8 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     """Decode-and-featurize one asset.  Returns (n_bytes, width, height,
     sample_rate, duration_s, feature list[float]).
 
-    - image/BMP: real pixel decode -> [meanR, meanG, meanB, luma_std];
+    - image/BMP or image/PNG: real pixel decode -> [meanR, meanG, meanB,
+      luma_std];
     - audio/WAV: real sample decode -> [rms, zero_crossing_rate, peak, mean];
     - anything else (or undecodable bytes): byte-histogram fake, with
       width/height/rate/duration null.
@@ -181,7 +308,10 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     n = 0 if payload is None else len(payload)
     if payload is not None and modality == "image":
         try:
-            px = decode_bmp(payload).astype(np.float64)
+            if payload[:2] == b"BM":
+                px = decode_bmp(payload).astype(np.float64)
+            else:
+                px = decode_png(payload).astype(np.float64)
             luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
             feat = [
                 float(px[..., 0].mean()),
@@ -248,7 +378,9 @@ def synth_media_payload(asset_id: int, modality: str) -> bytes:
     if modality == "image":
         rng = np.random.default_rng(asset_id)
         h, w = 8 + asset_id % 5, 8 + asset_id % 7
-        return encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # alternate containers so both real decoders run in the pipeline
+        return encode_bmp(px) if asset_id % 4 < 2 else encode_png(px)
     if modality == "audio":
         n = 400 + (asset_id % 5) * 100
         t = np.arange(n, dtype=np.float64)
