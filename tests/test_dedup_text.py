@@ -273,3 +273,17 @@ def test_unigram_logprob_flags_gibberish(spark):
     assert got[70001] > got[70002] + 2.0  # ~50x frequency gap -> ~log(25)+ margin
     assert all(v == v and v < 0 for v in got.values())  # finite, negative
     assert got[0] == got[1]  # identical docs score identically
+
+
+def test_strip_html(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text='<html><head><style>p{color:red}</style></head>'
+                               '<body><p>Hello &amp; welcome</p><!-- note -->'
+                               '<script>var x=1;</script><b>to&nbsp;Spark</b></body></html>'),
+            Row(doc_id=2, text="plain text stays untouched"),
+        ]
+    )
+    got = {r["doc_id"]: r["t"] for r in df.select("doc_id", X.strip_html("text").alias("t")).collect()}
+    assert got[1] == "Hello & welcome to Spark"
+    assert got[2] == "plain text stays untouched"

@@ -344,14 +344,17 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
 def fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature extractor: byte-histogram moments.
     Replace with a real decoder + model at deployment; signature and batch
-    shape are identical."""
+    shape are identical.  Vectorized (frombuffer + bincount) — the
+    fallback must not become the slow path on large payloads."""
+    import numpy as np
+
     if payload is None:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += b
-    n = max(len(payload), 1)
-    return [round(a / n, 6) for a in acc]
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = max(len(b), 1)
+    idx = np.arange(len(b)) % dim
+    acc = np.bincount(idx, weights=b, minlength=dim)
+    return [round(float(a) / n, 6) for a in acc]
 
 
 MEDIA_FEATURE_SCHEMA = StructType(

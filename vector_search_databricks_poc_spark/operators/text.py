@@ -67,6 +67,23 @@ def quality_score(text: Column | str) -> Column:
     return (length_ok + sw_ok + atl_ok) / F.lit(3.0)
 
 
+def strip_html(text: Column | str) -> Column:
+    """Strip HTML markup for corpus prep — tags, script/style blocks, and
+    the common entities — as pure regexp expressions (codegen, no UDF).
+    Not a full parser: malformed nesting degrades to leftover text, never
+    an error, which is the right failure mode mid-pipeline at scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Fraction of duplicated word n-grams in the document (the
     Gopher/C4-style repetition signal: boilerplate and degenerate text
