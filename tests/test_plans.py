@@ -67,3 +67,18 @@ def test_codegen_alive_on_relational_path(spark, sf_dir):
         assert A.whole_stage_codegen_spans(df) >= 1, A.plan_string(df, "simple")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_pq_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF-PQ probe must read ONLY the nprobe centroid partitions of
+    the code table — the centroid_id filter shows up as a partition
+    filter, not a post-scan filter over all data."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_pq_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_pq_index(e, str(tmp_path / "pq"), k_centroids=8, pq_m=16, pq_k=16)
+    qv = list(e.where(F.col("vec_id") == 3).first()["embedding"])
+    probe = idx.search(spark, qv, source=e, k=5, nprobe=2)
+    plan = A.plan_string(probe)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan[:3000]
