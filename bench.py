@@ -65,7 +65,7 @@ def main() -> None:
         # bench keeps per-operator names stable for regression tracking
         fn = R.QUERIES.get(name) or getattr(R, name)
         best, n = None, 0
-        for _ in range(2):  # best-of-2: steady-state, not scheduler noise
+        for _ in range(3):  # best-of-3: steady-state, not scheduler noise
             t = time.time()
             n = fn(spark, SF_DIR).count()
             el = time.time() - t
