@@ -26,6 +26,54 @@ NAMES = [
 ]
 
 
+SIZING_100TB = """
+## 100 TB deployment sizing (1000-executor cluster)
+
+How each knob and operator family is expected to behave when the same
+plans run at 10^6x the fixture volume — the design assumptions behind
+every operator in this repo:
+
+- **Partitions.** `spark.sql.shuffle.partitions` sized so a shuffle
+  partition holds ~100-200 MB: 100 TB scanned with heavy pruning ->
+  shuffled volumes are far smaller than raw (projection + filter reach
+  the scan; see PLANS.md ReadSchema evidence).  AQE coalescing is ON, so
+  overshooting the count is safe — start at 2-4x total cores and let AQE
+  shrink.  `spark.sql.files.maxPartitionBytes` stays at the 128 MB
+  default: scan parallelism = bytes/128 MB >> cores at this volume.
+- **Relational ops (joins/aggs/windows).** One shuffle each on the
+  declared key; dims stay broadcast (region/nation/supplier-class tables
+  are KBs-MBs at any SF).  Skewed fact keys: AQE skew-join splitting is
+  ON; the salted-join helper covers the residual planner-blind cases.
+- **Embedding (pandas_udf).** Compute-bound, scales with rows x model
+  cost; Arrow batch size (10k) bounds worker memory.  Per-executor lazy
+  model init means 1000 executors load the model 1000 times total, not
+  per-task.  Embedding output is materialized once (the index table),
+  never recomputed per query.
+- **Top-k search.** TakeOrderedAndProject: per-partition heap (k rows)
+  + driver merge of num_partitions x k rows — driver memory is O(k *
+  partitions), never O(corpus).
+- **Batch similarity join.** Query side broadcast (caps at the broadcast
+  threshold); above it the IVF batch path shuffles queries to their
+  probed centroid partitions instead — one equi-join shuffle, no cross
+  product.
+- **MinHash/SimHash near-dup.** Cost = signature pass (explode shingles;
+  linear, codegen) + band-bucket equi-join (shuffle on bucket key).
+  Bucket skew on pathological corpora is capped via max_bucket_size
+  (bounded recall loss, bounded cost).  Candidate verify touches only
+  pair participants (semi-join before shingle materialization).
+- **Embedding near-dup.** Auto-routes to SRP-LSH candidates + exact
+  verify above max_exact_rows (default 10^5) — the all-pairs matmul
+  path cannot be reached accidentally at corpus scale.
+- **IVF / IVF-PQ probes.** Partition-pruned scans: nprobe/k_centroids of
+  the index; IVF-PQ reads codes (~8x smaller than vectors) and fetches
+  float vectors only for rerank survivors.  Index tables are written
+  partitioned by centroid and zstd-compressed.
+- **Streaming.** Watermarks bound state; dropDuplicatesWithinWatermark
+  and applyInPandasWithState state stores scale with keys-in-watermark,
+  not stream history.
+"""
+
+
 def main() -> None:
     spark = get_spark(shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,7 +135,7 @@ def main() -> None:
         "  LSH (`lsh_topk_join`), IVF (`ivf_batch_search`), and MinHash-banded",
         "  paths exist precisely to replace them above ~10^5 rows;",
         "- every operator runs the same plan shape at every scale (PLANS.md).",
-    ]
+    ] + SIZING_100TB.splitlines()
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines)
     )
