@@ -287,3 +287,45 @@ def test_strip_html(spark):
     got = {r["doc_id"]: r["t"] for r in df.select("doc_id", X.strip_html("text").alias("t")).collect()}
     assert got[1] == "Hello & welcome to Spark"
     assert got[2] == "plain text stays untouched"
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk - overlap, every token covered,
+    consecutive chunks share exactly `overlap` tokens, short docs yield
+    one chunk, chunk ids deterministic."""
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="a b"),
+                                Row(doc_id=3, text="")])
+    out = X.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_seq"]): r for r in out.collect()}
+
+    # doc 1: starts 0,2,4,6,8 -> last start 8 gives 2 tokens (not pure overlap)
+    seqs = sorted(s for d, s in rows if d == 1)
+    assert seqs == [0, 1, 2, 3]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    # consecutive chunks overlap by exactly 2 tokens
+    for a, b in zip(seqs, seqs[1:]):
+        ta = rows[(1, a)]["chunk_text"].split()
+        tb = rows[(1, b)]["chunk_text"].split()
+        assert ta[-2:] == tb[:2]
+    # full coverage, no token lost
+    covered = {t for (d, s), r in rows.items() if d == 1 for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(10)}
+
+    # short and empty docs -> exactly one chunk
+    assert [s for d, s in rows if d == 2] == [0]
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert [s for d, s in rows if d == 3] == [0]
+
+    # deterministic across runs
+    again = {(r["doc_id"], r["chunk_seq"]): r["chunk_text"]
+             for r in X.chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
+    assert again == {k: r["chunk_text"] for k, r in rows.items()}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=4, overlap=4)

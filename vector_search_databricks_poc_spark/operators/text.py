@@ -130,6 +130,50 @@ def unigram_logprob_score(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window passages — the RAG
+    ingestion step between cleanup and embedding (the reference embeds
+    whole documents; real corpora need passage granularity for retrieval).
+
+    Pure expressions: token array -> sequence of window starts (stride =
+    chunk_tokens - overlap) -> posexplode of sliced windows.  Output:
+    (id_col, chunk_seq, chunk_text, n_chunk_tokens); chunk ids are
+    deterministic (position order), so chunking is reproducible across
+    runs and engines.  Each source row fans out independently — no
+    shuffle, the explode pipelines into whatever follows.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # window starts: 0, stride, 2*stride, ... while start < n (and always
+    # at least one chunk, even for empty/short docs)
+    last_start = F.greatest((n - 1), F.lit(0)) - F.pmod(F.greatest((n - 1), F.lit(0)), F.lit(stride))
+    # clamp: a final window that would be pure overlap (fully contained in
+    # the previous one) is dropped by capping starts at n - overlap - 1
+    starts = F.filter(
+        F.sequence(F.lit(0), last_start, F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(t, s + 1, chunk_tokens))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_seq", "_ctoks"),
+    ).select(
+        id_col,
+        "chunk_seq",
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        F.size("_ctoks").alias("n_chunk_tokens"),
+    )
+
+
 def language_filter(df: DataFrame, langs: list[str], lang_col: str = "lang") -> DataFrame:
     return df.where(F.col(lang_col).isin(langs))
 
