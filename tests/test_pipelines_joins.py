@@ -156,3 +156,33 @@ def test_prepare_training_data_pipeline(spark, sf_dir):
     assert train.join(test, "doc_id", "inner").count() == 0
     n_train, n_test = train.count(), test.count()
     assert n_test > 0 and n_train > 3 * n_test  # ~80/20
+
+
+def test_chunk_embed_search_composition(spark, sf_dir):
+    """Passage-level retrieval: chunk docs -> embed chunks -> top-k against
+    a chunk query -> map hits back to parent docs.  The chunk containing
+    the query text must rank first with score 1.0."""
+    from vector_search_databricks_poc_spark.functions.embedding import embed_text
+    from vector_search_databricks_poc_spark.operators.text import chunk_documents
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    embedded = embed_text(
+        chunks.withColumn(
+            "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_seq")
+        ),
+        text_col="chunk_text",
+        dim=32,
+    )
+    target = chunks.where((F.col("doc_id") == 7) & (F.col("chunk_seq") == 1)).first()
+    qvec = list(
+        embed_text(
+            spark.createDataFrame([(target["chunk_text"],)], ["chunk_text"]),
+            text_col="chunk_text",
+            dim=32,
+        ).first()["embedding"]
+    )
+    hits = top_k_similar(embedded, qvec, k=3, id_col="chunk_id").collect()
+    assert hits[0]["chunk_id"] == 7 * 1000 + 1
+    assert hits[0]["score"] == 1.0

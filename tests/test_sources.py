@@ -149,3 +149,27 @@ def test_arxiv_missing_field_defaults(spark):
     assert row["authors"] == ""          # no <author> elements -> empty join
     assert row["category"] == "unknown"  # reference's default-if-missing
     assert row["link"] is None
+
+
+def test_primary_key_validation(spark, sf_dir):
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.catalog import (
+        assert_primary_key,
+        validate_primary_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = validate_primary_key(docs, "doc_id")
+    assert v["valid"] and v["rows"] == v["distinct"] and v["nulls"] == 0
+    assert_primary_key(docs, "doc_id")  # no raise
+
+    bad = docs.select("doc_id").unionByName(
+        spark.createDataFrame([Row(doc_id=1), Row(doc_id=None)])
+    )
+    v2 = validate_primary_key(bad, "doc_id")
+    assert not v2["valid"] and v2["nulls"] == 1 and v2["distinct"] < v2["rows"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a valid primary key"):
+        assert_primary_key(bad, "doc_id")

@@ -100,3 +100,35 @@ def save_table(df: DataFrame, path: str, partition_by: list[str] | None = None, 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def validate_primary_key(df: DataFrame, id_col: str) -> dict:
+    """PK-convention check (SURVEY.md §1.1: the reference's index requires
+    `primary_key="id"`, syntetic_data.py:103; vanilla Spark has no
+    constraint enforcement, so validation is an explicit op).
+
+    ONE aggregate pass returns {'rows', 'distinct', 'nulls', 'valid'}:
+    valid = every row has a non-null id and no id repeats.  At 100 TB this
+    is a single shuffle-free partial+final count job.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct(F.col(id_col)).alias("distinct"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nulls"),
+    ).first()
+    out = {"rows": row["rows"], "distinct": row["distinct"], "nulls": row["nulls"] or 0}
+    out["valid"] = out["nulls"] == 0 and out["distinct"] == out["rows"]
+    return out
+
+
+def assert_primary_key(df: DataFrame, id_col: str) -> None:
+    """Raise ValueError with the violation counts when the PK convention
+    does not hold — the guard index builds call before trusting an id."""
+    v = validate_primary_key(df, id_col)
+    if not v["valid"]:
+        raise ValueError(
+            f"{id_col} is not a valid primary key: {v['rows']} rows, "
+            f"{v['distinct']} distinct, {v['nulls']} nulls"
+        )
