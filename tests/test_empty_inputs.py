@@ -63,3 +63,35 @@ def test_near_dup_on_empty(empty_emb):
 def test_near_dup_single_row(spark):
     one = spark.createDataFrame([(1, [1.0, 0.0])], EMB_SCHEMA)
     assert embedding_near_dup_pairs(one, threshold=0.0).count() == 0
+
+
+def test_upsert_with_empty_change_set(spark, sf_dir, tmp_path):
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.incremental import incremental_upsert
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_index(e, str(tmp_path / "idx"), k_centroids=4)
+    before = spark.read.parquet(idx.path).count()
+    n = incremental_upsert(spark, idx, e.where(F.col("vec_id") < 0))
+    assert n == 0
+    assert spark.read.parquet(idx.path).count() == before  # untouched
+
+
+def test_prepare_training_data_on_empty(spark, empty_docs):
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    docs = empty_docs.withColumn("lang", F.lit("en"))
+    train, test = prepare_training_data(docs)
+    assert train.count() == 0 and test.count() == 0
+
+
+def test_chunk_and_strip_html_null_safety(spark):
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.text import chunk_documents, strip_html
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert df.select(strip_html("text").alias("t")).first()["t"] is None
+    # null text -> tokens() null -> one empty chunk row, not a crash
+    assert chunk_documents(df).count() <= 1
