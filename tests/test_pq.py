@@ -108,3 +108,30 @@ def test_ivf_pq_search_recall(spark, sf_dir, tmp_path):
     }
     assert len(exact & got_pruned) >= 6, f"nprobe=4 recall too low: {exact & got_pruned}"
     assert 5 in got_pruned  # the query's own vector is always found
+
+
+def test_ivf_pq_batch_search_recall(spark, sf_dir, tmp_path):
+    """Batch ADC probe: per-query LUTs as expressions, codes-only scan.
+    Per-query candidates must overlap the exact top-k strongly, and each
+    query must find its own vector first."""
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_pq_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_pq_index(
+        e, str(tmp_path / "ivfpq_b"), k_centroids=8, pq_m=16, pq_k=16
+    )
+    queries = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = idx.batch_search(spark, queries, k=40, nprobe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    norm = e.select("vec_id", V.l2_normalize("embedding").alias("embedding"))
+    for qid, ranked in by_q.items():
+        ids = [v for _, v in sorted(ranked)]
+        assert ids[0] == qid  # own vector tops its query (residual ~0)
+        qv = list(e.where(F.col("vec_id") == qid).first()["embedding"])
+        exact = {r["vec_id"] for r in top_k_similar(norm, qv, k=10).collect()}
+        assert len(exact & set(ids)) >= 7, (qid, exact, ids)

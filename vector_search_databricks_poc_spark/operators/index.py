@@ -187,6 +187,77 @@ class IvfPqIndex:
             survivors, q, k=k, id_col=self.id_col, vec_col=self.vec_col, metric="cosine"
         )
 
+    def batch_search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Many queries in ONE job, codes-only scan end to end:
+
+        1. per query (expressions over the broadcast literal centroids):
+           the nprobe nearest centroids AND the per-subspace ADC lookup
+           tables — an array<array<double>> column of dot(query_sub,
+           centroid) built once per query row;
+        2. explode to (centroid_id, query) pairs, equi-join the code table
+           on centroid_id (partition-prunable scan);
+        3. score = dot(q, centroid) + sum of m LUT lookups per row;
+           top-k per query via window rank.
+
+        Returns (query_id, id, adc, rank) — candidates by quantized score;
+        callers rerank survivors against float vectors when exactness
+        matters (same contract as ``search``).
+        """
+        from pyspark.sql import Window
+
+        cb = self.codebook
+        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
+        qv = V.l2_normalize(query_vec_col)
+        dists = F.transform(cents, lambda c: _l2sq(qv, c))
+        order = F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(self.centroids) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        probes = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
+        qc_dots = F.transform(cents, lambda c: V.dot(qv, c))
+
+        def lut(j: int):
+            sub_q = F.slice(qv, j * cb.sub + 1, cb.sub)
+            return F.transform(
+                cb._sub_codebook_col(j),
+                lambda cent: F.aggregate(
+                    F.zip_with(sub_q, cent, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+
+        luts = F.array(*[lut(j) for j in range(cb.m)])
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            qc_dots.alias("_qc"),
+            luts.alias("_luts"),
+            F.explode(probes).alias("centroid_id"),
+        )
+        scan = spark.read.parquet(self.path)
+        pairs = scan.join(F.broadcast(q), on="centroid_id")
+        adc = F.element_at("_qc", F.col("centroid_id") + 1)
+        for j in range(cb.m):
+            adc = adc + F.element_at(
+                F.element_at("_luts", j + 1), F.element_at("pq_code", j + 1) + 1
+            )
+        scored = pairs.select(
+            "query_id", F.col(self.id_col), F.round(adc, 6).alias("adc")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col(self.id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
 
 class IvfIndex:
     """Handle to a built IVF index table (path + centroids)."""
