@@ -112,3 +112,38 @@ def test_quantized_topk_ranking_agrees(spark, emb):
     )
     overlap = exact & {r["vec_id"] for r in approx}
     assert len(overlap) >= 8, (exact, approx)
+
+
+def test_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """An index built in one session is probeable from a handle
+    reconstructed purely from disk (_meta rides under the table path,
+    invisible to the parquet scan)."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.index import (
+        build_ivf_index,
+        build_ivf_pq_index,
+        load_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = list(e.where(F.col("vec_id") == 2).first()["embedding"])
+
+    idx = build_ivf_index(e, str(tmp_path / "ivf"), k_centroids=4)
+    orig = [(r["vec_id"], r["score"]) for r in idx.search(spark, qv, k=5).collect()]
+    reloaded = load_index(spark, str(tmp_path / "ivf"))
+    back = [(r["vec_id"], r["score"]) for r in reloaded.search(spark, qv, k=5).collect()]
+    assert back == orig
+    # the parquet scan still sees only data rows (no _meta leakage)
+    assert spark.read.parquet(idx.path).count() == e.count()
+
+    pq = build_ivf_pq_index(e, str(tmp_path / "pq"), k_centroids=4, pq_m=16, pq_k=16)
+    orig_pq = [
+        (r["vec_id"], r["score"])
+        for r in pq.search(spark, qv, source=e, k=5, nprobe=4).collect()
+    ]
+    re_pq = load_index(spark, str(tmp_path / "pq"))
+    back_pq = [
+        (r["vec_id"], r["score"])
+        for r in re_pq.search(spark, qv, source=e, k=5, nprobe=4).collect()
+    ]
+    assert back_pq == orig_pq

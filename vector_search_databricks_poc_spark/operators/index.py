@@ -52,7 +52,44 @@ def build_ivf_index(
     centroids = fit_centroids(normalized, vec_col, k_centroids, seed, sample_fraction)
     assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    _write_meta(
+        df.sparkSession, index_path,
+        {"kind": "ivf", "centroids": centroids, "id_col": id_col, "vec_col": vec_col},
+    )
     return IvfIndex(index_path, centroids, id_col=id_col, vec_col=vec_col)
+
+
+def _write_meta(spark: SparkSession, index_path: str, meta: dict) -> None:
+    """Persist index metadata (centroids, codebook) beside the data as a
+    one-row text file under ``<path>/_meta`` — underscore-prefixed paths
+    are invisible to Spark's file index, so parquet scans of the index
+    never see it, and the write goes through Spark so it works on any
+    filesystem the cluster can reach."""
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(index_path + "/_meta")
+
+
+def _read_meta(spark: SparkSession, index_path: str) -> dict:
+    import json
+
+    return json.loads(spark.read.text(index_path + "/_meta").first()["value"])
+
+
+def load_index(spark: SparkSession, index_path: str):
+    """Reconstruct an IvfIndex / IvfPqIndex handle from a persisted index
+    table — the missing half of index persistence: the TABLE survives the
+    session, and with ``_meta`` so do the centroids/codebook, so a new
+    session (or another job entirely) can probe an index it didn't build."""
+    from ..functions.quantization import PqCodebook
+
+    m = _read_meta(spark, index_path)
+    if m["kind"] == "ivf_pq":
+        cb = PqCodebook(m["pq_m"], m["pq_k"], m["dim"], m["pq_centroids"])
+        return IvfPqIndex(index_path, m["centroids"], cb, id_col=m["id_col"], vec_col=m["vec_col"])
+    return IvfIndex(index_path, m["centroids"], id_col=m["id_col"], vec_col=m["vec_col"])
 
 
 def fit_centroids(
@@ -131,6 +168,14 @@ def build_ivf_pq_index(
         id_col, "centroid_id", "pq_code"
     )
     encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    _write_meta(
+        df.sparkSession, index_path,
+        {
+            "kind": "ivf_pq", "centroids": centroids, "id_col": id_col,
+            "vec_col": vec_col, "pq_m": codebook.m, "pq_k": codebook.k,
+            "dim": codebook.dim, "pq_centroids": codebook.centroids,
+        },
+    )
     return IvfPqIndex(index_path, centroids, codebook, id_col=id_col, vec_col=vec_col)
 
 
