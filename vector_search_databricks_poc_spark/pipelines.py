@@ -33,15 +33,27 @@ def build_index_pipeline(
     encoder: str = "hashing",
     dim: int = 64,
     k_centroids: int = 16,
-) -> IvfIndex:
+    kind: str = "ivf",
+):
     """§3.1 as one lazy DataFrame job: no intermediate materialization
-    except the final partitioned index write."""
+    except the final partitioned index write.  ``kind`` picks the index
+    layout: ``"ivf"`` (float vectors, exact in-partition rescoring) or
+    ``"ivf_pq"`` (residual PQ codes — the smaller-at-rest scale path)."""
     cleaned = docs.select(
         F.col(id_col),
         F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")).alias(text_col),
     ).where(F.col(text_col) != "")
     embedded = embed_text(cleaned, text_col=text_col, out_col="embedding",
                           encoder=encoder, dim=dim)
+    if kind == "ivf_pq":
+        from .operators.index import build_ivf_pq_index
+
+        return build_ivf_pq_index(
+            embedded, index_path, id_col=id_col, vec_col="embedding",
+            k_centroids=k_centroids,
+        )
+    if kind != "ivf":
+        raise ValueError(f"kind must be 'ivf' or 'ivf_pq', got {kind!r}")
     return build_ivf_index(
         embedded, index_path, id_col=id_col, vec_col="embedding",
         k_centroids=k_centroids,
