@@ -115,34 +115,71 @@ def minhash_signatures_df(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """(id, _sig array<long>) via the scale path: explode shingles ->
-    num_hashes codegen'd xxhash64 columns -> hash-aggregate mins ->
-    reassemble the signature array.  One shuffle on id; every hash call is
-    JVM codegen, no interpreted lambdas in the hot loop."""
+    """(id, _sig array<long>) via the scale path — no shingle STRINGS ever
+    materialize:
+
+    1. posexplode tokens, hash each token ONCE (xxhash64 twice, the only
+       string hashing — |tokens| calls, not |shingles| string builds);
+    2. shingle hash = XOR-rotate combination of the n consecutive token
+       hashes via window ``lead`` over (id, position) — pure long
+       arithmetic, and the window's shuffle on id is REUSED by the min
+       aggregate (same partitioning, no second exchange);
+    3. h_i = h1 XOR rot(h2, i) double-hashing family
+       (Kirsch-Mitzenmacher), codegen'd min-aggregate per id.
+
+    vs. the naive slice+concat_ws shingle build this halves the signature
+    cost: string work is linear in tokens, everything after is long math.
+    The hash family differs from xxhash64(concat(...)) — equally valid as
+    a MinHash basis; the oracle-portable variant (bit-exact hashes) is
+    ``minhash_signatures_portable_df``.
+    """
+    from pyspark.sql import Window as _W
+
     from ..catalog import ensure_parallelism
 
-    ex = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("_sh")
-    )
-    # Double-hashing family from 2 real hash calls per shingle:
-    # h_i = h1 XOR rot(h2, i) — overflow-free (ANSI-mode safe), good enough
-    # independence for minhash banding (Kirsch-Mitzenmacher style).
     def rot(c, i):
         i = i % 64
         if i == 0:
             return c
         return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-    hashed = ex.select(
-        id_col, F.xxhash64("_sh").alias("_h1"), F.xxhash64("_sh", F.lit(1)).alias("_h2")
-    ).select(
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_p", "_t")
+    )
+    hashed = tok.select(
+        id_col, "_p", F.xxhash64("_t").alias("_t1"), F.xxhash64("_t", F.lit(1)).alias("_t2")
+    )
+    w = _W.partitionBy(id_col).orderBy("_p")
+    # combine n consecutive token hashes; position-dependent rotation keeps
+    # "a b c" and "c b a" distinct
+    # missing leads (doc shorter than n) coalesce to per-position sentinels
+    # so short docs hash by their real tokens, never to NULL (which would
+    # funnel every short doc into one band bucket)
+    h1, h2 = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for j in range(n):
+        t1j = F.col("_t1") if j == 0 else F.coalesce(
+            F.lead("_t1", j).over(w), F.lit(1_000_003 * (j + 1)).cast("long")
+        )
+        t2j = F.col("_t2") if j == 0 else F.coalesce(
+            F.lead("_t2", j).over(w), F.lit(998_244_353 * (j + 1)).cast("long")
+        )
+        h1 = h1.bitwiseXOR(rot(t1j, 7 * j + 1))
+        h2 = h2.bitwiseXOR(rot(t2j, 11 * j + 3))
+    last = F.lead("_t1", n - 1).over(w)
+    sh = hashed.select(
+        id_col, h1.alias("_h1"), h2.alias("_h2"), last.alias("_ok"), "_p"
+    )
+    # keep full windows; docs shorter than n tokens keep their single
+    # partial window at position 0 (mirrors ``shingles``' fallback)
+    sh = sh.where(F.col("_ok").isNotNull() | (F.col("_p") == 0)).drop("_ok", "_p")
+    derived = sh.select(
         id_col,
         *[
             F.col("_h1").bitwiseXOR(rot(F.col("_h2"), i)).alias(f"_h{i}")
             for i in range(num_hashes)
         ],
     )
-    mins = hashed.groupBy(id_col).agg(
+    mins = derived.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
     )
     return mins.select(
