@@ -307,3 +307,64 @@ def test_png_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_png(b"not png at all")
+
+
+def test_resize_nearest_golden():
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.multimodal import resize_nearest
+
+    px = np.array([[[0, 0, 0], [255, 255, 255]],
+                   [[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == [0, 0, 0]).all() and (up[0, 3] == [255, 255, 255]).all()
+    assert (up[3, 0] == [10, 20, 30]).all() and (up[3, 3] == [40, 50, 60]).all()
+    down = resize_nearest(up, 2, 2)
+    assert (down == px).all()  # exact inverse for 2x nearest
+
+
+def test_svf_frame_sampling():
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_svf,
+        sample_frames,
+    )
+
+    frames_px = [np.full((4, 4, 3), i * 10, dtype=np.uint8) for i in range(6)]
+    blob = encode_svf([encode_bmp(p) for p in frames_px])
+    picked = sample_frames(blob, every_n=2)
+    assert len(picked) == 3
+    # frames 0, 2, 4 — decode and check the constant pixel value
+    for got, want in zip(picked, [0, 20, 40]):
+        assert decode_bmp(got)[0, 0, 0] == want
+    assert len(sample_frames(blob, every_n=2, max_frames=2)) == 2
+
+
+def test_transform_media_spark_path(spark):
+    """Distributed preprocessing fan-out: image -> one thumbnail row,
+    video -> one row per sampled frame, junk dropped silently."""
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        decode_bmp,
+        synth_media_payload,
+        transform_media,
+    )
+
+    rows = [
+        (0, "image", synth_media_payload(0, "image")),
+        (1, "video", synth_media_payload(1, "video")),   # 4 frames
+        (2, "image", b"corrupt"),
+        (3, "video", None),
+    ]
+    media = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    out = transform_media(media, thumb_h=5, thumb_w=7, frame_every_n=2).collect()
+    imgs = [r for r in out if r["modality"] == "image"]
+    vids = sorted((r["frame_idx"] for r in out if r["modality"] == "video"))
+    assert len(imgs) == 1 and imgs[0]["asset_id"] == 0
+    px = decode_bmp(bytes(imgs[0]["payload"]))
+    assert px.shape == (5, 7, 3)  # thumbnail re-encoded at target size
+    assert vids == [0, 1]  # frames 0 and 2 of 4, re-indexed
+    assert all(r["asset_id"] in (0, 1) for r in out)  # junk/null dropped

@@ -293,6 +293,70 @@ def decode_wav(payload: bytes):
     return samples, rate
 
 
+def resize_nearest(pixels, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — pure numpy
+    index mapping, the standard thumbnail/normalize step before a vision
+    model.  Deterministic (floor sampling grid)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
+def resize_image(payload: bytes, out_h: int, out_w: int) -> bytes:
+    """Decode (BMP or PNG by magic), nearest-resize, re-encode as BMP."""
+    px = decode_bmp(payload) if payload[:2] == b"BM" else decode_png(payload)
+    return encode_bmp(resize_nearest(px, out_h, out_w))
+
+
+# Frame container for the video path: "SVF1" magic + uint32 frame count +
+# per-frame uint32 length-prefixed encoded images.  A deliberately simple
+# REAL container (deterministic synth + real parse) standing in for
+# MP4/AVI, whose codecs need external libraries.
+_SVF_MAGIC = b"SVF1"
+
+
+def encode_svf(frames: list) -> bytes:
+    """Pack encoded image payloads (BMP/PNG bytes) into one video blob."""
+    import struct
+
+    out = bytearray(_SVF_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def svf_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
+    """Parse the SVF header: [(offset, length)] per frame — O(frames),
+    no frame bytes touched, so sampling can skip-decode."""
+    import struct
+
+    if payload is None or payload[:4] != _SVF_MAGIC:
+        raise ValueError("not an SVF payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    offs, pos = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        offs.append((pos + 4, ln))
+        pos += 4 + ln
+    return offs
+
+
+def sample_frames(payload: bytes, every_n: int = 2, max_frames: int | None = None) -> list[bytes]:
+    """Every-nth-frame sampling: parse the index, slice ONLY the selected
+    frames' bytes (skipped frames are never decoded or copied) — the shape
+    a real keyframe sampler has over MP4 at scale."""
+    offs = svf_frame_offsets(payload)[::every_n]
+    if max_frames is not None:
+        offs = offs[:max_frames]
+    return [payload[o : o + ln] for o, ln in offs]
+
+
 def media_features(payload: bytes | None, modality: str, dim: int = 8):
     """Decode-and-featurize one asset.  Returns (n_bytes, width, height,
     sample_rate, duration_s, feature list[float]).
@@ -389,7 +453,71 @@ def synth_media_payload(asset_id: int, modality: str) -> bytes:
         t = np.arange(n, dtype=np.float64)
         freq = 2.0 + (asset_id % 10)
         return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / n), rate=8000)
-    return (f"video-{asset_id}-").encode() * 16
+    if modality == "video":
+        # real SVF container of 4 small BMP frames (deterministic pixels)
+        rng = np.random.default_rng(asset_id + 1_000_000)
+        frames = [
+            encode_bmp(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+            for _ in range(4)
+        ]
+        return encode_svf(frames)
+    return (f"blob-{asset_id}-").encode() * 16
+
+
+TRANSFORM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def transform_media(
+    media: DataFrame,
+    thumb_h: int = 16,
+    thumb_w: int = 16,
+    frame_every_n: int = 2,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """The preprocessing fan-out stage of a multimodal training pipeline,
+    over ``mapInPandas``: images become (thumb_h x thumb_w) nearest-resized
+    BMP thumbnails (one row each); SVF videos become one row PER SAMPLED
+    FRAME (every_n-th, skipped frames never decoded).  Undecodable
+    payloads are dropped, not fatal — mid-pipeline at scale bad assets
+    must not kill the job."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, mod, p in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                if mod == "image":
+                    try:
+                        rows.append(
+                            (aid, mod, 0, resize_image(p, thumb_h, thumb_w), thumb_w, thumb_h)
+                        )
+                    except ValueError:
+                        pass
+                elif mod == "video":
+                    try:
+                        for i, fr in enumerate(sample_frames(p, frame_every_n, max_frames)):
+                            rows.append((aid, mod, i, fr, None, None))
+                    except ValueError:
+                        pass
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "modality", "frame_idx", "payload", "width", "height"],
+            )
+
+    return media.select("asset_id", "modality", "payload").mapInPandas(
+        batches, schema=TRANSFORM_SCHEMA
+    )
 
 
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
