@@ -41,6 +41,8 @@ HEADLINE = [
     "tumbling_window",          # B20
     "hashing_embed",            # B5
     "hybrid_search",            # BM25 + vector RRF
+    "asof_join_events_orders",  # B14 as-of (union+window custom op)
+    "ivf_pq_batch_search",      # A9/B8 IVF-PQ codes-only batch ADC
 ]
 
 

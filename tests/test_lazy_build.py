@@ -26,6 +26,7 @@ from tests.conftest import SF_DIR
 EAGER_BY_CONTRACT = {
     "ivf_index_search",
     "ivf_batch_search",
+    "ivf_pq_batch_search",
     "incremental_index_refresh",
     "streaming_index_sync",
     "streaming_tumbling",
@@ -84,3 +85,28 @@ def test_allowlist_is_tight(spark):
     """Every allowlisted name must still be a declared query — stale
     entries would silently shrink the lazy check's coverage."""
     assert EAGER_BY_CONTRACT <= set(E.queries())
+
+
+def test_search_pipeline_builds_lazily(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #2: the user-facing §3.2 pipeline helper must hand back a
+    plan — the query embedding enters via batch_search's in-plan expressions,
+    never a driver-side .first() fetch."""
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_index_pipeline,
+        search_pipeline,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 200)
+    idx = build_index_pipeline(docs, str(tmp_path / "idx"), k_centroids=4, dim=32)
+
+    cls = type(spark.range(1))
+    for name in ACTIONS:
+        def _fail(self, *a, _n=name, **k):
+            raise _ActionFired(f"DataFrame.{_n}() fired during search_pipeline")
+
+        monkeypatch.setattr(cls, name, _fail)
+    df = search_pipeline(spark, idx, docs, "vector join data", k=3, nprobe=2, dim=32)
+    assert df is not None and "context" in df.columns

@@ -3,17 +3,21 @@
 A multimodal record is one row: text + dense vector + typed metadata +
 opaque ``binary`` payloads (image/audio/video bytes).  The Spark-side
 contract — schema, partition-friendly layout, Arrow batch shape through
-``mapInPandas`` — is fully real, and so is decoding for the two container
-formats the Python stdlib can parse:
+``mapInPandas`` — is fully real, and so is decoding for every container
+format the Python stdlib can parse:
 
 - **WAV audio** (``wave`` module): real header parse + PCM sample math
   (rate, duration, RMS, zero-crossings, peak);
 - **BMP image** (``struct`` header parse): real 24-bit pixel decode
-  (dimensions, per-channel means, luminance spread).
+  (dimensions, per-channel means, luminance spread);
+- **PNG image**: real chunk walk + zlib inflate + all five per-row
+  defilter types (``decode_png``);
+- **SVF video** (simple frame container): real index parse with
+  skip-decode frame sampling.
 
-Codecs that genuinely need external libraries (JPEG/PNG, MP3, video)
-remain stubbed behind ``NotImplementedError`` / the deterministic
-byte-histogram fake, clearly marked.
+Codecs that genuinely need external libraries (JPEG DCT, MP3, real
+MP4/AVI) remain stubbed behind ``NotImplementedError`` / the
+deterministic byte-histogram fake, clearly marked.
 """
 
 from __future__ import annotations
@@ -367,6 +371,9 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     - anything else (or undecodable bytes): byte-histogram fake, with
       width/height/rate/duration null.
     """
+    import struct
+    import zlib
+
     import numpy as np
 
     n = 0 if payload is None else len(payload)
@@ -384,8 +391,8 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
                 float(luma.std()),
             ]
             return n, int(px.shape[1]), int(px.shape[0]), None, None, [round(f, 6) for f in feat]
-        except ValueError:
-            pass  # non-BMP image bytes -> histogram fallback below
+        except (ValueError, struct.error, zlib.error):
+            pass  # truncated / non-BMP/PNG image bytes -> histogram fallback
     if payload is not None and modality == "audio":
         import wave
 
@@ -398,9 +405,11 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
                 float(np.abs(s).max()) if len(s) else 0.0,
                 float(s.mean()) if len(s) else 0.0,
             ]
-            dur = len(s) / rate if rate else None
-            return n, None, None, int(rate), round(dur, 6), [round(f, 6) for f in feat]
-        except (ValueError, EOFError, wave.Error):
+            # a header can legally declare framerate 0 — duration is then
+            # undefined, not a crash
+            dur = round(len(s) / rate, 6) if rate else None
+            return n, None, None, int(rate), dur, [round(f, 6) for f in feat]
+        except (ValueError, EOFError, wave.Error, struct.error):
             pass  # non-WAV audio bytes -> histogram fallback below
     return n, None, None, None, None, fake_feature(payload, dim)
 
@@ -491,6 +500,12 @@ def transform_media(
     must not kill the job."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        # truncated headers raise struct.error, corrupt DEFLATE streams
+        # zlib.error — all are "bad asset", none may kill the job
+        bad_asset = (ValueError, struct.error, zlib.error)
         for pdf in it:
             rows = []
             for aid, mod, p in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
@@ -502,13 +517,13 @@ def transform_media(
                         rows.append(
                             (aid, mod, 0, resize_image(p, thumb_h, thumb_w), thumb_w, thumb_h)
                         )
-                    except ValueError:
+                    except bad_asset:
                         pass
                 elif mod == "video":
                     try:
                         for i, fr in enumerate(sample_frames(p, frame_every_n, max_frames)):
                             rows.append((aid, mod, i, fr, None, None))
-                    except ValueError:
+                    except bad_asset:
                         pass
             yield pd.DataFrame(
                 rows,

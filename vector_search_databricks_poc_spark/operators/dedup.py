@@ -19,11 +19,15 @@ pytest suite asserts planted-duplicate recall instead, SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import vectors as V
 from .text import tokens
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -596,6 +600,16 @@ def embedding_near_dup_pairs(
     from ..catalog import ensure_parallelism
 
     n = n_rows if n_rows is not None else _estimate_rows(df)
+    # the exact/pruned switch changes RESULTS (LSH-recall vs all-pairs), so
+    # the routing decision must be observable: a plan-statistics estimate
+    # drifting past max_exact_rows would otherwise silently flip output
+    _LOG.info(
+        "embedding_near_dup_pairs: path=%s rows=%d (%s) max_exact_rows=%d",
+        "srp-lsh" if n > max_exact_rows else "exact-blocked-matmul",
+        n,
+        "caller-supplied" if n_rows is not None else "plan-estimate",
+        max_exact_rows,
+    )
     if n > max_exact_rows:
         cands = srp_lsh_candidates(
             df, id_col, vec_col, n_planes=lsh_planes, bands=lsh_bands, seed=seed

@@ -64,21 +64,29 @@ def incremental_upsert(
     changed: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deleted: DataFrame | None = None,
 ) -> int:
-    """Propagate UPDATES (and inserts) into the index — the parquet analog
-    of Delta Change Data Feed sync (reference syntetic_data.py:69-78):
+    """Propagate UPDATES, inserts, and DELETES into the index — the parquet
+    analog of Delta Change Data Feed sync (reference syntetic_data.py:69-78):
     ``changed`` holds the post-image rows of a CDF batch; each replaces its
-    old index entry, wherever that entry lives.
+    old index entry, wherever that entry lives.  ``deleted`` (optional)
+    holds the ids of delete-tombstone rows; their entries disappear.
 
     Only touched centroid partitions rewrite (dynamic partition overwrite):
-    a partition is touched if it holds a changed row's OLD entry (the row
-    may move centroids when its vector changed) or receives a NEW one.
-    Within a touched partition, survivors = old rows not in the changed-id
-    set; the partition is rewritten as survivors + fresh assignments.
-    Partition count bounds the rewrite — untouched partitions keep their
-    files, so cost scales with the change set, not the corpus.
+    a partition is touched if it holds a changed/deleted row's OLD entry
+    (the row may move centroids when its vector changed) or receives a NEW
+    one.  Within a touched partition, survivors = old rows not in the
+    changed/deleted-id set; the partition is rewritten as survivors + fresh
+    assignments.  Partition count bounds the rewrite — untouched partitions
+    keep their files, so cost scales with the change set, not the corpus.
 
-    Returns the number of upserted rows.
+    A touched partition can end up EMPTY (every old row updated away or
+    deleted, nothing new assigned there).  Dynamic partition overwrite
+    never rewrites a partition absent from the output, so those directories
+    are deleted explicitly afterwards — otherwise the stale entries would
+    survive and an updated id would be findable twice.
+
+    Returns the number of upserted rows (deletes not counted).
     """
     fresh = changed.select(
         F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
@@ -89,16 +97,22 @@ def incremental_upsert(
         id_col, vec_col, "centroid_id"
     ).localCheckpoint()
     n = assigned.count()
-    if not n:
+    del_ids = deleted.select(id_col).distinct() if deleted is not None else None
+    if not n and del_ids is None:
         return 0
     old = spark.read.parquet(index.path)
     ids = assigned.select(id_col)
+    if del_ids is not None:
+        ids = ids.unionByName(del_ids).distinct()
     touched = (
         old.join(ids, id_col, "left_semi")
         .select("centroid_id")
         .unionByName(assigned.select("centroid_id"))
         .distinct()
     )
+    # materialize BEFORE the overwrite below invalidates the files this
+    # plan reads; bounded by k_centroids, so driver-side set is tiny
+    touched_parts = {r[0] for r in touched.collect()}
     survivors = (
         old.join(F.broadcast(touched), "centroid_id", "left_semi")
         .join(ids, id_col, "left_anti")
@@ -113,4 +127,19 @@ def incremental_upsert(
         .partitionBy("centroid_id")
         .parquet(index.path)
     )
+    written_parts = {r[0] for r in out.select("centroid_id").distinct().collect()}
+    _delete_partition_dirs(spark, index.path, touched_parts - written_parts)
     return n
+
+
+def _delete_partition_dirs(spark: SparkSession, index_path: str, parts) -> None:
+    """Remove emptied centroid partition directories through the Hadoop
+    FileSystem API (works on any filesystem the cluster reaches, not just
+    local disk)."""
+    if not parts:
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for p in sorted(parts):
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/centroid_id={p}")
+        hpath.getFileSystem(hconf).delete(hpath, True)

@@ -132,12 +132,18 @@ def search_pipeline(
 ) -> DataFrame:
     """§3.2: embed the query through the same encoder as the corpus
     (A7=A12 unification), probe the index, join text back, dedup, assemble
-    the RAG context.  Returns a 1-row DataFrame with the context string."""
-    qdf = spark.createDataFrame([(query_text,)], [text_col])
-    qvec = embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
-        "embedding"
-    ).first()[0]
-    hits = index.search(spark, list(qvec), k=k, nprobe=nprobe)
+    the RAG context.  Returns a 1-row DataFrame with the context string.
+
+    Fully lazy: the query embedding never leaves the plan — it flows into
+    ``IvfIndex.batch_search`` as a one-row DataFrame whose probe set and
+    scores are pure expressions over the broadcast literal centroids."""
+    qdf = spark.createDataFrame([(0, query_text)], ["query_id", text_col])
+    queries = embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
+        "query_id", F.col("embedding").alias("query_vec")
+    )
+    hits = index.batch_search(
+        spark, queries, k=k, nprobe=nprobe, score_decimals=None
+    ).drop("query_id", "rank")
     with_text = docs.join(
         F.broadcast(hits), on=docs[doc_id_col] == hits[index.id_col], how="inner"
     ).select(hits[index.id_col].alias("vec_id"), docs[text_col].alias("text"), hits["score"])

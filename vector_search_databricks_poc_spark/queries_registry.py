@@ -926,7 +926,10 @@ def embedding_near_dup(spark, sf_dir):
     from .operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4)
+    # exactness is the contract here (bench/pytest compare against exact
+    # pair sets): pin the routing so a drifting plan-statistics row
+    # estimate can never silently flip this to LSH recall (ADVICE r2)
+    return embedding_near_dup_pairs(e, threshold=0.4, max_exact_rows=2_000_000)
 
 
 def minhash_near_dup(spark, sf_dir):
@@ -1442,17 +1445,15 @@ def incremental_index_refresh(spark, sf_dir):
     """B21/A6: high-watermark incremental index maintenance — build on the
     first half of the corpus, refresh with the full corpus, report counts
     (rows-only; exact behavior pytest-verified)."""
-    import tempfile
-
     from .operators.incremental import incremental_refresh
     from .operators.index import build_ivf_index
 
     e = load_table(spark, sf_dir, "embeddings")
     half = e.agg((F.max("vec_id") / 2).cast("long")).first()[0]
-    with tempfile.TemporaryDirectory() as tmp:
-        idx = build_ivf_index(e.where(F.col("vec_id") <= half), f"{tmp}/ivf", k_centroids=4)
-        n_new = incremental_refresh(spark, idx, e)
-        n_total = spark.read.parquet(idx.path).count()
+    tmp = _scratch_dir("incr_refresh_")
+    idx = build_ivf_index(e.where(F.col("vec_id") <= half), f"{tmp}/ivf", k_centroids=4)
+    n_new = incremental_refresh(spark, idx, e)
+    n_total = spark.read.parquet(idx.path).count()
     return spark.createDataFrame(
         [(int(half), int(n_new), int(n_total))], "watermark long, n_new long, n_total long"
     )
@@ -1583,9 +1584,9 @@ def local_supplier_volume(spark, sf_dir):
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS F,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS O,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS P
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1660,6 +1661,27 @@ def ivf_batch_search(spark, sf_dir):
 
 
 QUERIES["ivf_batch_search"] = ivf_batch_search
+
+
+def ivf_pq_batch_search(spark, sf_dir):
+    """A9/B8 smallest-at-rest scale path: IVF-PQ batch ADC search — the
+    probe scan reads (id, centroid_id, pq_code) only (~8x smaller than
+    float vectors), scores via per-query expression-built lookup tables,
+    top-k per query by quantized score (rows-only; recall vs brute force
+    pytest-checked in test_pq.py).  Build = sink write; probe = lazy."""
+    from .operators.index import build_ivf_pq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = build_ivf_pq_index(
+        e, f"{_scratch_dir('ivf_pq_batch_')}/ivfpq", k_centroids=8
+    )
+    return idx.batch_search(spark, queries, k=5, nprobe=4)
+
+
+QUERIES["ivf_pq_batch_search"] = ivf_pq_batch_search
 
 
 def quantized_search(spark, sf_dir):
@@ -1955,29 +1977,27 @@ def streaming_index_sync_q(spark, sf_dir):
     """B20+B21: streaming index sync — build on half the corpus, stream
     the other half through foreachBatch append, report final counts
     (rows-only; searchability asserted in pytest)."""
-    import tempfile
-
     from .functions.embedding import embed_text
     from .operators.index import build_ivf_index
     from .streaming.index_sync import stream_index_sync
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
-    with tempfile.TemporaryDirectory() as tmp:
-        emb_first = embed_text(docs.where(F.col("doc_id") <= half), dim=32).select(
-            F.col("doc_id").alias("vec_id"), "embedding"
-        )
-        idx = build_ivf_index(emb_first, f"{tmp}/idx", k_centroids=4)
-        stage = f"{tmp}/incoming"
-        rest = docs.where(F.col("doc_id") > half)
-        rest.write.parquet(stage)
-        stream = spark.readStream.schema(rest.schema).parquet(stage)
-        q = stream_index_sync(
-            stream.withColumnRenamed("doc_id", "vec_id"), idx,
-            id_col="vec_id", dim=32, checkpoint_dir=f"{tmp}/ckpt",
-        )
-        q.awaitTermination(120)
-        n_total = spark.read.parquet(idx.path).count()
+    tmp = _scratch_dir("stream_sync_")
+    emb_first = embed_text(docs.where(F.col("doc_id") <= half), dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    idx = build_ivf_index(emb_first, f"{tmp}/idx", k_centroids=4)
+    stage = f"{tmp}/incoming"
+    rest = docs.where(F.col("doc_id") > half)
+    rest.write.parquet(stage)
+    stream = spark.readStream.schema(rest.schema).parquet(stage)
+    q = stream_index_sync(
+        stream.withColumnRenamed("doc_id", "vec_id"), idx,
+        id_col="vec_id", dim=32, checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination(120)
+    n_total = spark.read.parquet(idx.path).count()
     return spark.createDataFrame(
         [(int(half), int(n_total))], "watermark long, n_indexed long"
     )
@@ -2153,7 +2173,9 @@ def near_dup_pairs_components(spark, sf_dir):
     from .operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(e, threshold=0.4)
+    # oracle-hash-checked against exact DuckDB SQL: the exact path must be
+    # chosen deterministically, never left to the row estimate (ADVICE r2)
+    pairs = embedding_near_dup_pairs(e, threshold=0.4, max_exact_rows=2_000_000)
     pair_leg = pairs.select(
         F.lit("pair").alias("kind"),
         F.col("id_a").cast("long").alias("a"),
@@ -2484,10 +2506,13 @@ _DRIVER_CHECK_WINDOW = 50
 def _finalize_order() -> None:
     oracle = [n for n in QUERIES if n in ORACLE_SQL]
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    assert len(oracle) == _DRIVER_CHECK_WINDOW, (
-        f"{len(oracle)} oracle queries != the driver's {_DRIVER_CHECK_WINDOW}-slot "
-        f"check window; merge or split declared queries to fit exactly"
-    )
+    if len(oracle) != _DRIVER_CHECK_WINDOW:  # RuntimeError, not assert: must
+        # survive `python -O` — a silently mis-sized window would let oracle
+        # queries fall outside the driver's checked slots with no signal
+        raise RuntimeError(
+            f"{len(oracle)} oracle queries != the driver's {_DRIVER_CHECK_WINDOW}-slot "
+            f"check window; merge or split declared queries to fit exactly"
+        )
     ordered = {n: QUERIES[n] for n in [*oracle, *rows_only]}
     QUERIES.clear()
     QUERIES.update(ordered)
