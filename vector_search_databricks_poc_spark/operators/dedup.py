@@ -120,25 +120,24 @@ def minhash_signatures_df(
     num_hashes: int = 32,
 ) -> DataFrame:
     """(id, _sig array<long>) via the scale path — no shingle STRINGS ever
-    materialize:
+    materialize, and NO full-data shuffle:
 
-    1. posexplode tokens, hash each token ONCE (xxhash64 twice, the only
-       string hashing — |tokens| calls, not |shingles| string builds);
-    2. shingle hash = XOR-rotate combination of the n consecutive token
-       hashes via window ``lead`` over (id, position) — pure long
-       arithmetic, and the window's shuffle on id is REUSED by the min
-       aggregate (same partitioning, no second exchange);
-    3. h_i = h1 XOR rot(h2, i) double-hashing family
-       (Kirsch-Mitzenmacher), codegen'd min-aggregate per id.
+    1. hash each token ONCE per row (xxhash64 twice over the token array —
+       the only string hashing; |tokens| calls, not |shingles| builds);
+    2. shingle hash = XOR-rotate combination of n consecutive token hashes,
+       built as per-row ARRAY expressions (``F.get`` indexing) — pure long
+       arithmetic, entirely map-side.  The r2 window-``lead`` formulation
+       computed the same values but its window shuffled EVERY exploded
+       token row across the cluster; this shuffles nothing;
+    3. explode the (h1, h2) shingle-hash pairs, derive h_i = h1 XOR
+       rot(h2, i) (Kirsch-Mitzenmacher double hashing) as codegen'd
+       columns, min-aggregate per id — partial aggregation means only
+       one tiny signature row per (id, partition) reaches the exchange.
 
-    vs. the naive slice+concat_ws shingle build this halves the signature
-    cost: string work is linear in tokens, everything after is long math.
-    The hash family differs from xxhash64(concat(...)) — equally valid as
-    a MinHash basis; the oracle-portable variant (bit-exact hashes) is
+    Same hash family and values as the r2 window version; the
+    oracle-portable variant (bit-exact cross-engine hashes) is
     ``minhash_signatures_portable_df``.
     """
-    from pyspark.sql import Window as _W
-
     from ..catalog import ensure_parallelism
 
     def rot(c, i):
@@ -147,35 +146,36 @@ def minhash_signatures_df(
             return c
         return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-    tok = ensure_parallelism(df).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("_p", "_t")
+    t = tokens(text_col)
+    ht1 = F.transform(t, lambda tok: F.xxhash64(tok))
+    ht2 = F.transform(t, lambda tok: F.xxhash64(tok, F.lit(1)))
+    # n_shingles = size-n+1, or 1 for docs shorter than n tokens (partial
+    # window padded by per-position sentinels below, so short docs hash by
+    # their real tokens, never to NULL — which would funnel every short
+    # doc into one band bucket).  The j-th shifted slice holds each
+    # shingle's j-th token hash; arrays_zip aligns the n shifts per
+    # shingle and NULL-pads slices that run off the end.  No per-element
+    # lambda runs here — slices and zip are array-level ops, and the
+    # XOR-rotate combination happens AFTER the explode, on flat long
+    # columns inside whole-stage codegen.
+    n_sh = F.greatest(F.size(t) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(ht1, j + 1, n_sh).alias(f"a{j}") for j in range(n)],
+        *[F.slice(ht2, j + 1, n_sh).alias(f"b{j}") for j in range(n)],
     )
-    hashed = tok.select(
-        id_col, "_p", F.xxhash64("_t").alias("_t1"), F.xxhash64("_t", F.lit(1)).alias("_t2")
+    # empty-token docs produce no shingles (and so no signature row),
+    # mirroring the explode semantics of the string-shingle path
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.when(F.size(t) > 0, zipped)).alias("_s"),
     )
-    w = _W.partitionBy(id_col).orderBy("_p")
-    # combine n consecutive token hashes; position-dependent rotation keeps
-    # "a b c" and "c b a" distinct
-    # missing leads (doc shorter than n) coalesce to per-position sentinels
-    # so short docs hash by their real tokens, never to NULL (which would
-    # funnel every short doc into one band bucket)
     h1, h2 = F.lit(0).cast("long"), F.lit(0).cast("long")
     for j in range(n):
-        t1j = F.col("_t1") if j == 0 else F.coalesce(
-            F.lead("_t1", j).over(w), F.lit(1_000_003 * (j + 1)).cast("long")
-        )
-        t2j = F.col("_t2") if j == 0 else F.coalesce(
-            F.lead("_t2", j).over(w), F.lit(998_244_353 * (j + 1)).cast("long")
-        )
+        t1j = F.coalesce(F.col(f"_s.a{j}"), F.lit(1_000_003 * (j + 1)).cast("long"))
+        t2j = F.coalesce(F.col(f"_s.b{j}"), F.lit(998_244_353 * (j + 1)).cast("long"))
         h1 = h1.bitwiseXOR(rot(t1j, 7 * j + 1))
         h2 = h2.bitwiseXOR(rot(t2j, 11 * j + 3))
-    last = F.lead("_t1", n - 1).over(w)
-    sh = hashed.select(
-        id_col, h1.alias("_h1"), h2.alias("_h2"), last.alias("_ok"), "_p"
-    )
-    # keep full windows; docs shorter than n tokens keep their single
-    # partial window at position 0 (mirrors ``shingles``' fallback)
-    sh = sh.where(F.col("_ok").isNotNull() | (F.col("_p") == 0)).drop("_ok", "_p")
+    sh = ex.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
     derived = sh.select(
         id_col,
         *[
