@@ -1,0 +1,96 @@
+"""Training-data hygiene operators: PII redaction, corpus boilerplate
+removal, benchmark decontamination (the scrub stages between raw crawl
+and pretraining corpus)."""
+
+from pyspark.sql import functions as F
+
+import vector_search_databricks_poc_spark.operators.text as X
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to john.doe+spam@example.co.uk or call (555) 123-4567"),
+            (2, "server at 192.168.10.1 serves https://example.com/a?b=c pages"),
+            (3, "ssn 123-45-6789 card 4111 1111 1111 1111 end"),
+            (4, "clean text with plain numbers like 42 and 2024 stays intact"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", X.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "write to <EMAIL> or call <PHONE>"
+    assert out[2] == "server at <IP> serves <URL> pages"
+    assert out[3] == "ssn <SSN> card <CARD> end"
+    assert out[4] == "clean text with plain numbers like 42 and 2024 stays intact"
+
+
+def test_pii_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com and c@d.org"), (2, "visit https://x.io now")],
+        ["doc_id", "text"],
+    )
+    row = X.pii_stats(df).first()
+    assert row["n_docs"] == 2
+    assert row["email_hits"] == 2
+    assert row["url_hits"] == 1
+    assert row["ssn_hits"] == 0
+
+
+def _boiler_corpus(spark):
+    footer = "(c) 2026 MegaCorp - all rights reserved"
+    nav = "home | products | about us | contact"
+    rows = []
+    for i in range(12):
+        body = f"unique article body number {i} with its own words"
+        rows.append((i, f"{nav}\n{body}\n{footer}"))
+    rows.append((99, "a document with no boilerplate at all\njust content"))
+    return spark.createDataFrame(rows, ["doc_id", "text"]), footer, nav
+
+
+def test_boilerplate_lines_found(spark):
+    df, footer, nav = _boiler_corpus(spark)
+    bp = {r["line"]: r["n_docs"] for r in X.boilerplate_lines(df, min_docs=10).collect()}
+    assert bp == {footer: 12, nav: 12}
+
+
+def test_remove_boilerplate_preserves_order(spark):
+    df, footer, nav = _boiler_corpus(spark)
+    out = {r["doc_id"]: r["text"] for r in
+           X.remove_boilerplate_lines(df, min_docs=10).collect()}
+    assert out[3] == "unique article body number 3 with its own words"
+    # untouched doc keeps both lines in order
+    assert out[99] == "a document with no boilerplate at all\njust content"
+    # every doc survives (removal edits text, never drops documents)
+    assert len(out) == 13
+
+
+def test_decontaminate_planted(spark):
+    bench_q = "what is the capital of atlantis under the western sea today"
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak: contains the full 13-gram (12 filler + bench text)
+            (1, "leaked eval row: " + bench_q + " and some trailing words"),
+            (2, "an unrelated training document about spark shuffles and joins"),
+            # partial overlap below n=13 contiguous words: not contaminated
+            (3, "what is the capital of france"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_q,)], ["text"])
+    bad = {r["doc_id"] for r in
+           X.contaminated_ids(corpus, bench, n=8).collect()}
+    assert bad == {1}
+    kept = {r["doc_id"] for r in X.decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {2, 3}
+
+
+def test_decontaminate_case_insensitive(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The Quick Brown Fox Jumps Over The Lazy Dog Again Tonight")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog again tonight",)], ["text"]
+    )
+    assert X.contaminated_ids(corpus, bench, n=10).count() == 1

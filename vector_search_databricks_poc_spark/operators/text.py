@@ -248,3 +248,161 @@ def fingerprint(text: Column | str, mod: int = 2**31 - 1) -> Column:
         lambda acc, tok: (acc * 31 + F.ascii(F.substring(tok, 1, 1)) * 7 + F.length(tok))
         % F.lit(mod).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene: PII redaction, boilerplate removal, decontamination
+# ---------------------------------------------------------------------------
+
+# Order matters: URLs first (emails inside URLs would otherwise double-hit),
+# then emails, then the numeric shapes from most to least specific.
+_PII_PATTERNS = (
+    (r"\bhttps?://[^\s]+", "<URL>"),
+    (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),        # 13-16 digit runs, ends on a digit
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # no \b before "(": a paren isn't a word char, so the boundary never
+    # matches there — guard with a lookbehind instead
+    (r"(?<![\d.-])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Redact the common PII shapes (URLs, emails, card/SSN/phone number
+    runs, IPv4) with typed placeholder tags — the standard scrub step
+    before pretraining text leaves the pipeline.  A chain of
+    ``regexp_replace`` expressions: codegen, single pass per pattern, no
+    UDF.  Pattern-based redaction is a floor, not a guarantee — a real
+    deployment layers an NER model (pandas_udf, B22) on top; these regexes
+    are the deterministic, engine-portable core."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-tag redaction counts across the corpus — the audit view a
+    data-governance pass wants next to the scrub itself."""
+    red = redact_pii(text_col)
+    agg = [
+        F.sum(
+            F.size(F.split(red, tag.replace("<", "\\<"), -1)) - 1
+        ).alias(tag.strip("<>").lower() + "_hits")
+        for _, tag in _PII_PATTERNS
+    ]
+    return df.agg(F.count("*").alias("n_docs"), *agg)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Lines that repeat across many DISTINCT documents (cookie banners,
+    nav bars, license footers).  Returns (line, n_docs).
+
+    Distributed shape: explode lines -> distinct (doc, line) -> count per
+    line (map-side partial agg; one shuffle on the line).  ``min_chars``
+    keeps trivially short lines ("", "-") out of the boilerplate list.
+    """
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).select(id_col, F.trim("line").alias("line"))
+    return (
+        lines.where(F.length("line") >= min_chars)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Drop corpus-level boilerplate lines from every document, preserving
+    the remaining lines' order.
+
+    The boilerplate set is usually tiny (it must repeat across >= min_docs
+    docs), so it broadcasts; each doc then rebuilds from its non-boilerplate
+    lines: posexplode -> broadcast anti-join -> collect (pos, line) structs
+    -> sort_array -> concat.  Ordering is enforced by the sort_array, not
+    collect_list order (which the shuffle does not guarantee).
+    """
+    bp = boilerplate_lines(df, id_col, text_col, min_docs, min_chars)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+    ).withColumn("line", F.trim("_raw"))
+    kept = exploded.join(F.broadcast(bp.select("line")), "line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_raw"))),
+                    lambda s: s["_raw"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): a training doc is
+    contaminated if it shares ANY word n-gram (n=13 canonical) with the
+    evaluation set.  Returns the distinct contaminated ids.
+
+    Scale shape: both sides explode to n-gram HASHES (xxhash64 of the
+    shingle — longs, not strings), the benchmark side is distinct-ed and
+    broadcast (eval sets are tiny next to a 100 TB corpus), and a
+    left-semi equi-join keeps matching corpus rows.  One scan per side,
+    no shuffle of the corpus (broadcast join), distinct only over ids.
+    """
+    from .dedup import shingles
+
+    def gram_hashes(frame, col):
+        lowered = F.lower(F.col(col))
+        return frame.select(
+            *([F.col(id_col)] if frame is df else []),
+            F.explode(
+                F.transform(shingles(lowered, n), lambda s: F.xxhash64(s))
+            ).alias("_g"),
+        )
+
+    bench = gram_hashes(benchmark, bench_text_col).distinct()
+    corpus = gram_hashes(df, text_col)
+    return (
+        corpus.join(F.broadcast(bench), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Drop contaminated documents (see ``contaminated_ids``)."""
+    bad = contaminated_ids(df, benchmark, id_col, text_col, bench_text_col, n)
+    return df.join(bad, id_col, "left_anti")

@@ -2030,6 +2030,89 @@ def training_data_pipeline(spark, sf_dir):
 QUERIES["training_data_pipeline"] = training_data_pipeline
 
 
+def pii_redaction(spark, sf_dir):
+    """Training-data hygiene: PII scrub audit.  The fixture corpus is
+    PII-free, so deterministic synthetic PII (derived from doc_id) is
+    injected first; the query then redacts and reports per-tag hit counts
+    plus proof nothing leaked (rows-only: redaction is regex-local, no
+    oracle-portable aggregate needed)."""
+    from .operators.text import pii_stats, redact_pii
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call (555) 123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = pii_stats(planted)
+    leaked = planted.select(redact_pii("text").alias("red")).where(
+        F.col("red").rlike("@example\\.com|\\(555\\)|10\\.0\\.0\\.1")
+    )
+    return stats.crossJoin(leaked.agg(F.count("*").alias("leaked_docs")))
+
+
+QUERIES["pii_redaction"] = pii_redaction
+
+
+def boilerplate_removal(spark, sf_dir):
+    """Training-data hygiene: corpus-level boilerplate line removal.  A
+    footer/nav pair is planted on every document (the fixture has no
+    natural repeated lines), then lines repeating across >= 50 distinct
+    docs are stripped; output proves exactly the planted lines were found
+    and every doc shrank back to its original text length (rows-only)."""
+    from .operators.text import boilerplate_lines, remove_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    planted = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("home | products | about"),
+            F.col("text"),
+            F.lit("(c) 2026 example corp - all rights reserved"),
+        ).alias("text"),
+        F.length("text").alias("orig_len"),
+    )
+    bp = boilerplate_lines(planted, min_docs=50)
+    cleaned = remove_boilerplate_lines(planted, min_docs=50)
+    restored = (
+        cleaned.join(planted.select("doc_id", "orig_len"), "doc_id")
+        .where(F.length("text") == F.col("orig_len"))
+    )
+    return bp.agg(
+        F.count("*").alias("n_boilerplate_lines"), F.max("n_docs").alias("max_line_docs")
+    ).crossJoin(restored.agg(F.count("*").alias("docs_restored")))
+
+
+QUERIES["boilerplate_removal"] = boilerplate_removal
+
+
+def benchmark_decontamination(spark, sf_dir):
+    """Training-data hygiene: eval-set decontamination by 13-gram overlap
+    (GPT-3/PaLM recipe).  The "benchmark" is the first 5 fixture documents
+    themselves, so they (and any doc sharing a contiguous 13-gram with
+    them) must be flagged; output is the flagged-id summary (rows-only:
+    the n-gram hash is engine-local xxhash64)."""
+    from .operators.text import contaminated_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 5).select("text")
+    bad = contaminated_ids(d, bench, n=13)
+    return bad.agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum(F.when(F.col("doc_id") < 5, 1).otherwise(0)).alias("bench_self_hits"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+QUERIES["benchmark_decontamination"] = benchmark_decontamination
+
+
 @register(
     "profile_columns",
     """
