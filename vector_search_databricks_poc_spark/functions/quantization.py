@@ -64,58 +64,99 @@ class PqCodebook:
         k: int = 16,
         seed: int = 42,
         sample_fraction: float = 1.0,
+        max_train_rows: int = 65536,
     ) -> "PqCodebook":
-        """Fit one KMeans per subspace (on a seeded sample at scale)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        """Fit per-subspace centroids with vectorized Lloyd's iterations on
+        a bounded driver-side sample.
+
+        PQ codebooks are trained on samples at ANY corpus size (m*k*sub
+        floats of output; FAISS trains on 10^4-10^6 vectors) — so the fit
+        collects at most ``max_train_rows`` sampled rows and runs numpy
+        k-means per subspace.  One Spark job total, versus one distributed
+        KMeans fit per subspace; only the ENCODE pass is corpus-sized and
+        that stays distributed."""
+        import numpy as np
 
         dim = len(df.select(vec_col).first()[0])
         assert dim % m == 0, f"dim {dim} not divisible by m={m}"
         sub = dim // m
         src = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
-        src = src.select(F.col(vec_col).cast("array<double>").alias("_v")).cache()
-        centroids = []
-        for j in range(m):
-            feats = src.select(
-                array_to_vector(F.slice("_v", j * sub + 1, sub)).alias("_f")
-            )
-            model = KMeans(k=k, seed=seed + j, featuresCol="_f").fit(feats)
-            centroids.append(
-                [
-                    (c.tolist() if hasattr(c, "tolist") else c.toArray().tolist())
-                    for c in model.clusterCenters()
-                ]
-            )
-        src.unpersist()
+        rows = (
+            src.select(F.col(vec_col).cast("array<double>").alias("_v"))
+            .limit(max_train_rows)
+            .collect()
+        )
+        X = np.asarray([r["_v"] for r in rows], dtype="float64")
+        centroids = [
+            cls._lloyd(X[:, j * sub : (j + 1) * sub], k, seed + j).tolist()
+            for j in range(m)
+        ]
         return cls(m, k, dim, centroids)
 
-    def _sub_codebook_col(self, j: int) -> Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in cent])
-                for cent in self.centroids[j]
-            ]
-        )
+    @staticmethod
+    def _lloyd(X, k: int, seed: int, iters: int = 25):
+        """Deterministic vectorized Lloyd's with k-means++ seeding; empty
+        clusters keep their previous center, early-stops when assignments
+        stabilize."""
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        uniq = np.unique(X, axis=0)
+        if len(uniq) == 0:
+            return np.zeros((k, X.shape[1]))
+        if len(uniq) <= k:
+            C = uniq[rng.choice(len(uniq), k, replace=True)].astype("float64")
+        else:
+            # k-means++: spread the seeds ~ D^2
+            C = np.empty((k, X.shape[1]), dtype="float64")
+            C[0] = uniq[rng.randint(len(uniq))]
+            d2 = ((uniq - C[0]) ** 2).sum(-1)
+            for i in range(1, k):
+                tot = d2.sum()
+                if tot <= 0:
+                    C[i] = uniq[rng.randint(len(uniq))]
+                else:
+                    C[i] = uniq[rng.choice(len(uniq), p=d2 / tot)]
+                d2 = np.minimum(d2, ((uniq - C[i]) ** 2).sum(-1))
+        prev = None
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            if prev is not None and np.array_equal(assign, prev):
+                break
+            prev = assign
+            for c in range(k):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        return C
 
     def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Append ``pq_code`` (array<int>, length m): nearest sub-centroid
-        per subspace, chosen by a pure expression over the broadcast
-        literal codebook."""
-        v = F.col(vec_col).cast("array<double>")
-        codes = []
-        for j in range(self.m):
-            subv = F.slice(v, j * self.sub + 1, self.sub)
-            cb = self._sub_codebook_col(j)
-            d2 = F.transform(
-                cb,
-                lambda c: F.aggregate(
-                    F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            )
-            codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
-        return df.withColumn("pq_code", F.array(*codes))
+        per subspace.
+
+        Arrow-batched pandas UDF with the (m, k, sub) codebook as a numpy
+        closure: the corpus-sized encode pass is one vectorized argmin per
+        batch instead of m*k interpreted higher-order-function evaluations
+        per row (ties broken toward the lowest code, same as the
+        array_position(array_min) expression it replaces)."""
+        import numpy as np
+        import pandas as pd
+
+        cb = np.asarray(self.centroids, dtype="float64")  # [m, k, sub]
+        m, _k, sub = cb.shape
+
+        def _enc(s):
+            X = np.asarray([np.asarray(v, dtype="float64") for v in s])
+            if len(X) == 0:
+                return pd.Series([], dtype=object)
+            Xs = X.reshape(len(X), m, 1, sub)
+            d2 = ((Xs - cb[None, :, :, :]) ** 2).sum(-1)  # [n, m, k]
+            codes = d2.argmin(-1).astype("int32")
+            return pd.Series([c.tolist() for c in codes])
+
+        enc = F.pandas_udf(_enc, "array<int>")
+        return df.withColumn("pq_code", enc(F.col(vec_col).cast("array<double>")))
 
     def adc_score(self, query: list[float]) -> Column:
         """ADC dot-product score of a ``pq_code`` column against ``query``:

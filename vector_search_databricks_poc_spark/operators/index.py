@@ -255,40 +255,57 @@ class IvfPqIndex:
         Returns (query_id, id, adc, rank) — candidates by quantized score;
         callers rerank survivors against float vectors when exactness
         matters (same contract as ``search``).
+
+        The per-query planning columns (probe list, dot(q, centroid)
+        constants, the m ADC lookup tables) are produced by ONE vectorized
+        pandas UDF over the (small) query side: expressing them as literal
+        codebook expressions made Catalyst analyze a ~10^3-literal tree and
+        evaluate interpreted higher-order functions on every action —
+        multi-second plan overhead for microseconds of numpy math.  The
+        scan side (codes-only read + m element_at lookups per row) stays
+        whole-stage codegen, which is what matters at corpus scale.
         """
+        import numpy as np
+        import pandas as pd
         from pyspark.sql import Window
 
         cb = self.codebook
-        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
-        qv = V.l2_normalize(query_vec_col)
-        dists = F.transform(cents, lambda c: _l2sq(qv, c))
-        order = F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(self.centroids) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
+        cents_np = np.asarray(self.centroids, dtype="float64")  # [C, dim]
+        cb_np = np.asarray(cb.centroids, dtype="float64")  # [m, k, sub]
+        m, _k, sub = cb_np.shape
+        n_probe = nprobe
+
+        def _plan(batches):
+            for s in batches:
+                qm = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in s["_qv"]]
+                )
+                norms = np.linalg.norm(qm, axis=1)
+                norms[norms == 0.0] = 1.0
+                qm = qm / norms[:, None]
+                d2 = ((qm[:, None, :] - cents_np[None, :, :]) ** 2).sum(-1)
+                probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                qc = qm @ cents_np.T  # [n, C]
+                luts = np.einsum("nms,mks->nmk", qm.reshape(len(qm), m, sub), cb_np)
+                yield pd.DataFrame(
+                    {
+                        "query_id": s["query_id"],
+                        "_probes": [p.astype("int32").tolist() for p in probes],
+                        "_qc": [r.tolist() for r in qc],
+                        "_luts": [[r.tolist() for r in l] for l in luts],
+                    }
+                )
+
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        planned = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        ).mapInPandas(
+            _plan,
+            f"query_id {qid_type}, _probes array<int>, _qc array<double>, "
+            "_luts array<array<double>>",
         )
-        probes = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
-        qc_dots = F.transform(cents, lambda c: V.dot(qv, c))
-
-        def lut(j: int):
-            sub_q = F.slice(qv, j * cb.sub + 1, cb.sub)
-            return F.transform(
-                cb._sub_codebook_col(j),
-                lambda cent: F.aggregate(
-                    F.zip_with(sub_q, cent, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            )
-
-        luts = F.array(*[lut(j) for j in range(cb.m)])
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            qc_dots.alias("_qc"),
-            luts.alias("_luts"),
-            F.explode(probes).alias("centroid_id"),
+        q = planned.select(
+            "query_id", "_qc", "_luts", F.explode("_probes").alias("centroid_id")
         )
         scan = spark.read.parquet(self.path)
         pairs = scan.join(F.broadcast(q), on="centroid_id")
@@ -363,23 +380,46 @@ class IvfIndex:
         centroid_id — so the scan only touches partitions some query probes,
         and each query is scored only against its own probed partitions.
         Top-k per query via window rank.  Returns (query_id, id, score, rank).
+
+        Probe assignment (normalize + nearest-nprobe centroids per query)
+        runs in one vectorized pandas UDF over the small query side — the
+        literal-centroid expression formulation cost seconds of Catalyst
+        analysis + interpreted HOF evaluation per action.  The scan-side
+        join + dot scoring is unchanged.
         """
+        import numpy as np
+        import pandas as pd
         from pyspark.sql import Window
 
         from .. import vectors as V
 
-        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
-        qv = V.l2_normalize(query_vec_col)
-        dists = F.transform(cents, lambda c: _l2sq(qv, c))
-        order = F.array_sort(
-            F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(self.centroids) - 1)),
-                       lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        cents_np = np.asarray(self.centroids, dtype="float64")
+        n_probe = nprobe
+
+        def _plan(batches):
+            for s in batches:
+                qm = np.asarray([np.asarray(v, dtype="float64") for v in s["_v"]])
+                norms = np.linalg.norm(qm, axis=1)
+                norms[norms == 0.0] = 1.0
+                qm = qm / norms[:, None]
+                d2 = ((qm[:, None, :] - cents_np[None, :, :]) ** 2).sum(-1)
+                probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                yield pd.DataFrame(
+                    {
+                        "query_id": s["query_id"],
+                        "_qv": [r.tolist() for r in qm],
+                        "_probes": [p.astype("int32").tolist() for p in probes],
+                    }
+                )
+
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        planned = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
+        ).mapInPandas(
+            _plan, f"query_id {qid_type}, _qv array<double>, _probes array<int>"
         )
-        probes = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
-        q = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            qv.alias("_qv"),
-            F.explode(probes).alias("centroid_id"),
+        q = planned.select(
+            "query_id", "_qv", F.explode("_probes").alias("centroid_id")
         )
         scan = spark.read.parquet(self.path)
         pairs = scan.join(F.broadcast(q), on="centroid_id")
