@@ -1,0 +1,190 @@
+"""Corpus-assembly operators (operators/packing.py): DuckDB-oracle compares
+for sequence packing, domain mixture sampling, shard assignment, and coarse
+semantic cluster dedup, plus a write_sharded round-trip.
+
+These queries sit outside the driver's 50-slot oracle window, so the
+engine-vs-oracle comparison that the driver would run lives here instead,
+using the same canonicalization (tests/oracle_utils.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+from vector_search_databricks_poc_spark import queries_registry as R
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.operators.packing import (
+    cluster_dedup,
+    domain_mixture_sample,
+    pack_sequences,
+    shard_assignment,
+    write_sharded,
+)
+
+MIX = 2654435761
+P31 = 2147483647
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+def _assert_green(res):
+    assert res["rows_match"], res
+    assert res["cols_match"], res
+    assert res["values_match"], res
+
+
+def test_sequence_packing_oracle(spark, con):
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ((doc_id * {MIX}) % {P31}) % 8 AS pack_group,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT pack_group, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start
+      FROM toks
+    )
+    SELECT pack_group,
+           COUNT(DISTINCT pack_group * 1048576 + CAST(FLOOR(start / 512) AS BIGINT)) AS n_packs,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS tokens
+    FROM packed GROUP BY pack_group ORDER BY pack_group
+    """
+    _assert_green(compare(R.QUERIES["sequence_packing"](spark, SF_DIR), con, sql))
+
+
+def test_pack_boundaries(spark):
+    """Every doc's pack offset is inside the budget, packs are contiguous
+    per group, and a doc's pack is derived from its token start offset."""
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens")
+    )
+    rows = pack_sequences(d, budget=512, n_groups=8).collect()
+    assert rows
+    # recompute the concat-and-cut layout per group in plain Python
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.pack_group, []).append(r)
+    for g, members in by_group.items():
+        start = 0
+        for r in sorted(members, key=lambda r: r.doc_id):
+            assert r.pack_id == g * (1 << 20) + start // 512
+            assert r.pack_pos == start % 512
+            assert 0 <= r.pack_pos < 512
+            start += r.n_tokens
+
+
+def test_domain_mixture_oracle(spark, con):
+    sql = f"""
+    WITH w(dom, wt) AS (VALUES
+      ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+      ('src2', CAST(0.2 AS DOUBLE))),
+    t AS (SELECT d.*, w.wt FROM documents d JOIN w ON d.source = w.dom),
+    c AS (SELECT source, wt, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    n AS (SELECT MIN(FLOOR(cnt / wt)) AS nn FROM c),
+    r AS (SELECT t.*, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY ((doc_id * {MIX}) % {P31}) % {P31}, doc_id) AS rn
+          FROM t)
+    SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    FROM r, n WHERE rn <= FLOOR(wt * nn)
+    GROUP BY source ORDER BY source
+    """
+    _assert_green(compare(R.QUERIES["domain_mixture"](spark, SF_DIR), con, sql))
+
+
+def test_domain_mixture_proportions(spark):
+    """Kept counts realize the largest feasible mixture: 20 domains x 25
+    docs at sf0.001, weights .5/.3/.2 -> N = min(25/.5, 25/.3, 25/.2) = 50
+    -> keep 25/15/10."""
+    d = load_table(spark, SF_DIR, "documents")
+    out = domain_mixture_sample(d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"src0": 25, "src1": 15, "src2": 10}
+
+
+def test_shard_stats_oracle(spark, con):
+    sql = f"""
+    SELECT ((doc_id * {MIX}) % {P31}) % 16 AS shard,
+           COUNT(*) AS n_docs, SUM(n_chars) AS chars
+    FROM documents GROUP BY shard ORDER BY shard
+    """
+    _assert_green(compare(R.QUERIES["shard_stats"](spark, SF_DIR), con, sql))
+
+
+def test_write_sharded_roundtrip(spark, tmp_path):
+    d = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "shards")
+    write_sharded(d, path, n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    assert back.select("shard").distinct().count() == 8
+    # same deterministic assignment on re-read
+    expect = shard_assignment(d, n_shards=8).select("doc_id", "shard")
+    assert back.select("doc_id", "shard").exceptAll(expect).count() == 0
+
+
+def test_cluster_dedup_oracle(spark, con):
+    sql = f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS sv
+      FROM embeddings
+      ORDER BY ((vec_id * {MIX}) % {P31}) % {P31}, vec_id LIMIT 8
+    ),
+    dots AS (
+      SELECT e.vec_id AS id, s.sid,
+             ROUND(SUM(e.embedding[i]::DOUBLE * s.sv[i]::DOUBLE)
+                   / (sqrt(SUM(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                      * sqrt(SUM(s.sv[i]::DOUBLE * s.sv[i]::DOUBLE))), 6) AS sim
+      FROM embeddings e, seeds s, range(1, 65) t(i)
+      GROUP BY e.vec_id, s.sid
+    ),
+    assigned AS (
+      SELECT id, sid, sim,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, sid) AS rk
+      FROM dots
+    ),
+    a AS (SELECT id, sid, sim FROM assigned WHERE rk = 1),
+    rep AS (
+      SELECT id, sid,
+             ROW_NUMBER() OVER (PARTITION BY sid ORDER BY sim DESC, id) AS rr
+      FROM a
+    )
+    SELECT sid AS cluster, COUNT(*) AS n_members,
+           MIN(CASE WHEN rr = 1 THEN id END) AS keeper_id
+    FROM rep GROUP BY sid ORDER BY cluster
+    """
+    _assert_green(compare(R.QUERIES["semantic_cluster_dedup"](spark, SF_DIR), con, sql))
+
+
+def test_cluster_dedup_contract(spark):
+    """Every vector lands in exactly one cluster; exactly one keeper per
+    cluster; the keeper has its cluster's max sim (ties to smaller id)."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = cluster_dedup(e, k=4).cache()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert out.count() == n
+    per = (
+        out.groupBy("cluster")
+        .agg(
+            F.sum(F.col("is_keeper").cast("int")).alias("keepers"),
+            F.max("sim").alias("best"),
+            F.min(F.when(F.col("is_keeper"), F.col("sim"))).alias("keeper_sim"),
+        )
+        .collect()
+    )
+    assert per and all(r.keepers == 1 and r.keeper_sim == r.best for r in per)
+    out.unpersist()

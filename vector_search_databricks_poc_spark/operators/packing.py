@@ -1,0 +1,218 @@
+"""Corpus-assembly operators: sequence packing, domain mixing, sharding,
+and coarse semantic (cluster) dedup.
+
+The last mile of a training-data pipeline — after cleaning and dedup the
+corpus must be packed into fixed-token-budget training sequences, resampled
+to a target domain mixture, and written as evenly sized shards.  The
+reference delegates corpus assembly to managed jobs; here each step is a
+deterministic, engine-portable DataFrame op (pure integer/window arithmetic,
+no RNG), so the same row lands in the same pack/shard on every run, every
+cluster size, and in the DuckDB oracle.
+
+Scale notes (100 TB):
+- ``pack_sequences`` packs independently inside ``n_groups`` hash buckets, so
+  the window sort never sees more than corpus/n_groups rows per partition and
+  buckets pack in parallel; there is no global ORDER BY.
+- ``domain_mixture_sample`` shuffles once for the per-domain counts (tiny
+  aggregate, broadcast back) and once for the per-domain rank window; a
+  single giant domain can be pre-salted by capping with
+  :func:`~..operators.sampling.cap_per_group` first.
+- ``cluster_dedup`` is the coarse k-cluster variant (k small, explode-join
+  assignment stays inside whole-stage codegen).  For fine-grained semantic
+  dedup at scale use the SRP-LSH path in ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _MIX
+
+_P31 = 2147483647  # Mersenne prime 2^31-1; all bucket math is mod-P31
+
+
+def _mix_hash(id_col: str | Column) -> Column:
+    """Engine-portable scramble of an integer id (same family as
+    sampling.split_bucket): multiplicative mix mod 2^31-1."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c.cast("long") * F.lit(_MIX), F.lit(_P31))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training pack.
+
+    Concat-and-cut semantics: within a pack group, documents are laid end to
+    end in ``id_col`` order and the stream is cut every ``budget`` tokens; a
+    document belongs to the pack where its first token falls (long documents
+    straddle the cut, as in standard LM sequence packing).  Groups are
+    deterministic hash buckets of the id, so packing is embarrassingly
+    parallel — the window sorts only within a group — and reproducible on
+    any engine: ``pack_id = group * ceil(max_stream/budget-ish) + cut`` is
+    encoded as ``group * 2^20 + floor(start/budget)``.
+
+    Adds ``pack_group``, ``pack_id``, ``pack_pos`` (token offset of the doc
+    inside its pack).
+    """
+    g = F.pmod(_mix_hash(id_col), F.lit(n_groups))
+    out = df.withColumn("pack_group", g)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).alias("_start")
+    out = out.withColumn("_start", start)
+    cut = F.floor(F.col("_start") / F.lit(budget))
+    return (
+        out.withColumn("pack_id", F.col("pack_group") * F.lit(1 << 20) + cut)
+        .withColumn("pack_pos", F.col("_start") - cut * F.lit(budget))
+        .drop("_start")
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically downsample to a target domain mixture.
+
+    Given target proportions ``weights`` (need not sum to 1; they are used
+    as ratios), finds the largest total ``N`` the corpus can supply so every
+    domain d can contribute ``floor(w_d * N)`` documents, then keeps exactly
+    that many per domain — chosen by mixed-hash order (a deterministic
+    engine-portable "random" subset), ties broken by id.
+
+    Domains absent from ``weights`` are dropped.  Fully lazy: the feasible
+    ``N`` (a one-row aggregate over the per-domain counts) re-enters the
+    plan via a broadcast cross join, never the driver.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in sorted(weights.items())], ["_dom", "_w"]
+    )
+    tagged = df.join(
+        F.broadcast(wdf), F.col(domain_col) == F.col("_dom"), "inner"
+    ).drop("_dom")
+    counts = tagged.groupBy(domain_col, "_w").agg(F.count("*").alias("_cnt"))
+    # largest N with floor(w_d*N) <= cnt_d for all d  <=>  N = min(floor(cnt_d/w_d))
+    feasible = counts.agg(
+        F.min(F.floor(F.col("_cnt") / F.col("_w"))).alias("_n")
+    )
+    w_rank = Window.partitionBy(domain_col).orderBy(
+        _mix_hash(id_col), F.col(id_col)
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(feasible))
+        .where(F.col("_rn") <= F.floor(F.col("_w") * F.col("_n")))
+        .drop("_rn", "_w", "_n")
+    )
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 1024
+) -> DataFrame:
+    """Deterministic output-shard id in [0, n_shards): the global shuffle of
+    a training corpus, without RNG — the mixed hash scrambles any id
+    locality (crawl order, source grouping) so every shard is an unbiased
+    sample, and reruns produce byte-identical shard membership."""
+    return df.withColumn("shard", F.pmod(_mix_hash(id_col), F.lit(n_shards)))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    compression: str = "zstd",
+) -> None:
+    """Write the corpus as ``n_shards`` hash shards (one directory per
+    shard).  ``repartition(shard)`` co-locates each shard's rows so every
+    shard directory holds one file; readers stream shards independently."""
+    out = shard_assignment(df, id_col, n_shards)
+    (
+        out.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def cluster_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Coarse semantic dedup: deterministic k-cluster assignment + one
+    representative per cluster.
+
+    Seeds are the ``k`` rows with the smallest mixed id hash (ties by id) —
+    a deterministic, engine-portable "random" init (no RNG, no kmeans||
+    nondeterminism).  Every row is assigned to the seed with the highest
+    cosine similarity (ties to the smaller seed id); the cluster
+    representative is the member closest to its seed (ties to the smaller
+    member id).  Assignment runs as posexplode -> equi-join on the dimension
+    index -> hash aggregate, all inside whole-stage codegen — the same shape
+    as the centroid_outliers oracle — with the k*dim seed side broadcast.
+
+    Returns (id, cluster, sim, is_keeper); downstream semantic dedup keeps
+    ``is_keeper`` rows.  For large k or fine-grained near-dup use the
+    SRP-LSH route (operators.dedup.embedding_near_dup_pairs).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seeds = (
+        base.select(
+            F.col("_id").alias("_sid"),
+            F.col("_v").alias("_sv"),
+            _mix_hash("_id").alias("_h"),
+        )
+        .orderBy("_h", "_sid")
+        .limit(k)
+    )
+    ex = base.select(
+        "_id", F.posexplode("_v").alias("_i", "_x")
+    )
+    sx = seeds.select("_sid", F.posexplode("_sv").alias("_i", "_y"))
+    dots = (
+        ex.join(F.broadcast(sx), "_i")
+        .groupBy("_id", "_sid")
+        .agg(
+            F.sum(F.col("_x") * F.col("_y")).alias("_dot"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_nx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_ny"),
+        )
+        .select(
+            "_id",
+            "_sid",
+            F.round(
+                F.col("_dot") / (F.sqrt("_nx") * F.sqrt("_ny")), 6
+            ).alias("sim"),
+        )
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.desc("sim"), F.col("_sid"))
+    assigned = (
+        dots.withColumn("_rk", F.row_number().over(w_assign))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    w_rep = Window.partitionBy("_sid").orderBy(F.desc("sim"), F.col("_id"))
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_sid").alias("cluster"),
+        "sim",
+        (F.row_number().over(w_rep) == 1).alias("is_keeper"),
+    )

@@ -2600,6 +2600,92 @@ def simhash_near_dup_portable(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly: sequence packing, domain mixture, sharding, cluster dedup
+# (operators/packing.py).  Declared rows-only — deterministic and DuckDB-
+# comparable, but the driver's 50-slot oracle window is full; the equivalent
+# oracle SQL runs in pytest (tests/test_packing.py) instead.
+# ---------------------------------------------------------------------------
+
+
+@register("sequence_packing")
+def sequence_packing(spark, sf_dir):
+    """Corpus assembly: lay documents end to end inside hash-bucket pack
+    groups and cut every 512 tokens (LM sequence packing).  Deterministic
+    window-cumsum arithmetic — DuckDB-oracle-compared in pytest.  Returns
+    per-group pack counts + token totals."""
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=512, n_groups=8)
+    return (
+        packed.groupBy("pack_group")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("pack_group")
+    )
+
+
+@register("domain_mixture")
+def domain_mixture(spark, sf_dir):
+    """Corpus assembly: deterministically resample the corpus to a 50/30/20
+    domain mixture (largest feasible total, mixed-hash row choice).  Returns
+    per-domain kept counts + id checksum; oracle-compared in pytest."""
+    from .operators.packing import domain_mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = domain_mixture_sample(
+        d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+@register("shard_stats")
+def shard_stats(spark, sf_dir):
+    """Corpus assembly: deterministic hash-shard assignment (the global
+    shuffle of a training corpus) — per-shard row counts and char totals
+    prove the shards are balanced and reproducible; oracle-compared in
+    pytest.  write_sharded() materializes the same assignment."""
+    from .operators.packing import shard_assignment
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assignment(d, n_shards=16)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("shard")
+    )
+
+
+@register("semantic_cluster_dedup")
+def semantic_cluster_dedup(spark, sf_dir):
+    """Corpus assembly: coarse semantic dedup — deterministic k=8 seed
+    clusters over the embeddings, one representative kept per cluster.
+    Per-cluster membership + keeper id; oracle-compared in pytest."""
+    from .operators.packing import cluster_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cluster_dedup(e, k=8)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("is_keeper"), F.col("vec_id"))).alias("keeper_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
 # in round 1: CORRECTNESS_r01 keys == list(queries())[:50]).  Every
