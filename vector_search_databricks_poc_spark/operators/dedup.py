@@ -294,7 +294,8 @@ def minhash_near_dup_pairs(
     """
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, portable, max_bucket_size
-    )
+    ).localCheckpoint(eager=False)  # referenced twice below (cand_ids + the
+    # pair join); without a cut the band self-join would execute twice
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
