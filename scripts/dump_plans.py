@@ -20,6 +20,9 @@ NAMES = [
     "rerank_two_stage",
     "hybrid_search",
     "minhash_near_dup_portable",
+    "sequence_packing",
+    "domain_mixture",
+    "semantic_cluster_dedup",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
