@@ -1,0 +1,175 @@
+"""Data-layout operators (operators/layout.py): DuckDB-oracle compares for
+the z-order arithmetic and skew diagnostics, a row-group pruning proof for
+zorder_write, and a compaction round-trip."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+from vector_search_databricks_poc_spark import queries_registry as R
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.operators.layout import (
+    compact_files,
+    skew_stats,
+    z_value,
+    zorder_write,
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+def _assert_green(res):
+    assert res["rows_match"], res
+    assert res["cols_match"], res
+    assert res["values_match"], res
+
+
+def _interleave_sql(s1: str, s2: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({s1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({s2} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def test_zorder_layout_oracle(spark, con):
+    scale = """
+    LEAST(CAST(FLOOR((({v}::DOUBLE - {lo}) / (CASE WHEN {hi} > {lo}
+      THEN {hi} - {lo} ELSE 1.0 END)) * 256.0) AS BIGINT), 255)
+    """
+    s1 = scale.format(v="o_custkey", lo="mn1", hi="mx1")
+    s2 = scale.format(v="o_totalprice", lo="mn2", hi="mx2")
+    sql = f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey::DOUBLE) AS mn1, MAX(o_custkey::DOUBLE) AS mx1,
+             MIN(o_totalprice::DOUBLE) AS mn2, MAX(o_totalprice::DOUBLE) AS mx2
+      FROM orders
+    ),
+    z AS (
+      SELECT {_interleave_sql(f'({s1})', f'({s2})', 8)} AS _z
+      FROM orders, stats
+    )
+    SELECT _z >> 8 AS z_bucket,
+           COUNT(*) AS n_rows, SUM(_z) AS z_sum
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """
+    _assert_green(compare(R.QUERIES["zorder_layout"](spark, SF_DIR), con, sql))
+
+
+def test_skew_topkeys_oracle(spark, con):
+    sql = """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS key_rows FROM orders GROUP BY 1),
+    t AS (SELECT SUM(key_rows) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (
+      SELECT o_custkey, key_rows,
+             ROW_NUMBER() OVER (ORDER BY key_rows DESC, o_custkey) AS rank
+      FROM c ORDER BY key_rows DESC, o_custkey LIMIT 10
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, o_custkey, key_rows,
+           ROUND(key_rows / total, 6) AS share,
+           ROUND(key_rows * n_keys / total, 3) AS vs_uniform
+    FROM top, t ORDER BY rank
+    """
+    _assert_green(compare(R.QUERIES["skew_topkeys"](spark, SF_DIR), con, sql))
+
+
+def _intersecting_row_groups(path, column, lo, hi) -> tuple[int, int]:
+    """(row groups whose [min,max] intersects [lo,hi], total row groups)
+    across every parquet part file under path."""
+    from pathlib import Path
+
+    hit = total = 0
+    for f in Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == column
+            )
+            st = col.statistics
+            if st.min <= hi and st.max >= lo:
+                hit += 1
+    return hit, total
+
+
+def test_zorder_write_prunes_row_groups(spark, tmp_path):
+    """The point of z-order: after clustering on (o_custkey, o_totalprice),
+    a selective predicate on EITHER column intersects fewer row groups than
+    the natural (orderkey-sorted) layout."""
+    o = load_table(spark, SF_DIR, "orders")
+    natural = str(tmp_path / "natural")
+    zordered = str(tmp_path / "zorder")
+    o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(natural)
+    zorder_write(o, zordered, ["o_custkey", "o_totalprice"], bits=16, n_files=8)
+
+    back = spark.read.parquet(zordered)
+    assert back.count() == o.count()
+    assert sorted(back.columns) == sorted(o.columns)  # _z dropped
+
+    lo, hi = o.agg(
+        F.min("o_totalprice"), F.expr("percentile(o_totalprice, 0.1)")
+    ).first()
+    for col, a, b in [
+        ("o_totalprice", lo, hi),
+        ("o_custkey", 0, 30),
+    ]:
+        z_hit, z_total = _intersecting_row_groups(zordered, col, a, b)
+        n_hit, n_total = _intersecting_row_groups(natural, col, a, b)
+        assert z_total >= 8 and n_total >= 8
+        assert z_hit < n_hit, (col, z_hit, n_hit)
+
+
+def test_compact_files(spark, tmp_path):
+    """Many tiny files in, few right-sized files out, same rows."""
+    path = str(tmp_path / "frag")
+    o = load_table(spark, SF_DIR, "orders")
+    o.repartition(64).write.parquet(path)
+    from pathlib import Path
+
+    assert len(list(Path(path).glob("*.parquet"))) == 64
+    n = compact_files(spark, path, target_file_bytes=256 * 1024)
+    files = list(Path(path).glob("*.parquet"))
+    assert len(files) == n < 64
+    assert spark.read.parquet(path).count() == o.count()
+
+
+def test_skew_stats_salting_signal(spark):
+    """A deliberately skewed frame reports the hot key first with
+    vs_uniform >> 1."""
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    top = skew_stats(df, ["k"], top_n=3).collect()
+    assert top[0].k == 7 and top[0].key_rows == 900
+    assert top[0].vs_uniform > 50
+    assert [r.rank for r in top] == [1, 2, 3]
+
+
+def test_z_value_locality(spark):
+    """Nearby (x, y) points share z prefixes: the max z-gap inside a small
+    tile is far below the global z range (the property that makes row-group
+    stats tight)."""
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    z = z_value(df, ["x", "y"], bits=4).collect()
+    by_xy = {(r.x, r.y): r._z for r in z}
+    assert len(set(by_xy.values())) == 256  # bijective on the 16x16 grid
+    # a 2x2 tile spans a z-range of at most 5 (Morton locality), vs 255 global
+    for x, y in itertools.product(range(0, 16, 2), range(0, 16, 2)):
+        tile = [by_xy[(x + dx, y + dy)] for dx in (0, 1) for dy in (0, 1)]
+        assert max(tile) - min(tile) <= 5

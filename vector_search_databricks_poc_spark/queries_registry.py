@@ -2685,6 +2685,37 @@ def semantic_cluster_dedup(spark, sf_dir):
     )
 
 
+@register("zorder_layout")
+def zorder_layout(spark, sf_dir):
+    """Data layout: Morton z-order interleave of (o_custkey, o_totalprice)
+    — the clustering key OPTIMIZE ZORDER would sort by.  Per-z-bucket row
+    counts + checksums; deterministic arithmetic, DuckDB-oracle-compared in
+    pytest.  zorder_write() materializes the layout; the row-group pruning
+    win is asserted in tests/test_layout.py."""
+    from .operators.layout import z_value
+
+    o = load_table(spark, sf_dir, "orders")
+    z = z_value(o, ["o_custkey", "o_totalprice"], bits=8)
+    return (
+        z.groupBy(F.shiftright("_z", 8).alias("z_bucket"))
+        .agg(F.count("*").alias("n_rows"), F.sum("_z").alias("z_sum"))
+        .orderBy("z_bucket")
+    )
+
+
+@register("skew_topkeys")
+def skew_topkeys(spark, sf_dir):
+    """Data layout: pre-flight join-key skew diagnostic — the 10 heaviest
+    customer keys in orders with their corpus share and uniform-key ratio
+    (the 'does this join need salting?' report).  TakeOrdered global top-N,
+    never a full-key sort; oracle-compared in pytest."""
+    from .operators.layout import skew_stats
+
+    return skew_stats(
+        load_table(spark, sf_dir, "orders"), ["o_custkey"], top_n=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
