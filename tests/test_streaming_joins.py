@@ -1,0 +1,99 @@
+"""Stream-stream interval join (streaming/joins.py): DuckDB oracle for the
+batch twin, bounded-state streaming run through a file source + memory sink,
+and batch/stream equivalence of the final attribution report."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+from vector_search_databricks_poc_spark import queries_registry as R
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.streaming.joins import (
+    attribution_report,
+    interval_join,
+    stream_interval_join,
+)
+
+ATTRIBUTION_SQL = """
+WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+      WHERE event_type IN ('click', 'signup', 'view'))
+SELECT t.event_type AS trigger_type, COUNT(*) AS n_attributed,
+       ROUND(AVG(epoch(p.ts) - epoch(t.ts)), 3) AS avg_latency_s
+FROM p JOIN t ON p.user_id = t.user_id
+ AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY trigger_type ORDER BY trigger_type
+"""
+
+
+def test_event_attribution_oracle(spark):
+    con = duck_connection(SF_DIR)
+    try:
+        res = compare(R.QUERIES["event_attribution"](spark, SF_DIR), con, ATTRIBUTION_SQL)
+        assert res["rows_match"] and res["cols_match"] and res["values_match"], res
+    finally:
+        con.close()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The same interval join run as a watermarked stream-stream join over
+    the fixture events (fed in one availableNow pass) produces exactly the
+    batch twin's pairs."""
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    triggers = ev.where(F.col("event_type").isin("click", "signup")).select(
+        "user_id", "ts", "event_type"
+    )
+    batch = interval_join(purchases, triggers, key="user_id", upper="1 hour")
+
+    # stage both sides as parquet dirs for file-source streams
+    psrc, tsrc = str(tmp_path / "p"), str(tmp_path / "t")
+    purchases.write.parquet(psrc)
+    triggers.write.parquet(tsrc)
+    ps = spark.readStream.schema(purchases.schema).parquet(psrc)
+    ts = spark.readStream.schema(triggers.schema).parquet(tsrc)
+    joined = stream_interval_join(
+        ps, ts, key="user_id", upper="1 hour", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssjoin_sink")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch.select(*got.columns)).count() == 0
+
+
+def test_stream_join_requires_bounded_condition(spark, tmp_path):
+    """Sanity: the streaming join plan is accepted by the engine (watermark
+    + two-sided time bound) — the unbounded variant would raise."""
+    ev = load_table(spark, SF_DIR, "events").limit(10)
+    src = str(tmp_path / "ev")
+    ev.select("user_id", "ts").write.parquet(src)
+    s1 = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    s2 = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    joined = stream_interval_join(s1, s2, key="user_id", upper="30 minutes")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert q.exception() is None
+
+
+def test_attribution_report_shape(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    t = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_type")
+    rep = attribution_report(interval_join(p, t, key="user_id")).collect()
+    assert len(rep) == 1 and rep[0].trigger_type == "click"
+    assert rep[0].n_attributed > 0 and rep[0].avg_latency_s >= 0

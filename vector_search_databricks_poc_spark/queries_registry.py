@@ -2716,6 +2716,27 @@ def skew_topkeys(spark, sf_dir):
     )
 
 
+@register("event_attribution")
+def event_attribution(spark, sf_dir):
+    """B20 stream-stream interval join, batch twin: attribute each purchase
+    to every click/signup/view by the same user in the preceding hour;
+    report per-trigger-type conversion counts + mean latency.  The
+    streaming form (both sides watermarked, state bounded by the interval)
+    is asserted batch-equivalent in tests/test_streaming_joins.py, where
+    this aggregate is also DuckDB-oracle-compared."""
+    from .streaming.joins import attribution_report, interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    triggers = ev.where(
+        F.col("event_type").isin("click", "signup", "view")
+    ).select("user_id", "ts", "event_type")
+    joined = interval_join(
+        purchases, triggers, key="user_id", upper="1 hour"
+    )
+    return attribution_report(joined)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
