@@ -70,7 +70,23 @@ every operator in this repo:
   partitioned by centroid and zstd-compressed.
 - **Streaming.** Watermarks bound state; dropDuplicatesWithinWatermark
   and applyInPandasWithState state stores scale with keys-in-watermark,
-  not stream history.
+  not stream history.  Stream-stream interval joins bound both sides'
+  join state by the watermark + lookback interval, never stream history.
+- **Corpus assembly (packing.py).** Sequence packing windows only inside
+  n_groups hash buckets — per-partition sort of corpus/n_groups rows,
+  no global ORDER BY; raise n_groups with cluster size.  Domain mixture
+  costs one tiny count aggregate (broadcast back into the plan) plus one
+  rank window partitioned by domain; pre-cap giant domains with
+  cap_per_group to bound window partitions.  Shard assignment is
+  map-side arithmetic; write_sharded's repartition(shard) is the single
+  intentional global shuffle of the final corpus.  Cluster dedup
+  explodes k*dim seed rows (broadcast) against the corpus — linear in
+  corpus size for fixed k; for large k use the IVF index path instead.
+- **Data layout (layout.py).** Z-order writes are one range shuffle on
+  the z-value; the payoff is at read time (row-group skipping on every
+  clustered column).  compact_files sizes output from plan statistics —
+  no counting job over the fragments.  skew_stats is a TakeOrdered
+  top-N: per-partition heaps, driver merges top_n x partitions rows.
 """
 
 
