@@ -82,3 +82,40 @@ def test_ivf_pq_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     probe = idx.search(spark, qv, source=e, k=5, nprobe=2)
     plan = A.plan_string(probe)
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan[:3000]
+
+
+def test_sequence_packing_two_shuffles_pruned_scan(spark, sf_dir):
+    """Packing = one window shuffle on pack_group (reused by the agg) + the
+    final order; the scan reads only (doc_id, text)."""
+    df = QUERIES["sequence_packing"](spark, sf_dir)
+    assert set(A.read_schema_columns(df)) <= {"doc_id", "text"}, A.plan_string(df)
+    assert A.count_exchanges(df) <= 2, A.plan_string(df)
+
+
+def test_domain_mixture_broadcasts_feasible_n(spark, sf_dir):
+    """The per-domain counts and feasible-N aggregates re-enter the plan as
+    broadcast joins — no driver-side fetch."""
+    df = QUERIES["domain_mixture"](spark, sf_dir)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+
+
+def test_cluster_dedup_broadcasts_seeds(spark, sf_dir):
+    df = QUERIES["semantic_cluster_dedup"](spark, sf_dir)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+
+
+def test_skew_topkeys_take_ordered(spark, sf_dir):
+    """Global top-N of key counts must be TakeOrderedAndProject, never a
+    single-partition full sort of every distinct key."""
+    df = QUERIES["skew_topkeys"](spark, sf_dir)
+    assert A.uses_take_ordered(df), A.plan_string(df)
+
+
+def test_zorder_layout_single_agg_shuffle(spark, sf_dir):
+    """z-value arithmetic is map-side (stats broadcast into the plan); the
+    data-path exchanges are the one-row stats agg + its broadcast + the
+    bucket aggregate + the final order — nothing shuffles the table twice."""
+    df = QUERIES["zorder_layout"](spark, sf_dir)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+    assert A.count_exchanges(df) <= 4, A.plan_string(df)
+    assert set(A.read_schema_columns(df)) <= {"o_custkey", "o_totalprice"}
