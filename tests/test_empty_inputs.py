@@ -95,3 +95,60 @@ def test_chunk_and_strip_html_null_safety(spark):
     assert df.select(strip_html("text").alias("t")).first()["t"] is None
     # null text -> tokens() null -> one empty chunk row, not a crash
     assert chunk_documents(df).count() <= 1
+
+
+def test_pack_sequences_empty(empty_docs):
+    from vector_search_databricks_poc_spark.operators.packing import pack_sequences
+
+    d = empty_docs.select("doc_id", F.lit(0).cast("long").alias("n_tokens"))
+    out = pack_sequences(d, budget=128, n_groups=4)
+    assert out.count() == 0
+    assert {"pack_group", "pack_id", "pack_pos"} <= set(out.columns)
+
+
+def test_domain_mixture_empty_and_unmatched(spark, empty_docs):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        domain_mixture_sample,
+    )
+
+    d = empty_docs.withColumn("source", F.lit("x"))
+    assert domain_mixture_sample(d, "source", {"a": 1.0}).count() == 0
+    # non-empty frame, but no domain matches the weights -> empty, not error
+    one = spark.createDataFrame([(1, "t", "zzz")], "doc_id long, text string, source string")
+    assert domain_mixture_sample(one, "source", {"a": 1.0}).count() == 0
+
+
+def test_cluster_dedup_fewer_rows_than_k(spark):
+    from vector_search_databricks_poc_spark.operators.packing import cluster_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = cluster_dedup(df, k=8).collect()
+    assert len(out) == 2 and all(r.is_keeper for r in out)
+
+
+def test_z_value_constant_column(spark):
+    """A constant column must not divide by zero; its bits contribute 0."""
+    from vector_search_databricks_poc_spark.operators.layout import z_value
+
+    df = spark.createDataFrame([(7, 1), (7, 2), (7, 3)], "a long, b long")
+    zs = [r._z for r in z_value(df, ["a", "b"], bits=4).collect()]
+    assert len(zs) == 3 and len(set(zs)) == 3  # b still discriminates
+
+
+def test_skew_stats_empty(spark):
+    from vector_search_databricks_poc_spark.operators.layout import skew_stats
+
+    e = spark.createDataFrame([], "k long")
+    assert skew_stats(e, ["k"]).count() == 0
+
+
+def test_interval_join_empty_sides(spark, sf_dir):
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    empty = ev.limit(0)
+    assert interval_join(empty, ev, key="user_id").count() == 0
+    assert interval_join(ev, empty, key="user_id").count() == 0
