@@ -2737,6 +2737,21 @@ def event_attribution(spark, sf_dir):
     return attribution_report(joined)
 
 
+@register("sketch_cardinality_profile")
+def sketch_cardinality_profile(spark, sf_dir):
+    """Mergeable-sketch profiling: per-source HLL sketches of three document
+    columns, unioned into global cardinality estimates, reported against the
+    exact distinct counts with relative error.  The pattern that replaces
+    COUNT(DISTINCT)'s full shuffle at 100 TB with persistable per-shard
+    sketches; accuracy bound asserted in tests/test_sketches.py."""
+    from .operators.sketches import sketch_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return sketch_profile(
+        d, ["doc_id", "lang", "n_chars"], shard_col="source"
+    ).orderBy("col")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
