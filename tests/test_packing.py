@@ -188,3 +188,53 @@ def test_cluster_dedup_contract(spark):
     )
     assert per and all(r.keepers == 1 and r.keeper_sim == r.best for r in per)
     out.unpersist()
+
+
+def test_assemble_training_corpus_stages(spark):
+    """Stage-by-stage contract of the assembly tail: PII gone, only mixture
+    domains survive at the right proportions, every pack fits the budget,
+    shards are in range and deterministic."""
+    from vector_search_databricks_poc_spark.pipelines import (
+        assemble_training_corpus,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    # plant deterministic PII so redaction is observable
+    d = d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail me at a@b.com"))
+    )
+    out = assemble_training_corpus(
+        d,
+        domain_col="source",
+        mixture={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        pack_budget=256,
+        pack_groups=4,
+        n_shards=8,
+    ).cache()
+    rows = out.collect()
+    assert rows
+    assert all("a@b.com" not in r.text and "<EMAIL>" in r.text for r in rows)
+    per_domain = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per_domain) == {"src0", "src1", "src2"}
+    assert per_domain["src0"] == 25 and per_domain["src1"] == 15 and per_domain["src2"] == 10
+    assert all(0 <= r.pack_pos < 256 for r in rows)
+    assert all(0 <= r.shard < 8 for r in rows)
+    # determinism: a second build assigns identical packs and shards
+    again = assemble_training_corpus(
+        d,
+        domain_col="source",
+        mixture={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        pack_budget=256,
+        pack_groups=4,
+        n_shards=8,
+    )
+    assert out.select("doc_id", "pack_id", "shard").exceptAll(
+        again.select("doc_id", "pack_id", "shard")
+    ).count() == 0
+    out.unpersist()
+
+
+def test_corpus_assembly_pipeline_query(spark):
+    rows = R.QUERIES["corpus_assembly_pipeline"](spark, SF_DIR).collect()
+    assert rows and all(r.n_packs >= 1 and r.n_docs >= r.n_packs - 1 for r in rows)
+    assert {r.shard for r in rows} <= set(range(8))

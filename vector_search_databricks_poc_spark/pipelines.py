@@ -118,6 +118,47 @@ def prepare_training_data(
     return train_test_split(deduped, id_col, test_fraction=test_fraction)
 
 
+def assemble_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str | None = None,
+    mixture: dict[str, float] | None = None,
+    redact: bool = True,
+    pack_budget: int = 2048,
+    pack_groups: int = 64,
+    n_shards: int = 1024,
+) -> DataFrame:
+    """The assembly tail of the data-prep pipeline — run on the TRAIN side
+    of :func:`prepare_training_data`:
+
+      PII redaction -> domain-mixture resample -> token count ->
+      sequence packing -> shard assignment
+
+    Everything is deterministic arithmetic (same packs/shards every run,
+    any cluster size); the result is lazy and ready for
+    ``write_sharded``-style output partitioned by ``shard``.
+    """
+    from .operators.packing import (
+        domain_mixture_sample,
+        pack_sequences,
+        shard_assignment,
+    )
+    from .operators.text import redact_pii, token_count
+
+    out = docs
+    if redact:
+        out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+    if mixture and domain_col:
+        out = domain_mixture_sample(out, domain_col, mixture, id_col)
+    out = out.withColumn("n_tokens", token_count(F.col(text_col)))
+    out = pack_sequences(
+        out, id_col=id_col, tokens_col="n_tokens",
+        budget=pack_budget, n_groups=pack_groups,
+    )
+    return shard_assignment(out, id_col=id_col, n_shards=n_shards)
+
+
 def search_pipeline(
     spark: SparkSession,
     index: IvfIndex,

@@ -2752,6 +2752,40 @@ def sketch_cardinality_profile(spark, sf_dir):
     ).orderBy("col")
 
 
+@register("corpus_assembly_pipeline")
+def corpus_assembly_pipeline(spark, sf_dir):
+    """End-to-end assembly tail (pipelines.assemble_training_corpus): the
+    TRAIN split of the north-star pipeline -> PII redaction -> 40/30/30
+    domain mixture -> 512-token sequence packing -> 8-way sharding; output
+    is the per-shard summary (packs, docs, tokens).  Deterministic but
+    engine-hashed upstream (MinHash dedup) -> rows-only; stage invariants
+    tested in tests/test_packing.py."""
+    from .pipelines import assemble_training_corpus, prepare_training_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, _ = prepare_training_data(
+        docs, langs=("en",), min_quality=0.2, near_dup_threshold=0.7,
+        test_fraction=0.2,
+    )
+    corpus = assemble_training_corpus(
+        train,
+        domain_col="source",
+        mixture={"src0": 0.4, "src1": 0.3, "src2": 0.3},
+        pack_budget=512,
+        pack_groups=8,
+        n_shards=8,
+    )
+    return (
+        corpus.groupBy("shard")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
