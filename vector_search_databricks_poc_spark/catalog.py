@@ -54,12 +54,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as long ns under
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs (same floor
-        # division DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
-        from pyspark.sql import functions as F
+        df = _normalize_event_ts(df)
+    return _normalize_ntz(df)
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-zoned TIMESTAMP.
+
+    Fixture generations vary: parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    reads as TIMESTAMP_NTZ, earlier corpora read as TIMESTAMP_LTZ.  The
+    session zone is pinned to UTC (_ensure_conf), so the cast reinterprets the
+    naive value without changing the wall-clock reading — downstream operators
+    and the DuckDB oracle (naive µs TIMESTAMP) see identical values either way.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts``: the original fixture encoded it as parquet
+    TIMESTAMP(NANOS), which reads as long ns under
+    spark.sql.legacy.parquet.nanosAsLong — truncate to µs (same floor
+    division DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).  Micros
+    fixtures fall through to _normalize_ntz."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

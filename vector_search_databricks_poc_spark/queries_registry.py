@@ -1247,20 +1247,20 @@ def session_windows(spark, sf_dir):
 def _events_stream(spark, sf_dir):
     """Replay the events fixture as a file-source stream.  The parquet file
     is symlinked into a temp directory (Spark's file stream source requires
-    a directory), read with the raw ns-long schema, converted to µs — the
-    same normalization the batch loader applies."""
+    a directory), read with the raw fixture schema, then normalized to
+    session-zoned µs TIMESTAMP — the same normalization the batch loader
+    applies (handles both ns-long and TIMESTAMP_NTZ fixture encodings)."""
     import os
     import tempfile
 
-    load_table(spark, sf_dir, "events")  # ensures session confs (nanosAsLong)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long ns
+    from .catalog import _normalize_event_ts, _normalize_ntz
+
+    load_table(spark, sf_dir, "events")  # ensures session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return _normalize_ntz(_normalize_event_ts(stream))
 
 
 def streaming_tumbling_equiv(spark, sf_dir):
