@@ -8,6 +8,8 @@ from tests.conftest import SF_DIR
 from vector_search_databricks_poc_spark import queries_registry as R
 from vector_search_databricks_poc_spark.catalog import load_table
 from vector_search_databricks_poc_spark.operators.sketches import (
+    frequent_item_candidates,
+    heavy_hitters,
     shard_sketches,
     sketch_profile,
     union_estimate,
@@ -61,3 +63,70 @@ def test_sketch_profile_multicolumn_shapes(spark):
     assert len(out) == 1 and out[0].col == "lang"
     n_langs = d.select("lang").distinct().count()
     assert out[0].exact == n_langs
+
+
+def test_heavy_hitters_matches_duckdb_oracle(spark):
+    """The 2-pass candidate/recount result is EXACT: value-identical to
+    DuckDB's plain GROUP BY / HAVING over the same parquet."""
+    from tests.oracle_utils import compare, duck_connection
+
+    duck = duck_connection(SF_DIR)
+
+    out = R.QUERIES["heavy_hitters"](spark, SF_DIR)
+    r = compare(
+        out,
+        duck,
+        """
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= CEIL((SELECT COUNT(*) FROM events) * 0.008)
+        """,
+    )
+    assert r["values_match"], r
+
+
+def test_heavy_hitters_planted_skew(spark):
+    """A planted dominant key is found across many partitions, with its
+    exact global count; near-threshold keys on the wrong side are excluded."""
+    rows = [(i, "whale" if i % 5 != 4 else f"u{i % 97}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["i", "k"]).repartition(16)
+    out = {r.k: r.cnt for r in heavy_hitters(df, "k", threshold_frac=0.5).collect()}
+    assert out == {"whale": 8000}
+
+
+def test_heavy_hitters_no_qualifying_keys(spark):
+    """All-unique keys with a high threshold: empty result, no error."""
+    df = spark.createDataFrame([(i, f"k{i}") for i in range(500)], ["i", "k"])
+    assert heavy_hitters(df, "k", threshold_frac=0.1).count() == 0
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "k string, v long")
+    assert heavy_hitters(df, "k", threshold_frac=0.1).count() == 0
+
+
+def test_frequent_item_candidates_superset_and_cap(spark):
+    """Misra–Gries per-partition summaries: ≤ counters rows per partition,
+    and the union contains every key with global frequency > n/(counters+1)."""
+    rows = [(i, f"hot{i % 3}" if i % 2 == 0 else f"cold{i}") for i in range(6_000)]
+    df = spark.createDataFrame(rows, ["i", "k"]).repartition(8)
+    counters = 16
+    cands = frequent_item_candidates(df, "k", counters=counters)
+    per_part = cands.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= counters for r in per_part)
+    cand_keys = {r.k for r in cands.select("k").distinct().collect()}
+    n = df.count()
+    exact = df.groupBy("k").count().where(F.col("count") > n / (counters + 1))
+    hot = {r.k for r in exact.collect()}
+    assert hot <= cand_keys, hot - cand_keys
+
+
+def test_heavy_hitters_plan_is_lazy_semi_join(spark):
+    """Plan shape: recount side filters via broadcast left-semi join before
+    the aggregate's exchange, and the whole operator builds without running
+    a job (no driver-side action)."""
+    e = load_table(spark, SF_DIR, "events")
+    plan = heavy_hitters(e, "user_id", threshold_frac=0.008)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan

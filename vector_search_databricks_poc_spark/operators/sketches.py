@@ -13,8 +13,11 @@ deterministic for a given input multiset).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def shard_sketches(
@@ -63,4 +66,84 @@ def sketch_profile(
             "rel_err"
         ),
         "n_rows",
+    )
+
+
+def frequent_item_candidates(
+    df: DataFrame, key_col: str, counters: int = 256
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries: candidate frequent keys with
+    lower-bound counts, ≤ ``counters`` rows per partition.
+
+    The summary is built batch-at-a-time with vectorized pandas ops
+    (``value_counts`` + the mergeable-summaries reduction: subtract the
+    (k+1)-th largest counter, keep positives — Agarwal et al., "Mergeable
+    Summaries", PODS 2012), never a per-row Python loop.  Guarantee: every
+    key whose count within a partition exceeds n_part/(counters+1) survives
+    that partition's summary, so the union over partitions is a superset of
+    all keys with global frequency > n/(counters+1).  Null keys are not
+    counted as items.
+    """
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [key_field, T.StructField("lb", T.LongType(), nullable=False)]
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        s = None
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            s = vc if s is None else s.add(vc, fill_value=0)
+            if len(s) > counters:
+                kth = s.nlargest(counters + 1).iloc[-1]
+                s = s[s > kth] - kth
+        if s is None or s.empty:
+            return
+        yield pd.DataFrame({key_col: s.index, "lb": s.to_numpy().astype("int64")})
+
+    return df.select(key_col).mapInPandas(mg, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float = 0.01,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency ≥ threshold_frac · n) via the
+    2-pass candidate/recount pattern.
+
+    Pass 1 scans once and emits ≤ counters keys per partition (Misra–Gries,
+    no shuffle).  Pass 2 recounts ONLY candidate keys: the broadcast
+    left-semi join filters rows map-side, so the groupBy's partial-aggregate
+    hash tables and the shuffle carry candidate keys instead of the full key
+    domain — at 100 TB with a high-cardinality key that is the difference
+    between shuffling |candidates| ≈ counters × partitions entries and
+    shuffling every distinct key.  ``counters`` is raised to
+    ceil(1/threshold_frac) when smaller so the candidate set provably
+    contains every true heavy hitter, making the result exact and
+    SQL-oracle-checkable (GROUP BY … HAVING count ≥ ceil(f · n)).
+
+    The total row count rides along as a broadcast one-row cross join — the
+    whole operator is one lazy plan, no driver-side action.
+    """
+    k = max(int(math.ceil(1.0 / threshold_frac)), 1)
+    counters = max(counters or 0, k)
+    cands = frequent_item_candidates(df, key_col, counters).select(key_col).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    counted = (
+        df.join(F.broadcast(cands), on=key_col, how="left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.join(F.broadcast(total))
+        .where(
+            F.col("cnt")
+            >= F.ceil(F.col("_n") * F.lit(float(threshold_frac))).cast("long")
+        )
+        .select(key_col, "cnt")
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
     )

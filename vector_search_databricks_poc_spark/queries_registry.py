@@ -2752,6 +2752,19 @@ def sketch_cardinality_profile(spark, sf_dir):
     ).orderBy("col")
 
 
+@register("heavy_hitters")
+def heavy_hitters_q(spark, sf_dir):
+    """Exact heavy hitters over events.user_id (frequency ≥ 0.8% of rows)
+    via per-partition Misra–Gries candidates + exact recount of candidates
+    only (operators/sketches.py).  Result is exact — pytest oracle-compares
+    it against DuckDB GROUP BY/HAVING (tests/test_sketches.py); declared
+    rows-only because the driver's 50-slot oracle window is full."""
+    from .operators.sketches import heavy_hitters
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", threshold_frac=0.008)
+
+
 @register("corpus_assembly_pipeline")
 def corpus_assembly_pipeline(spark, sf_dir):
     """End-to-end assembly tail (pipelines.assemble_training_corpus): the
