@@ -122,6 +122,62 @@ def test_frequent_item_candidates_superset_and_cap(spark):
     assert hot <= cand_keys, hot - cand_keys
 
 
+def test_quantile_profile_within_bin_width(spark):
+    """Histogram quantile estimates are within one bin width of the exact
+    percentile at every requested p (the operator's error bound)."""
+    rows = R.QUERIES["quantile_profile"](spark, SF_DIR).collect()
+    assert [r.p for r in rows] == [0.25, 0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.abs_err <= r.bin_width + 1e-9, (r.p, r.abs_err, r.bin_width)
+
+
+def test_shard_histograms_merge_is_additive(spark):
+    """The incremental contract: with PINNED bounds, histograms of two
+    disjoint subsets built in separate runs merge (bucket-count addition)
+    into exactly the whole-table histogram — no rescan of old shards."""
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        shard_histograms,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    lo, hi = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    pinned = (float(lo), float(hi))
+
+    def merged_counts(df):
+        h = shard_histograms(df, "o_orderpriority", "o_totalprice", bins=32, bounds=pinned)
+        return {
+            r.bucket: r.cnt
+            for r in h.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+        }
+
+    whole = merged_counts(o)
+    old = merged_counts(o.where(F.col("o_orderpriority") != "1-URGENT"))
+    new = merged_counts(o.where(F.col("o_orderpriority") == "1-URGENT"))
+    summed = {
+        b: old.get(b, 0) + new.get(b, 0) for b in set(old) | set(new)
+    }
+    assert summed == whole
+
+
+def test_histogram_quantiles_exact_on_uniform_keys(spark):
+    """Deterministic check on a known distribution: quantiles of 1..10000
+    land within one bin of the true value."""
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        histogram_quantiles,
+        shard_histograms,
+    )
+
+    df = spark.range(1, 10_001).select(
+        F.col("id").alias("v"), (F.col("id") % 4).alias("shard")
+    )
+    hist = shard_histograms(df, "shard", "v", bins=100)
+    out = {r.p: r.estimate for r in histogram_quantiles(hist, (0.5, 0.9), bins=100).collect()}
+    assert abs(out[0.5] - 5000) <= 100, out
+    assert abs(out[0.9] - 9000) <= 100, out
+
+
 def test_heavy_hitters_plan_is_lazy_semi_join(spark):
     """Plan shape: recount side filters via broadcast left-semi join before
     the aggregate's exchange, and the whole operator builds without running

@@ -6,6 +6,8 @@ from vector_search_databricks_poc_spark.catalog import ensure_database, load_tab
 from vector_search_databricks_poc_spark.sources.files import (
     read_csv,
     read_jsonl,
+    read_jsonl_quarantine,
+    read_parquet_evolved,
     write_partitioned,
 )
 
@@ -44,6 +46,51 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     scan = spark.read.parquet(path).where(F.col("lang") == "en")
     assert scan.count() == docs.where(F.col("lang") == "en").count()
     assert "PartitionFilters: [isnotnull(lang" in plan_string(scan) or "lang#" in plan_string(scan)
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """Malformed lines land in the quarantine leg with the raw text; good
+    rows parse fully; neither kills the job; counts add up."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = tmp_path / "landing"
+    path.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "ok one"}',
+        '{"doc_id": 2, "text": "ok two"}',
+        '{"doc_id": 3, "text": "truncated',  # invalid JSON
+        "not json at all",
+        '{"doc_id": 5, "text": "ok three"}',
+    ]
+    (path / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(path), schema)
+    assert good.columns == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 5]
+    assert bad.columns == ["doc_id", "text", "raw_line"]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert "not json at all" in {r.raw_line for r in bad_rows}
+    assert all(r.doc_id is None for r in bad_rows)
+
+
+def test_parquet_evolved_merges_generations(spark, tmp_path):
+    """mergeSchema read across two parquet generations: the new column
+    reads as null for old files, values survive for new ones."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "text"])
+    new = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "fr")], ["id", "text", "lang"]
+    )
+    p_old, p_new = str(tmp_path / "g1"), str(tmp_path / "g2")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    merged = read_parquet_evolved(spark, p_old, p_new)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r.id: r.lang for r in merged.collect()}
+    assert rows[1] is None and rows[3] == "en"
+    assert merged.count() == 4
 
 
 def test_ensure_database(spark):

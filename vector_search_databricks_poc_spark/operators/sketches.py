@@ -69,6 +69,157 @@ def sketch_profile(
     )
 
 
+def shard_histograms(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    bins: int = 64,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Per-shard fixed-bin histogram of ``value_col`` — the mergeable
+    distribution artifact (≤ ``bins`` rows per shard: bucket, count, and
+    the [lo, hi] the binning was defined over).
+
+    Histograms merge by bucket-count addition ONLY when built over the same
+    [lo, hi]: pass explicit ``bounds`` for persisted incremental profiles
+    (new shards histogrammed later with the pinned bounds merge exactly —
+    same contract as the HLL sketches above, for quantiles instead of
+    cardinality; values outside pinned bounds clamp into the edge bins).
+    With ``bounds=None`` the global min/max is computed once in-plan and
+    rides along as a broadcast one-row cross join — still one lazy plan.
+    Null values are excluded; all-equal values degenerate to bucket 0.
+    """
+    v = F.col(value_col).cast("double")
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        bnd = df.sparkSession.range(1).select(
+            F.lit(lo).alias("_lo"), F.lit(hi).alias("_hi")
+        )
+    else:
+        bnd = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    bounds_df = bnd
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(bins - 1), F.floor((v - F.col("_lo")) / width)),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.join(F.broadcast(bounds_df))
+        .where(v.isNotNull())
+        .groupBy(F.col(shard_col), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("_lo").alias("lo"),
+            F.first("_hi").alias("hi"),
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, probs: tuple[float, ...], bins: int = 64
+) -> DataFrame:
+    """Quantile estimates from merged shard histograms: (p, estimate).
+
+    Merges bucket counts across shards (one tiny shuffle over ≤ bins keys),
+    runs a cumulative sum over the ≤ ``bins`` merged rows (single-partition
+    window — over histogram rows, never data rows), then linearly
+    interpolates each requested quantile inside its bucket.  Worst-case
+    error is one bin width; the base data is never touched.
+    """
+    from pyspark.sql import Window
+
+    merged = hist.groupBy("bucket").agg(
+        F.sum("cnt").alias("cnt"), F.first("lo").alias("lo"), F.first("hi").alias("hi")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bucket",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    spark = hist.sparkSession
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    total = hist.agg(F.sum("cnt").alias("_n"))
+    targets = probs_df.crossJoin(F.broadcast(total)).select(
+        "p", (F.col("p") * F.col("_n")).alias("target")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    frac = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), (F.col("target") - F.col("cum_prev")) / F.col("cnt")),
+    )
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + width * (F.col("bucket") + frac)
+    )
+    picked = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("p")
+        .agg(
+            F.min_by(F.struct("bucket", "cnt", "cum_prev", "lo", "hi"), "bucket").alias(
+                "_s"
+            ),
+            F.first("target").alias("target"),
+        )
+        .select("p", "target", "_s.*")
+    )
+    return picked.select("p", est.alias("estimate")).orderBy("p")
+
+
+def quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    bins: int = 128,
+) -> DataFrame:
+    """Accuracy audit for the histogram-quantile pattern: estimate vs the
+    exact percentile, with the bin-width error bound alongside — run at
+    small scale before trusting merged histograms at 100 TB."""
+    hist = shard_histograms(df, shard_col, value_col, bins)
+    est = histogram_quantiles(hist, probs, bins)
+    v = F.col(value_col).cast("double")
+    exact = df.agg(
+        *[
+            F.percentile(v, F.lit(float(p))).alias(f"_x{i}")
+            for i, p in enumerate(probs)
+        ],
+        ((F.max(v) - F.min(v)) / F.lit(float(bins))).alias("bin_width"),
+    )
+    exact_rows = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"), F.col(f"_x{i}").alias("exact")
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("e"),
+        "bin_width",
+    ).select("e.p", "e.exact", "bin_width")
+    return (
+        est.join(exact_rows, "p")
+        .select(
+            "p",
+            F.round("estimate", 4).alias("estimate"),
+            F.round("exact", 4).alias("exact"),
+            F.round(F.abs(F.col("estimate") - F.col("exact")), 4).alias("abs_err"),
+            F.round("bin_width", 4).alias("bin_width"),
+        )
+        .orderBy("p")
+    )
+
+
 def frequent_item_candidates(
     df: DataFrame, key_col: str, counters: int = 256
 ) -> DataFrame:

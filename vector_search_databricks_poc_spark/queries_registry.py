@@ -2765,6 +2765,21 @@ def heavy_hitters_q(spark, sf_dir):
     return heavy_hitters(e, "user_id", threshold_frac=0.008)
 
 
+@register("quantile_profile")
+def quantile_profile_q(spark, sf_dir):
+    """Mergeable histogram-quantile profiling of orders.o_totalprice:
+    per-priority fixed-bin histograms merged into global quantile estimates,
+    audited against exact percentiles with the bin-width error bound
+    (operators/sketches.py).  Rows-only; accuracy asserted in
+    tests/test_sketches.py (abs_err <= bin_width)."""
+    from .operators.sketches import quantile_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return quantile_profile(
+        o, "o_totalprice", shard_col="o_orderpriority", probs=(0.25, 0.5, 0.9, 0.99)
+    )
+
+
 @register("corpus_assembly_pipeline")
 def corpus_assembly_pipeline(spark, sf_dir):
     """End-to-end assembly tail (pipelines.assemble_training_corpus): the

@@ -33,6 +33,53 @@ def read_csv(
     )
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL read with malformed-line quarantine.
+
+    Returns ``(good, bad)`` built from ONE source scan: the reader parses
+    with the declared schema plus a ``_corrupt_record`` column; rows that
+    fail to parse surface there (other columns null) instead of killing the
+    job — the 100 TB contract, where a handful of truncated lines in a
+    million landing files must not abort ingestion.  ``good`` drops the
+    marker column; ``bad`` carries the raw line for a quarantine sink.
+
+    Note Spark's documented caveat: a query referencing ONLY the corrupt
+    column is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
+    would short-circuit).  ``bad`` therefore keeps the parsed columns
+    (null for malformed lines) alongside ``raw_line``; quarantine sinks
+    write the full row, which also preserves any partially-parsed fields.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    marker = "_corrupt_record"
+    full = StructType(
+        list(schema.fields) + [StructField(marker, StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", marker)
+        .json(path)
+    )
+    good = raw.where(F.col(marker).isNull()).drop(marker)
+    bad = raw.where(F.col(marker).isNotNull()).withColumnRenamed(
+        marker, "raw_line"
+    )
+    return good, bad
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read across parquet generations: ``mergeSchema``
+    unions the file schemas (reference's escape hatch is the write-side
+    ``overwriteSchema``, syntetic_data_arxiv.py:131 — read-side merge is
+    the standalone equivalent).  Columns absent in older files read as
+    null; incompatible type changes fail loudly at planning time."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
