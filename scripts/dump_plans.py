@@ -23,6 +23,8 @@ NAMES = [
     "sequence_packing",
     "domain_mixture",
     "semantic_cluster_dedup",
+    "heavy_hitters",
+    "quantile_profile",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
