@@ -47,6 +47,69 @@ def test_minhash_finds_planted_near_dups(docs_with_dups):
     assert (3, 9003) in pairs
 
 
+def test_incremental_near_dup_matches_one_shot(spark, sf_dir, tmp_path):
+    """The incremental path (persisted signature store + new batch) returns
+    EXACTLY the pairs the one-shot run over (historical ∪ new) returns,
+    restricted to pairs touching the new batch — same hash family, same
+    jaccard values; origin labels distinguish store hits from intra-batch."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.where(F.col("doc_id") < 200)
+    base = {r["doc_id"]: r["text"] for r in hist.where(F.col("doc_id").isin([5, 6])).collect()}
+    t5 = base[5].split(" ")
+    t5[len(t5) // 2] = "GRAFTED"
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=9101, text=" ".join(t5)),     # near-dup of hist doc 5
+            Row(doc_id=9102, text=base[6]),           # exact dup of hist doc 6
+            Row(doc_id=9103, text=base[6] + " tail"), # near-dup of 9102 AND 6
+            Row(doc_id=9104, text="a totally unrelated fresh document " * 4),
+        ]
+    )
+    store_path = str(tmp_path / "sigstore")
+    D.write_signature_store(hist, store_path)
+    store = spark.read.parquet(store_path)
+    inc = D.incremental_minhash_near_dup(
+        new, store, hist, threshold=0.5
+    ).collect()
+    full = D.minhash_near_dup_pairs(
+        hist.unionByName(new), threshold=0.5
+    ).collect()
+    new_ids = {9101, 9102, 9103, 9104}
+    expected = {
+        frozenset((r.id_a, r.id_b)): r.jaccard
+        for r in full
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    got = {frozenset((r.id_a, r.id_b)): r.jaccard for r in inc}
+    assert got == expected
+    origins = {frozenset((r.id_a, r.id_b)): r.origin for r in inc}
+    assert origins[frozenset((9102, 6))] == "new_old"
+    assert origins[frozenset((9102, 9103))] == "new_new"
+    # id_a is always the new-batch doc for store hits
+    assert all(r.id_a in new_ids for r in inc)
+
+
+def test_signature_store_append_and_next_batch(spark, sf_dir, tmp_path):
+    """Admitting a batch appends its band rows; the NEXT batch then matches
+    against both the original corpus and the appended batch."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.where(F.col("doc_id") < 100)
+    store_path = str(tmp_path / "sigstore")
+    D.write_signature_store(hist, store_path)
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=9201, text="completely novel batch two text " * 6)]
+    )
+    D.write_signature_store(batch2, store_path, mode="append")
+    store = spark.read.parquet(store_path)
+    batch3 = spark.createDataFrame(
+        [Row(doc_id=9301, text="completely novel batch two text " * 6 + "x")]
+    )
+    hist_all = hist.unionByName(batch2)
+    inc = D.incremental_minhash_near_dup(batch3, store, hist_all, threshold=0.5)
+    rows = inc.collect()
+    assert any(r.id_b == 9201 and r.origin == "new_old" for r in rows)
+
+
 def test_simhash_finds_planted_near_dups(docs_with_dups):
     pairs = D.simhash_near_dup_pairs(docs_with_dups, max_hamming=6).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

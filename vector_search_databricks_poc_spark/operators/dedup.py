@@ -191,6 +191,44 @@ def minhash_signatures_df(
     )
 
 
+def minhash_banded_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, _band, _bucket) LSH band rows — the joinable/persistable form of
+    a MinHash signature (``bands`` rows per doc).  Shared by the one-shot
+    self-join path (minhash_lsh_candidates) and the incremental signature
+    store (write_signature_store / incremental_minhash_near_dup)."""
+    rows_per_band = num_hashes // bands
+    # The callers reference this twice (self-join / cand-id union); without
+    # a materialization the whole shingle->hash->min pipeline runs twice.
+    # Signatures are tiny (num_hashes longs per doc) — checkpoint them.
+    # (In a production pipeline this is the persisted signature table.)
+    sig_fn = minhash_signatures_portable_df if portable else minhash_signatures_df
+    sig = sig_fn(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=False)
+
+    def band_bucket(b: int) -> Column:
+        vals = [F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        if portable:
+            acc = F.lit(0).cast("long")
+            for v in vals:
+                acc = (acc * 131 + v) % _PORTABLE_P
+            return acc
+        return F.xxhash64(F.concat_ws(",", *vals))
+
+    return sig.select(
+        id_col,
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
+            "_band", "_bucket"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,29 +256,7 @@ def minhash_lsh_candidates(
     bounded recall loss for bounded cost.  Default None = exact banding
     (required for the oracle-portable path).
     """
-    rows_per_band = num_hashes // bands
-    # The self-join below references the signature table twice; without a
-    # materialization the whole shingle->hash->min pipeline runs twice.
-    # Signatures are tiny (num_hashes longs per doc) — checkpoint them.
-    # (In a production pipeline this is the persisted signature table.)
-    sig_fn = minhash_signatures_portable_df if portable else minhash_signatures_df
-    sig = sig_fn(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=False)
-
-    def band_bucket(b: int) -> Column:
-        vals = [F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        if portable:
-            acc = F.lit(0).cast("long")
-            for v in vals:
-                acc = (acc * 131 + v) % _PORTABLE_P
-            return acc
-        return F.xxhash64(F.concat_ws(",", *vals))
-
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
-            "_band", "_bucket"
-        ),
-    )
+    banded = minhash_banded_df(df, id_col, text_col, n, num_hashes, bands, portable)
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W
 
@@ -310,6 +326,130 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the LSH band rows of a corpus as the incremental-dedup
+    signature store: parquet partitioned by ``_band``, appendable
+    (``mode='append'`` when a new batch is admitted).  The store holds
+    ``bands`` rows of (id, _bucket) per doc — a few dozen bytes, vs the
+    full text — so dedup of future batches never re-reads, re-hashes, or
+    shuffles the historical corpus."""
+    banded = minhash_banded_df(df, id_col, text_col, n, num_hashes, bands, portable)
+    banded.write.mode(mode).partitionBy("_band").parquet(path)
+
+
+def incremental_minhash_near_dup(
+    new_df: DataFrame,
+    store: DataFrame,
+    historical_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dups of a NEW batch against a persisted signature store plus
+    within the batch itself — without recomputing or shuffling anything
+    over the historical corpus.
+
+    Returns (id_a, id_b, jaccard, origin): origin='new_old' pairs a new doc
+    (id_a) with a store doc (id_b); origin='new_new' pairs two new docs
+    (id_a < id_b).  Exactness contract: identical hash family to the
+    one-shot path, so the result equals minhash_near_dup_pairs over
+    (historical ∪ new) restricted to pairs touching the new batch — the
+    equivalence is asserted in tests.  Id spaces must be disjoint across
+    batches.
+
+    100 TB shape: the new batch's band rows are BROADCAST into the store
+    join, so the store (bands × |corpus| rows) streams past them with no
+    shuffle and no driver materialization; historical text is touched only
+    for candidate ids (broadcast semi-join prune) during exact-verify.
+    """
+    new_banded = minhash_banded_df(
+        new_df, id_col, text_col, n, num_hashes, bands, portable
+    ).localCheckpoint(eager=False)
+
+    # new-vs-store candidates: store side never shuffles (broadcast probe)
+    cross = (
+        store.alias("s")
+        .join(
+            F.broadcast(new_banded).alias("nw"),
+            on=[
+                F.col("s._band") == F.col("nw._band"),
+                F.col("s._bucket") == F.col("nw._bucket"),
+            ],
+        )
+        .select(
+            F.col(f"nw.{id_col}").alias("id_a"),
+            F.col(f"s.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # new-vs-new candidates: band self-join within the (small) batch
+    l, r = new_banded.alias("l"), new_banded.alias("r")
+    intra = (
+        l.join(
+            r,
+            on=[
+                F.col("l._band") == F.col("r._band"),
+                F.col("l._bucket") == F.col("r._bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = (
+        cross.withColumn("origin", F.lit("new_old"))
+        .unionByName(intra.withColumn("origin", F.lit("new_new")))
+        .localCheckpoint(eager=False)  # referenced by two shingle joins below
+    )
+
+    sh_new = new_df.join(
+        F.broadcast(
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        ),
+        on=id_col,
+        how="left_semi",
+    ).select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_sh"))
+    sh_old = historical_df.join(
+        F.broadcast(cands.select(F.col("id_b").alias(id_col)).distinct()),
+        on=id_col,
+        how="left_semi",
+    ).select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_sh"))
+    # id_a is always a new doc; id_b is a store doc for new_old pairs and a
+    # new doc for new_new pairs — resolve from the union of both shingle legs
+    sh_b = sh_new.unionByName(sh_old).dropDuplicates([id_col])
+    return (
+        cands.join(
+            sh_new.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_b.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "origin")
     )
 
 

@@ -2765,6 +2765,25 @@ def heavy_hitters_q(spark, sf_dir):
     return heavy_hitters(e, "user_id", threshold_frac=0.008)
 
 
+@register("incremental_near_dup")
+def incremental_near_dup_q(spark, sf_dir):
+    """B10/B21 incremental near-dup: persist the signature store for the
+    first half of the corpus (the admitted batches), then dedup the second
+    half against the store + itself — historical text touched only for
+    candidate ids, store probed via broadcast (no store shuffle).
+    Rows-only; exact equivalence to the one-shot path asserted in
+    tests/test_dedup_text.py."""
+    from .operators.dedup import incremental_minhash_near_dup, write_signature_store
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = d.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    hist, new = d.where(F.col("doc_id") <= half), d.where(F.col("doc_id") > half)
+    store_path = f"{_scratch_dir('sigstore_')}/store"
+    write_signature_store(hist, store_path)
+    store = spark.read.parquet(store_path)
+    return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
+
+
 @register("quantile_profile")
 def quantile_profile_q(spark, sf_dir):
     """Mergeable histogram-quantile profiling of orders.o_totalprice:
