@@ -23,6 +23,8 @@ NAMES = [
     "pricing_summary",
     "join_star_revenue",
     "tumbling_window",
+    "heavy_hitters",
+    "quantile_profile",
 ]
 
 
@@ -87,6 +89,24 @@ every operator in this repo:
   clustered column).  compact_files sizes output from plan statistics —
   no counting job over the fragments.  skew_stats is a TakeOrdered
   top-N: per-partition heaps, driver merges top_n x partitions rows.
+- **Sketch profiling (sketches.py).** HLL cardinality, Misra-Gries
+  heavy hitters, and fixed-bin histogram quantiles are all mergeable
+  artifacts: per-shard rows of KBs that persist next to the data and
+  re-merge when new shards land — no rescan of old shards, ever.  Heavy
+  hitters recounts ONLY Misra-Gries candidates (broadcast semi-join
+  filters map-side), so the exact pass shuffles ~counters x partitions
+  keys instead of the full key domain; histogram quantiles interpolate
+  over <= bins merged rows (the single-partition window is over
+  histogram rows, never data rows).
+- **Incremental near-dup (dedup.py signature store).** Admitted batches
+  persist band rows (bands x 8 bytes per doc); a new batch's band rows
+  BROADCAST into the store join, so the 100 TB store streams past with
+  no shuffle and is never re-hashed.  Historical text is read only for
+  candidate ids (broadcast semi-join prune) during exact verify.
+- **Landing ingestion (sources/files.py).** PERMISSIVE quarantine split
+  costs one scan: malformed lines route to a quarantine sink instead of
+  aborting a million-file ingest; schemas are always declared (inference
+  would read the data twice and can drift between runs).
 """
 
 
