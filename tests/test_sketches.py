@@ -178,6 +178,32 @@ def test_histogram_quantiles_exact_on_uniform_keys(spark):
     assert abs(out[0.9] - 9000) <= 100, out
 
 
+def test_distribution_drift_zero_for_identical(spark):
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        distribution_drift,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_totalprice")
+    r = distribution_drift(o, o, "o_totalprice").first()
+    assert r.tv_distance == 0.0
+    assert r.n_old == r.n_new
+
+
+def test_distribution_drift_detects_shift(spark):
+    """A mean shift of half the range produces large TV distance; a tiny
+    jitter produces a small one — and both stay in [0, 1]."""
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        distribution_drift,
+    )
+
+    base = spark.range(10_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    shifted = base.select((F.col("v") + 800).alias("v"))
+    jitter = base.select((F.col("v") + 1).alias("v"))
+    big = distribution_drift(base, shifted, "v").first().tv_distance
+    small = distribution_drift(base, jitter, "v").first().tv_distance
+    assert 0 <= small < 0.1 < big <= 1, (small, big)
+
+
 def test_heavy_hitters_plan_is_lazy_semi_join(spark):
     """Plan shape: recount side filters via broadcast left-semi join before
     the aggregate's exchange, and the whole operator builds without running

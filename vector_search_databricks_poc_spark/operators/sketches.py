@@ -220,6 +220,50 @@ def quantile_profile(
     )
 
 
+def distribution_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    value_col: str,
+    bins: int = 64,
+) -> DataFrame:
+    """Distribution drift of ``value_col`` between two corpus snapshots:
+    one row (n_old, n_new, tv_distance) where tv_distance is the total
+    variation distance between the two fixed-bin histograms (0 = identical
+    binned distributions, 1 = disjoint support).
+
+    Both sides are histogrammed over SHARED bounds (computed in-plan over
+    the union, so the buckets align by construction), then TV =
+    ½ · Σ|p_b − q_b| over ≤ bins merged rows.  The run-before-retraining
+    check "did the new crawl shift the data?" — cost is one scan of each
+    side plus sketch-sized reductions.
+    """
+    tagged = old_df.select(
+        F.col(value_col), F.lit("old").alias("_side")
+    ).unionByName(new_df.select(F.col(value_col), F.lit("new").alias("_side")))
+    hist = shard_histograms(tagged, "_side", value_col, bins)
+    sides = hist.groupBy("bucket").pivot("_side", ["old", "new"]).agg(
+        F.first("cnt")
+    )
+    totals = hist.groupBy().pivot("_side", ["old", "new"]).agg(F.sum("cnt"))
+    n_old, n_new = F.col("_n_old"), F.col("_n_new")
+    p = F.coalesce(F.col("old"), F.lit(0)) / n_old
+    q = F.coalesce(F.col("new"), F.lit(0)) / n_new
+    return (
+        sides.join(
+            F.broadcast(
+                totals.select(
+                    F.col("old").alias("_n_old"), F.col("new").alias("_n_new")
+                )
+            )
+        )
+        .agg(
+            F.first(n_old).alias("n_old"),
+            F.first(n_new).alias("n_new"),
+            F.round(F.sum(F.abs(p - q)) / 2, 6).alias("tv_distance"),
+        )
+    )
+
+
 def frequent_item_candidates(
     df: DataFrame, key_col: str, counters: int = 256
 ) -> DataFrame:

@@ -2784,6 +2784,21 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
+@register("distribution_drift")
+def distribution_drift_q(spark, sf_dir):
+    """Snapshot drift check: TV distance between the document-length
+    distributions of the even-id and odd-id halves of the corpus
+    (shared-bounds fixed-bin histograms, operators/sketches.py).  Lazy
+    one-plan build (modulo split, no driver action).  Rows-only; identity
+    and shift behavior asserted in tests/test_sketches.py."""
+    from .operators.sketches import distribution_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return distribution_drift(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1), "n_chars"
+    )
+
+
 @register("quantile_profile")
 def quantile_profile_q(spark, sf_dir):
     """Mergeable histogram-quantile profiling of orders.o_totalprice:
