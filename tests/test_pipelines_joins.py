@@ -186,3 +186,61 @@ def test_chunk_embed_search_composition(spark, sf_dir):
     hits = top_k_similar(embedded, qvec, k=3, id_col="chunk_id").collect()
     assert hits[0]["chunk_id"] == 7 * 1000 + 1
     assert hits[0]["score"] == 1.0
+
+
+def test_chunked_search_pipeline_planted_passage(spark):
+    """A doc containing the query passage ranks first by a clear margin and
+    reports the containing chunk as provenance, even when the doc is long
+    and mostly unrelated (the dilution problem whole-doc embedding has).
+    Chunk windows need not align exactly with the passage, so the contract
+    is ranking + margin, not score == 1."""
+    from vector_search_databricks_poc_spark.pipelines import chunked_search_pipeline
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 20
+    needle = "quantum flux capacitor calibration manual"
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + needle + " " + filler),
+            (2, filler),
+            (3, "short unrelated document about cooking"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunked_search_pipeline(
+        spark, docs, needle, k=3, chunk_tokens=8, overlap=2
+    ).collect()
+    assert out[0]["doc_id"] == 1
+    assert needle.split()[0] in out[0]["best_chunk_text"]
+    assert out[0]["score"] > 0.5
+    assert out[0]["score"] > out[1]["score"] + 0.3
+
+
+def test_chunked_search_rollup_equals_max_over_chunks(spark, sf_dir):
+    """Exact-MaxSim contract: every returned doc score equals the max
+    cosine over that doc's chunks, computed independently."""
+    from vector_search_databricks_poc_spark import vectors as V
+    from vector_search_databricks_poc_spark.functions.embedding import embed_text
+    from vector_search_databricks_poc_spark.operators.text import chunk_documents
+    from vector_search_databricks_poc_spark.pipelines import chunked_search_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    query = "vector search embedding index"
+    out = chunked_search_pipeline(
+        spark, docs, query, k=5, chunk_tokens=16, overlap=4, dim=32
+    ).collect()
+    # independent recomputation of per-chunk scores
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    emb = embed_text(chunks, text_col="chunk_text", dim=32)
+    qv = embed_text(
+        spark.createDataFrame([(query,)], ["t"]), text_col="t", dim=32
+    ).first()["embedding"]
+    scored = emb.select(
+        "doc_id",
+        F.round(V.cosine("embedding", F.array(*[F.lit(float(x)) for x in qv])), 6).alias("s"),
+    )
+    expected = {
+        r["doc_id"]: r["m"]
+        for r in scored.groupBy("doc_id").agg(F.max("s").alias("m")).collect()
+    }
+    for r in out:
+        assert r["score"] == expected[r["doc_id"]], (r["doc_id"], r["score"])

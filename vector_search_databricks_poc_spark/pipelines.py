@@ -159,6 +159,70 @@ def assemble_training_corpus(
     return shard_assignment(out, id_col=id_col, n_shards=n_shards)
 
 
+def chunked_search_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_text: str,
+    k: int = 5,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    encoder: str = "hashing",
+    dim: int = 64,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level retrieval with document rollup — the passage-granularity
+    RAG pattern the reference's whole-document embedding misses (long docs
+    dilute their best passage; SURVEY §2B-12 chunking feeds this).
+
+    chunk (overlapping token windows) -> embed each chunk through the SAME
+    encoder as queries -> cosine-score every chunk against the query (one
+    broadcast one-row cross join; the query embedding never leaves the
+    plan) -> roll up max chunk score per document (exact MaxSim over all
+    chunks, with the best chunk kept for provenance) -> top-k docs via
+    TakeOrderedAndProject.
+
+    Scale path: chunking explodes map-side into the embed projection (no
+    shuffle); the rollup is one partial-agg shuffle on doc_id; swap the
+    brute-force scoring for ``IvfIndex.batch_search`` over a chunk-level
+    index when the chunk count outgrows a single scan — the rollup tail is
+    identical.  Returns (doc_id, score, best_chunk_seq, best_chunk_text).
+    """
+    from . import vectors as V
+    from .operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col=doc_id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    emb = embed_text(chunks, text_col="chunk_text", encoder=encoder, dim=dim)
+    qdf = spark.createDataFrame([(query_text,)], [text_col])
+    qemb = F.broadcast(
+        embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
+            F.col("embedding").alias("_qv")
+        )
+    )
+    scored = emb.crossJoin(qemb).select(
+        F.col(doc_id_col),
+        "chunk_seq",
+        "chunk_text",
+        F.round(V.cosine("embedding", F.col("_qv")), 6).alias("_s"),
+    )
+    rolled = (
+        scored.groupBy(doc_id_col)
+        .agg(
+            F.max("_s").alias("score"),
+            F.max_by("chunk_seq", F.struct("_s", (-F.col("chunk_seq")).alias("_t"))).alias(
+                "best_chunk_seq"
+            ),
+            F.max_by("chunk_text", F.struct("_s", (-F.col("chunk_seq")).alias("_t"))).alias(
+                "best_chunk_text"
+            ),
+        )
+    )
+    return rolled.orderBy(F.col("score").desc(), F.col(doc_id_col)).limit(k)
+
+
 def search_pipeline(
     spark: SparkSession,
     index: IvfIndex,

@@ -2784,6 +2784,21 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
+@register("chunked_doc_search")
+def chunked_doc_search_q(spark, sf_dir):
+    """A10/B7/B12 composition: chunk-level retrieval with exact MaxSim
+    document rollup (pipelines.chunked_search_pipeline) — passage
+    granularity over the documents corpus, top-5 docs with their best
+    chunk.  Rows-only; planted-passage ranking and rollup-equals-max
+    properties asserted in tests/test_pipelines_joins.py."""
+    from .pipelines import chunked_search_pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunked_search_pipeline(
+        spark, docs, "vector search embedding index", k=5
+    )
+
+
 @register("distribution_drift")
 def distribution_drift_q(spark, sf_dir):
     """Snapshot drift check: TV distance between the document-length
