@@ -204,6 +204,28 @@ def test_distribution_drift_detects_shift(spark):
     assert 0 <= small < 0.1 < big <= 1, (small, big)
 
 
+def test_sketch_ops_empty_inputs_degrade_gracefully(spark):
+    """Empty inputs: no crashes — empty histograms/quantiles return no
+    rows, drift against an empty snapshot reports null (undefined), and
+    the counts that ARE defined stay correct."""
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        distribution_drift,
+        histogram_quantiles,
+        quantile_profile,
+        shard_histograms,
+    )
+
+    empty = spark.createDataFrame([], "shard string, v double")
+    assert shard_histograms(empty, "shard", "v").count() == 0
+    assert (
+        histogram_quantiles(shard_histograms(empty, "shard", "v"), (0.5,)).count() == 0
+    )
+    assert quantile_profile(empty, "v", "shard").count() == 0
+    base = spark.range(100).selectExpr("cast(id as double) v")
+    r = distribution_drift(base, empty.select("v"), "v").first()
+    assert r.n_old == 100 and r.n_new is None and r.tv_distance is None
+
+
 def test_heavy_hitters_plan_is_lazy_semi_join(spark):
     """Plan shape: recount side filters via broadcast left-semi join before
     the aggregate's exchange, and the whole operator builds without running
