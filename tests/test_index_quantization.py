@@ -40,6 +40,32 @@ def test_ivf_batch_search_recall(spark, emb, tmp_path):
     assert all(qid == vid for qid, vid in tops.items())
 
 
+def test_recall_report_monotone_and_exact_at_full_probe(spark, emb, tmp_path):
+    """The recall grid: non-decreasing in nprobe for every method; plain
+    IVF at full probe (nprobe == k_centroids) recovers the exact top-k
+    (recall 1.0); raw quantized IVF-PQ ordering is lossy by design, and
+    the production shape (fetch 4k by ADC, exact rerank) recovers most of
+    the loss at full probe."""
+    from vector_search_databricks_poc_spark.operators.evaluate import recall_report
+
+    rep = recall_report(
+        spark, emb, str(tmp_path / "rr"), n_queries=8, k=10,
+        k_centroids=4, nprobes=(1, 2, 4),
+    ).collect()
+    by_method = {}
+    for r in rep:
+        by_method.setdefault(r.method, []).append((r.nprobe, r.recall))
+    for method, rows in by_method.items():
+        rows.sort()
+        recalls = [rc for _, rc in rows]
+        assert recalls == sorted(recalls), (method, rows)
+        assert all(0 <= rc <= 1 for rc in recalls)
+    assert dict(by_method["ivf"])[4] == 1.0
+    assert dict(by_method["ivf_pq"])[4] >= 0.2
+    assert dict(by_method["ivf_pq_rerank"])[4] >= 0.7  # fetch_mult=8 curve
+    assert dict(by_method["ivf_pq_rerank"])[4] >= dict(by_method["ivf_pq"])[4]
+
+
 def test_quantization_roundtrip_error(spark, emb):
     from vector_search_databricks_poc_spark.functions.quantization import (
         dequantize,

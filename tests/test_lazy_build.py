@@ -29,6 +29,7 @@ EAGER_BY_CONTRACT = {
     "ivf_pq_batch_search",
     "incremental_index_refresh",
     "incremental_near_dup",  # signature-store write (CREATE INDEX analog)
+    "ann_recall_report",  # builds two indexes (CREATE INDEX analog)
     "streaming_index_sync",
     "streaming_tumbling",
     "streaming_dedup",

@@ -1,0 +1,110 @@
+"""Index-quality evaluation: ANN recall vs brute-force ground truth.
+
+The reference delegates index quality entirely to the managed Vector
+Search service (SURVEY.md §4); a standalone engine needs the audit the
+service hides: "at this nprobe, what fraction of the true top-k does the
+index return?"  Run at a sampled scale before trusting an index
+configuration at 100 TB — the same report shape works for any (method,
+parameter) grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity_join import brute_force_topk_join
+
+
+def recall_report(
+    spark: SparkSession,
+    emb: DataFrame,
+    workdir: str,
+    n_queries: int = 20,
+    k: int = 10,
+    k_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    fetch_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF and IVF-PQ indexes across an nprobe grid.
+
+    Ground truth is the exact brute-force top-k for ``n_queries`` probe
+    vectors drawn deterministically from the corpus (lowest ids).  Each
+    report row is (method, nprobe, recall): |approx ∩ exact| / (n·k),
+    computed with a distributed join per grid cell — the ground-truth set
+    is tiny (n·k rows) and broadcast, so corpus size only enters through
+    the index searches themselves.
+
+    Index builds write under ``workdir`` (eager by contract, like any
+    CREATE INDEX); the report DataFrame itself is lazy.  Seeded KMeans
+    makes the whole report deterministic for a given corpus.
+    """
+    from .index import build_ivf_index, build_ivf_pq_index
+
+    queries = (
+        emb.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    )
+    n = queries.count()
+    denom = float(n * k)
+    exact = (
+        brute_force_topk_join(queries, emb, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", id_col)
+        .localCheckpoint(eager=False)  # reused by every grid cell
+    )
+
+    ivf = build_ivf_index(emb, f"{workdir}/ivf", k_centroids=k_centroids)
+    pq = build_ivf_pq_index(emb, f"{workdir}/ivfpq", k_centroids=k_centroids)
+
+    def leg(method: str, nprobe: int, hits: DataFrame) -> DataFrame:
+        return (
+            hits.select("query_id", id_col)
+            .join(F.broadcast(exact), on=["query_id", id_col], how="inner")
+            .agg(
+                F.lit(method).alias("method"),
+                F.lit(nprobe).alias("nprobe"),
+                F.round(F.count(F.lit(1)) / F.lit(denom), 4).alias("recall"),
+            )
+        )
+
+    def pq_rerank(nprobe: int) -> DataFrame:
+        """The PQ production shape: fetch ``fetch_mult·k`` candidates by
+        quantized ADC score, then rescore those exactly against the float
+        vectors and keep top-k — measures the pipeline, not the raw
+        quantized ordering.  ``fetch_mult`` is the recall/cost knob this
+        report exists to tune (deeper fetch → higher recall → more float
+        rows read for rerank)."""
+        from pyspark.sql import Window
+
+        from .. import vectors as V
+
+        cands = pq.batch_search(spark, queries, k=fetch_mult * k, nprobe=nprobe)
+        scored = (
+            cands.select("query_id", id_col)
+            .join(emb.select(id_col, vec_col), id_col)
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                id_col,
+                V.cosine(vec_col, F.col("query_vec")).alias("_s"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.col(id_col))
+        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+
+    legs = []
+    for nprobe in nprobes:
+        legs.append(
+            leg("ivf", nprobe, ivf.batch_search(spark, queries, k=k, nprobe=nprobe))
+        )
+        legs.append(
+            leg("ivf_pq", nprobe, pq.batch_search(spark, queries, k=k, nprobe=nprobe))
+        )
+        legs.append(leg("ivf_pq_rerank", nprobe, pq_rerank(nprobe)))
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.orderBy("method", "nprobe")

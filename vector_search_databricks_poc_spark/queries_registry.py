@@ -2784,6 +2784,22 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
+@register("ann_recall_report")
+def ann_recall_report_q(spark, sf_dir):
+    """A9/B8 index-quality audit: recall@10 of IVF and IVF-PQ vs exact
+    brute force across an nprobe grid (operators/evaluate.py) — the audit
+    the reference's managed Vector Search service hides.  Rows-only
+    (eager index builds); monotonicity and full-probe exactness asserted
+    in tests/test_index_quantization.py."""
+    from .operators.evaluate import recall_report
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return recall_report(
+        spark, e, _scratch_dir("recall_report_"), n_queries=16, k=10,
+        k_centroids=8, nprobes=(1, 2, 4, 8),
+    )
+
+
 @register("chunked_doc_search")
 def chunked_doc_search_q(spark, sf_dir):
     """A10/B7/B12 composition: chunk-level retrieval with exact MaxSim
