@@ -66,6 +66,37 @@ def test_recall_report_monotone_and_exact_at_full_probe(spark, emb, tmp_path):
     assert dict(by_method["ivf_pq_rerank"])[4] >= dict(by_method["ivf_pq"])[4]
 
 
+def test_hard_negative_mining_excludes_positives(spark, emb, tmp_path):
+    """Mined negatives never include a query's positives, are exactly
+    k_neg per query (full probe over a dense corpus), are ranked by
+    descending score, and are the TOP-scoring non-positives (the self-hit,
+    score 1.0, is the planted positive that must be skipped)."""
+    from vector_search_databricks_poc_spark.operators.evaluate import (
+        hard_negative_mining,
+    )
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+
+    idx = build_ivf_index(emb, str(tmp_path / "hn"), k_centroids=4)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = queries.select("query_id", F.col("query_id").alias("vec_id"))
+    out = hard_negative_mining(
+        spark, idx, queries, positives, k_neg=4, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id  # positive excluded
+        by_q.setdefault(r.query_id, []).append((r.neg_rank, r.score))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == [1, 2, 3, 4]
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s < 1.0 for s in scores)  # self-hit (1.0) was skipped
+
+
 def test_quantization_roundtrip_error(spark, emb):
     from vector_search_databricks_poc_spark.functions.quantization import (
         dequantize,

@@ -30,6 +30,7 @@ EAGER_BY_CONTRACT = {
     "incremental_index_refresh",
     "incremental_near_dup",  # signature-store write (CREATE INDEX analog)
     "ann_recall_report",  # builds two indexes (CREATE INDEX analog)
+    "hard_negative_mining",  # index build (CREATE INDEX analog)
     "streaming_index_sync",
     "streaming_tumbling",
     "streaming_dedup",

@@ -16,6 +16,41 @@ from pyspark.sql import functions as F
 from .similarity_join import brute_force_topk_join
 
 
+def hard_negative_mining(
+    spark: SparkSession,
+    index,
+    queries: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 5,
+    fetch_mult: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard negatives for contrastive embedding training: per query, the
+    ``k_neg`` highest-scoring index hits that are NOT known positives.
+
+    ``positives`` is (query_id, id) ground-truth pairs; the index supplies
+    ``fetch_mult·k_neg`` candidates per query in one batch job, positives
+    are removed with a left-anti join (positives per query are few — the
+    join key is (query_id, id), so the anti join shuffles candidate rows
+    only), and a per-query window keeps the top survivors.  Over-fetching
+    by ``fetch_mult`` keeps queries whose candidate list is positive-heavy
+    from coming up short.  Returns (query_id, id, score, neg_rank).
+    """
+    from pyspark.sql import Window
+
+    hits = index.batch_search(spark, queries, k=fetch_mult * k_neg, nprobe=nprobe)
+    neg = hits.join(
+        positives.select("query_id", id_col), on=["query_id", id_col], how="left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k_neg)
+        .select("query_id", id_col, "score", "neg_rank")
+    )
+
+
 def recall_report(
     spark: SparkSession,
     emb: DataFrame,

@@ -2784,6 +2784,27 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
+@register("hard_negative_mining")
+def hard_negative_mining_q(spark, sf_dir):
+    """Contrastive-training support: per query, top-5 highest-scoring index
+    hits that are NOT the query's own vector (self-match = the trivial
+    positive).  Rows-only (eager index build); exclusion and ranking
+    contracts asserted in tests/test_index_quantization.py."""
+    from .operators.evaluate import hard_negative_mining
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    positives = queries.select("query_id", F.col("query_id").alias("vec_id"))
+    idx = _cached_index(
+        "ivf", sf_dir,
+        lambda: build_ivf_index(e, f"{_scratch_dir('hardneg_')}/ivf", k_centroids=8),
+    )
+    return hard_negative_mining(spark, idx, queries, positives, k_neg=5, nprobe=8)
+
+
 @register("ann_recall_report")
 def ann_recall_report_q(spark, sf_dir):
     """A9/B8 index-quality audit: recall@10 of IVF and IVF-PQ vs exact
