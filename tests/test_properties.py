@@ -121,3 +121,28 @@ def test_portable_hash_cross_engine_parity(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got_spark[i] == py_hash(t) == got_duck[i], (t, got_spark[i], py_hash(t), got_duck[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.sampled_from([0.05, 0.1, 0.25]),
+)
+def test_heavy_hitters_always_exact(spark, keys, frac):
+    """Property: for ANY key multiset and threshold, the 2-pass
+    Misra-Gries + recount result equals the plain exact GROUP BY/HAVING
+    answer (the superset guarantee makes the candidates sufficient)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(4)
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", threshold_frac=frac).collect()}
+    n = len(keys)
+    thr = math.ceil(n * frac)
+    from collections import Counter
+
+    expected = {(k, c) for k, c in Counter(keys).items() if c >= thr}
+    assert got == expected
