@@ -59,3 +59,74 @@ def test_diagnose_skew(spark, sf_dir):
     assert all(0 < r["share"] <= 1.0 for r in top)
     shares = [r["n_rows"] for r in top]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_funnel_planted_sequences(spark):
+    """Ordering semantics: a user converts a step only if it happens AFTER
+    their previous step's earliest time; out-of-order and missing steps
+    stop the funnel at the right depth."""
+    from vector_search_databricks_poc_spark.operators.funnel import (
+        funnel_conversions,
+        funnel_user_times,
+    )
+
+    rows = [
+        # u1: full ordered conversion
+        (1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),
+        # u2: purchase BEFORE view -> stops after view
+        (2, "purchase", 5.0), (2, "view", 6.0),
+        # u3: click only, never entered the funnel
+        (3, "click", 1.0),
+        # u4: click before view, second click after -> converts step 2
+        (4, "click", 1.0), (4, "view", 2.0), (4, "click", 3.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    t = {r["user_id"]: r for r in funnel_user_times(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert t[1]["t1"] == 10.0 and t[1]["t2"] == 20.0 and t[1]["t3"] == 30.0
+    assert t[2]["t1"] == 6.0 and t[2]["t2"] is None and t[2]["t3"] is None
+    assert 3 not in t
+    assert t[4]["t1"] == 2.0 and t[4]["t2"] == 3.0 and t[4]["t3"] is None
+    summary = {r["step"]: r for r in funnel_conversions(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert summary[1]["n_users"] == 3 and summary[1]["conversion"] == 1.0
+    assert summary[2]["n_users"] == 2
+    assert summary[3]["n_users"] == 1
+    assert summary[3]["conversion"] == round(1 / 3, 6)
+
+
+def test_funnel_matches_duckdb(spark):
+    """Value-compare the full funnel summary against a DuckDB CTE chain on
+    the fixture events."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import compare, duck_connection
+    from vector_search_databricks_poc_spark.operators.funnel import funnel_conversions
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = funnel_conversions(ev, ["view", "click", "purchase"])
+    sql = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+           ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS conversion FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

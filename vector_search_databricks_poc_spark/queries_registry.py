@@ -2784,6 +2784,19 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
+@register("funnel_conversions")
+def funnel_conversions_q(spark, sf_dir):
+    """B20 ordered-funnel analysis: view -> click -> purchase conversion
+    over the events table, strictly ordered per user
+    (operators/funnel.py; Spark has no MATCH_RECOGNIZE — one aggregate
+    per step over a shrinking user set).  Rows-only; DuckDB value-compare
+    and planted-sequence semantics in tests/test_interval.py."""
+    from .operators.funnel import funnel_conversions
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_conversions(e, ["view", "click", "purchase"])
+
+
 @register("hard_negative_mining")
 def hard_negative_mining_q(spark, sf_dir):
     """Contrastive-training support: per query, top-5 highest-scoring index
