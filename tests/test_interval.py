@@ -130,3 +130,63 @@ def test_funnel_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_cohort_retention_matches_duckdb(spark):
+    """Value-compare the retention matrix against DuckDB using the same
+    epoch-day period arithmetic."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import compare, duck_connection
+    from vector_search_databricks_poc_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = cohort_retention(ev, period_days=7)
+    sql = """
+    WITH ap AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS p
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(p) AS cohort FROM ap GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
+    ), ret AS (
+      SELECT f.cohort, ap.p - f.cohort AS period_offset,
+             COUNT(DISTINCT ap.user_id) AS n_active
+      FROM ap JOIN first f USING (user_id)
+      GROUP BY f.cohort, ap.p - f.cohort
+    )
+    SELECT CAST(DATE '1970-01-01' + INTERVAL (ret.cohort * 7) DAY AS DATE) AS cohort_day,
+           ret.period_offset, ret.n_active, s.cohort_size,
+           ROUND(ret.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM ret JOIN sizes s ON ret.cohort = s.cohort
+    ORDER BY cohort_day, period_offset
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_cohort_retention_planted(spark):
+    """Planted cohorts: offset-0 retention is always 1.0; a user active in
+    a later period counts toward exactly their first-activity cohort."""
+    from vector_search_databricks_poc_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort A
+        (1, "2024-01-09 10:00:00"),  # active next period
+        (2, "2024-01-02 10:00:00"),  # cohort A, never returns
+        (3, "2024-01-10 10:00:00"),  # cohort B only
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r.cohort_day), r.period_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(ev, period_days=7).collect()
+    }
+    offsets0 = [v for (d, k), v in out.items() if k == 0]
+    assert all(v[2] == 1.0 for v in offsets0)
+    # cohort A has 2 users, one returns at offset 1 -> retention 0.5
+    a_day = [d for (d, k) in out if k == 1]
+    assert len(a_day) == 1
+    assert out[(a_day[0], 1)][0] == 1 and out[(a_day[0], 1)][2] == 0.5

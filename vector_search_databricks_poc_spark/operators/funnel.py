@@ -1,4 +1,4 @@
-"""Ordered-funnel analysis over event streams.
+"""Event analytics: ordered funnels and cohort retention.
 
 Spark has no MATCH_RECOGNIZE; the strictly-ordered funnel ("users who did
 A, then B after A, then C after B") decomposes into one aggregate per step:
@@ -90,4 +90,53 @@ def funnel_conversions(
     )
     return rows.select("r.step", "r.event_type", "r.n_users", "r.conversion").orderBy(
         "step"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period; for each cohort and period offset k, how many (and what
+    fraction) were active k periods later.
+
+    Periods are fixed ``period_days`` windows anchored at each user's data,
+    truncated from a fixed epoch day so the bucketing is engine-portable
+    (DuckDB reproduces it with the same integer arithmetic — no
+    locale-dependent week truncation).  Cost: one agg on user (first
+    activity), one distinct on (user, period), one same-key join, one agg
+    on (cohort, offset) — all single-shuffle steps on keys that shrink as
+    they go.  Returns (cohort_day, period_offset, n_active, cohort_size,
+    retention) with retention = n_active / cohort_size.
+    """
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+    period = F.floor(day / period_days)
+    ap = events.select(
+        F.col(user_col), period.alias("_p")
+    ).distinct()
+    first = ap.groupBy(user_col).agg(F.min("_p").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = (
+        ap.join(first, user_col)
+        .groupBy(
+            F.col("_cohort"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), (F.col("_cohort") * period_days).cast("int")).alias(
+                "cohort_day"
+            ),
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "period_offset")
     )

@@ -2797,6 +2797,19 @@ def funnel_conversions_q(spark, sf_dir):
     return funnel_conversions(e, ["view", "click", "purchase"])
 
 
+@register("cohort_retention")
+def cohort_retention_q(spark, sf_dir):
+    """B20 cohort retention: users bucketed by first-activity week (fixed
+    7-day epoch periods — engine-portable arithmetic, no locale week
+    truncation), retention fraction per period offset
+    (operators/funnel.py).  Rows-only; DuckDB value-compare in
+    tests/test_interval.py."""
+    from .operators.funnel import cohort_retention
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e, period_days=7)
+
+
 @register("hard_negative_mining")
 def hard_negative_mining_q(spark, sf_dir):
     """Contrastive-training support: per query, top-5 highest-scoring index
