@@ -34,6 +34,7 @@ EAGER_BY_CONTRACT = {
     "streaming_index_sync",
     "streaming_tumbling",
     "streaming_dedup",
+    "streaming_funnel",
     "stateful_user_stats",
     "near_dup_pairs_components",
 }

@@ -97,3 +97,89 @@ def test_attribution_report_shape(spark):
     rep = attribution_report(interval_join(p, t, key="user_id")).collect()
     assert len(rep) == 1 and rep[0].trigger_type == "click"
     assert rep[0].n_attributed > 0 and rep[0].avg_latency_s >= 0
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel tracker, fed the fixture events in one
+    availableNow replay, reaches exactly the batch operator's per-user
+    depth (earliest-completion semantics under in-order delivery)."""
+    from vector_search_databricks_poc_spark.operators.funnel import funnel_user_times
+    from vector_search_databricks_poc_spark.streaming.stateful import (
+        streaming_funnel_depth,
+    )
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    bt = funnel_user_times(ev, steps)
+    batch_depth = {
+        r["user_id"]: sum(r[f"t{i}"] is not None for i in range(1, len(steps) + 1))
+        for r in bt.collect()
+    }
+
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_funnel_depth(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["d"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(depth) AS d FROM funnel_sink GROUP BY user_id"
+        ).collect()
+    }
+    # users with no step-1 event never appear in the batch result; the
+    # stream emits them with depth 0 — align on the batch's key set
+    assert {u: d for u, d in got.items() if d > 0} == {
+        u: d for u, d in batch_depth.items() if d > 0
+    }
+    assert all(d in (0, 1, 2, 3) for d in got.values())
+
+
+def test_streaming_funnel_out_of_order_within_batch(spark, tmp_path):
+    """Within one micro-batch the tracker uses min-qualifying timestamps,
+    so shuffled row order inside the batch cannot change the result."""
+    from vector_search_databricks_poc_spark.streaming.stateful import (
+        streaming_funnel_depth,
+    )
+
+    rows = [
+        (1, "purchase", "2024-01-01 03:00:00"),
+        (1, "view", "2024-01-01 01:00:00"),
+        (1, "click", "2024-01-01 02:00:00"),
+        (2, "click", "2024-01-01 01:00:00"),  # click before any view
+        (2, "view", "2024-01-01 02:00:00"),
+    ]
+    ev = (
+        spark.createDataFrame(rows, ["user_id", "event_type", "ts_s"])
+        .select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    src = str(tmp_path / "ooo")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_funnel_depth(stream, ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("funnel_ooo_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["d"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(depth) AS d FROM funnel_ooo_sink GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1}

@@ -2797,6 +2797,34 @@ def funnel_conversions_q(spark, sf_dir):
     return funnel_conversions(e, ["view", "click", "purchase"])
 
 
+@register("streaming_funnel")
+def streaming_funnel_q(spark, sf_dir):
+    """B20/B22 streaming funnel: the stateful per-user depth tracker
+    (streaming/stateful.py::streaming_funnel_depth) run over the events
+    replay stream with availableNow into a memory sink; returns the final
+    per-user depth distribution (rows-only; batch equivalence asserted in
+    tests/test_streaming_joins.py)."""
+    import uuid
+
+    from .streaming.stateful import streaming_funnel_depth
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    out_name = f"funnel_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel_depth(stream, ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"SELECT depth, COUNT(DISTINCT user_id) AS n_users FROM {out_name} "
+        "GROUP BY depth ORDER BY depth"
+    )
+
+
 @register("cohort_retention")
 def cohort_retention_q(spark, sf_dir):
     """B20 cohort retention: users bucketed by first-activity week (fixed

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -96,5 +97,87 @@ def running_user_stats(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("step_ts_us", ArrayType(LongType()))]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("depth", LongType()),
+        StructField("last_step_ts", TimestampType()),
+    ]
+)
+
+
+def streaming_funnel_depth(
+    events_stream: DataFrame,
+    steps: list[str],
+    watermark: str = "10 minutes",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_user_times``: per-user
+    funnel depth tracked live with explicit state (the completed steps'
+    timestamps, as epoch-µs longs).
+
+    Each micro-batch advances a user at most ``len(steps)`` times: for the
+    next uncompleted step, take the MIN qualifying timestamp in the batch
+    (vectorized pandas filter per step — no per-row Python loop), append,
+    repeat.  With in-order delivery this reproduces the batch operator's
+    earliest-completion semantics exactly (asserted on a full-file replay);
+    late events older than an already-committed step time cannot retract it
+    — the streaming result is conservative under disorder, like any
+    append-only funnel tracker.  Output mode is update: the latest row per
+    user carries their current depth; depth is monotone, so consumers take
+    the max.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        times = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # µs since epoch, naive — matches the state encoding
+        ts_us = pdf[ts_col].astype("int64") // 1000
+        depth = len(times)
+        last = times[-1] if times else None
+        while depth < len(steps):
+            mask = pdf[type_col] == steps[depth]
+            if last is not None:
+                mask &= ts_us > last
+            if not mask.any():
+                break
+            last = int(ts_us[mask].min())
+            times.append(last)
+            depth += 1
+        state.update((times,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "depth": [depth],
+                "last_step_ts": pd.to_datetime(
+                    [times[-1] * 1000 if times else None]
+                ),
+            }
+        )
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
