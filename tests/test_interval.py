@@ -190,3 +190,86 @@ def test_cohort_retention_planted(spark):
     a_day = [d for (d, k) in out if k == 1]
     assert len(a_day) == 1
     assert out[(a_day[0], 1)][0] == 1 and out[(a_day[0], 1)][2] == 0.5
+
+
+def test_validate_contract_matches_duckdb(spark):
+    """Value-compare the whole contract report against plain DuckDB SQL on
+    the fixture orders/customer tables."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import compare, duck_connection
+    from vector_search_databricks_poc_spark import queries_registry as R
+
+    out = R.QUERIES["validate_contract"](spark, SF_DIR)
+    sql = """
+    WITH t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT 'in_range(o_totalprice,0,10000000.0)' AS rule,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice NOT BETWEEN 0 AND 1e7) AS violations,
+           total, TRUE AS ok FROM t
+    UNION ALL
+    SELECT 'not_null(o_custkey)',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL), total, TRUE FROM t
+    UNION ALL
+    SELECT 'not_null(o_orderkey)',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL), total, TRUE FROM t
+    UNION ALL
+    SELECT 'one_of(o_orderstatus)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')),
+           total, TRUE FROM t
+    UNION ALL
+    SELECT 'ref(o_custkey->c_custkey)',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           total, TRUE FROM t
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
+           total, TRUE FROM t
+    ORDER BY rule
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_validate_contract_planted_violations(spark):
+    """Planted bad rows: every rule kind reports the exact violation count
+    and flips ok=false."""
+    from vector_search_databricks_poc_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        validate_table,
+    )
+
+    rows = [
+        (1, "a@x.com", 10.0, "F"),
+        (2, None, 20.0, "O"),        # null email
+        (2, "b@x.com", -5.0, "F"),   # dup id + out-of-range
+        (4, "not-an-email", 30.0, "Z"),  # regex + enum violation
+    ]
+    df = spark.createDataFrame(rows, ["id", "email", "amount", "status"])
+    dim = spark.createDataFrame([(1,), (2,)], ["id"])  # 4 is dangling
+    rep = {
+        r.rule: (r.violations, r.ok)
+        for r in validate_table(
+            df,
+            row_rules=[
+                not_null("email"),
+                in_range("amount", 0, 100),
+                matches("email", "^[^@]+@[^@]+$"),
+                one_of("status", ["F", "O"]),
+            ],
+            unique_cols=["id"],
+            references=[("id", dim, "id")],
+        ).collect()
+    }
+    assert rep["not_null(email)"] == (1, False)
+    assert rep["in_range(amount,0,100)"] == (1, False)
+    assert rep["matches(email)"] == (1, False)
+    assert rep["one_of(status)"] == (1, False)
+    assert rep["unique(id)"] == (1, False)
+    assert rep["ref(id->id)"] == (1, False)

@@ -2797,6 +2797,29 @@ def funnel_conversions_q(spark, sf_dir):
     return funnel_conversions(e, ["view", "click", "purchase"])
 
 
+@register("validate_contract")
+def validate_contract_q(spark, sf_dir):
+    """Data-contract gate over orders: null/range/enum/uniqueness rules in
+    ONE conditional-agg scan plus a referential check against customer
+    (operators/quality.py).  Rows-only; DuckDB value-compare and planted
+    violations in tests/test_interval.py."""
+    from .operators.quality import in_range, not_null, one_of, validate_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return validate_table(
+        o,
+        row_rules=[
+            not_null("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1e7),
+            one_of("o_orderstatus", ["F", "O", "P"]),
+        ],
+        unique_cols=["o_orderkey"],
+        references=[("o_custkey", c, "c_custkey")],
+    )
+
+
 @register("streaming_funnel")
 def streaming_funnel_q(spark, sf_dir):
     """B20/B22 streaming funnel: the stateful per-user depth tracker
