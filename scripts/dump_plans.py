@@ -25,6 +25,10 @@ NAMES = [
     "semantic_cluster_dedup",
     "heavy_hitters",
     "quantile_profile",
+    "funnel_conversions",
+    "cohort_retention",
+    "validate_contract",
+    "chunked_doc_search",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

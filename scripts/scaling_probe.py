@@ -107,6 +107,16 @@ every operator in this repo:
   costs one scan: malformed lines route to a quarantine sink instead of
   aborting a million-file ingest; schemas are always declared (inference
   would read the data twice and can drift between runs).
+- **Event analytics (funnel.py).** A k-step ordered funnel is k
+  aggregates on the user key over a shrinking converting-user set
+  (exchange reuse co-partitions the steps); cohort retention is two
+  user-key shuffles + one (cohort, offset) agg on portable epoch-day
+  arithmetic.  The streaming funnel twin holds per-user state of at most
+  k timestamps — state size is users x k x 8 bytes, never stream length.
+- **Contract gate (quality.py).** All row rules (null/range/regex/enum/
+  unique) evaluate in ONE map-side partial-agg scan — adding a rule adds
+  a column, not a job; referential checks are broadcast anti-joins
+  against distinct dimension keys.
 """
 
 
