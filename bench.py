@@ -43,6 +43,8 @@ HEADLINE = [
     "hybrid_search",            # BM25 + vector RRF
     "asof_join_events_orders",  # B14 as-of (union+window custom op)
     "ivf_pq_batch_search",      # A9/B8 IVF-PQ codes-only batch ADC
+    "heavy_hitters",            # r3 sketch family: MG candidates + exact recount
+    "funnel_conversions",       # r3 event analytics: ordered funnel
 ]
 
 
