@@ -25,6 +25,20 @@ def test_every_query_has_callable():
     assert set(E.oracle_sql()) <= set(qs)
 
 
+def test_driver_window_is_exactly_the_oracle_queries():
+    """The driver hash-checks the FIRST 50 declared slots; the registry
+    must put exactly the 50 oracle queries there (rows-only queries after).
+    A rows-only query drifting into the window would downgrade a green
+    oracle row to a weak rows-only check silently."""
+    qs, oracle = E.queries(), E.oracle_sql()
+    assert len(oracle) == 50
+    window = list(qs)[:50]
+    assert set(window) == set(oracle), {
+        "rows_only_inside_window": sorted(set(window) - set(oracle)),
+        "oracle_outside_window": sorted(set(oracle) - set(window)),
+    }
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duck_connection(SF)
