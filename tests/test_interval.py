@@ -273,3 +273,26 @@ def test_validate_contract_planted_violations(spark):
     assert rep["one_of(status)"] == (1, False)
     assert rep["unique(id)"] == (1, False)
     assert rep["ref(id->id)"] == (1, False)
+
+
+def test_join_size_preflight_matches_duckdb_and_reality(spark):
+    """The pre-flight estimate is EXACT: equals both the DuckDB arithmetic
+    and the actually-executed join's row count."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import compare, duck_connection
+    from vector_search_databricks_poc_spark.operators.joins import join_size_stats
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = join_size_stats(li, li, "l_orderkey")
+    sql = """
+    WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+    SELECT SUM(n * n) AS join_rows,
+           COUNT(*) AS matching_keys,
+           MAX(n * n) AS max_key_pairs,
+           MAX_BY(l_orderkey, n * n * 10000000000 + l_orderkey) AS top_key
+    FROM c
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+    real = li.alias("a").join(li.alias("b"), "l_orderkey").count()
+    assert out.first()["join_rows"] == real

@@ -2797,6 +2797,19 @@ def funnel_conversions_q(spark, sf_dir):
     return funnel_conversions(e, ["view", "click", "purchase"])
 
 
+@register("join_size_preflight")
+def join_size_preflight_q(spark, sf_dir):
+    """B14 pre-flight join sizing: exact output-row count of the
+    lineitem-to-lineitem self-join on l_orderkey computed from per-key
+    count tables — |distinct keys| rows meet instead of the join's output
+    (operators/joins.py::join_size_stats).  Rows-only; DuckDB
+    value-compare in tests/test_interval.py."""
+    from .operators.joins import join_size_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_size_stats(li, li, "l_orderkey")
+
+
 @register("validate_contract")
 def validate_contract_q(spark, sf_dir):
     """Data-contract gate over orders: null/range/enum/uniqueness rules in
