@@ -94,3 +94,49 @@ def test_decontaminate_case_insensitive(spark):
         [("the quick brown fox jumps over the lazy dog again tonight",)], ["text"]
     )
     assert X.contaminated_ids(corpus, bench, n=10).count() == 1
+
+
+def test_canonical_dedup_unicode_equivalents(spark):
+    """Composed vs decomposed encodings and case variants of the same
+    visible text dedupe to the min-id row, which keeps its ORIGINAL text;
+    genuinely different texts survive."""
+    from vector_search_databricks_poc_spark.operators.text import canonical_dedup
+
+    composed = "café au lait"          # é as U+00E9
+    decomposed = "café au lait"       # e + combining acute
+    rows = [
+        (1, composed),
+        (2, decomposed),        # unicode-equivalent dup of 1
+        (3, "CAFÉ AU LAIT"),  # case variant of 1
+        (4, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in canonical_dedup(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 4}
+    assert out[1] == composed  # survivor keeps original bytes
+    assert "_canon" not in canonical_dedup(df, "doc_id", "text").columns
+
+
+def test_canonical_dedup_strip_accents_option(spark):
+    """With strip_accents=True, accented and unaccented forms merge; with
+    the default they stay distinct."""
+    from vector_search_databricks_poc_spark.operators.text import canonical_dedup
+
+    rows = [(1, "résumé"), (2, "resume")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert canonical_dedup(df).count() == 2
+    merged = canonical_dedup(df, strip_accents=True).collect()
+    assert len(merged) == 1 and merged[0].doc_id == 1
+
+
+def test_canonicalize_udf_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.operators.text import (
+        canonicalize_text_udf,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "AbC")], ["i", "t"])
+    canon = canonicalize_text_udf()
+    got = {r.i: r.c for r in df.select("i", canon(F.col("t")).alias("c")).collect()}
+    assert got[1] is None and got[2] == "abc"

@@ -6,6 +6,10 @@ corpus.  The reference's only text processing is driver-side Python string
 cleanup during arXiv ingest (syntetic_data_arxiv.py:87-105); these operators
 re-express that surface (and the LLM-pipeline extensions) over a ``text``
 column of any width.
+
+One exception: Unicode canonicalization (``canonicalize_text_udf``) — NFC/
+casefold has no Catalyst builtin, so it is an Arrow-vectorized pandas_udf
+(pandas' C-backed str methods, never per-row Python).
 """
 
 from __future__ import annotations
@@ -406,3 +410,65 @@ def decontaminate(
     """Drop contaminated documents (see ``contaminated_ids``)."""
     bad = contaminated_ids(df, benchmark, id_col, text_col, bench_text_col, n)
     return df.join(bad, id_col, "left_anti")
+
+
+def canonicalize_text_udf(form: str = "NFC", casefold: bool = True, strip_accents: bool = False):
+    """Arrow-vectorized Unicode canonicalizer for dedup keys.
+
+    Spark has no NFC/NFKC builtin, and composed vs decomposed encodings of
+    the same visible string ("café" as U+00E9 vs e+U+0301) defeat
+    hash-based exact dedup.  This pandas_udf normalizes to ``form``,
+    optionally casefolds (full Unicode case folding, stronger than
+    lower()), and optionally strips combining marks after NFD — all via
+    pandas' vectorized str methods, no per-row Python.  Use it to build
+    the dedup KEY column; keep the original text as the payload.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: annotations must be resolvable by pyspark's get_type_hints —
+    # under `from __future__ import annotations` they are strings, so the
+    # evaluation namespace needs `pd`; provide it via the function globals.
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def canonicalize(s: pd.Series) -> pd.Series:
+        out = s.str.normalize(form)
+        if casefold:
+            out = out.str.casefold()
+        if strip_accents:
+            out = (
+                out.str.normalize("NFD")
+                .map(
+                    lambda t: None
+                    if t is None
+                    else "".join(c for c in t if not unicodedata.combining(c)),
+                    na_action="ignore",
+                )
+                .str.normalize(form)
+            )
+        return out
+
+    return canonicalize
+
+
+def canonical_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+    casefold: bool = True,
+    strip_accents: bool = False,
+) -> DataFrame:
+    """Exact dedup on the CANONICAL form of the text: rows whose texts are
+    Unicode-equivalent (same NFC form, case-insensitive by default) keep
+    only the smallest id; the surviving row keeps its ORIGINAL text.  One
+    extra projection over plain exact_dedup — the normalization runs
+    map-side inside the same scan."""
+    from .dedup import exact_dedup
+
+    canon = canonicalize_text_udf(form, casefold, strip_accents)
+    with_key = df.withColumn("_canon", canon(F.col(text_col)))
+    return exact_dedup(with_key, ["_canon"], id_col).drop("_canon")
