@@ -152,3 +152,32 @@ def test_interval_join_empty_sides(spark, sf_dir):
     empty = ev.limit(0)
     assert interval_join(empty, ev, key="user_id").count() == 0
     assert interval_join(ev, empty, key="user_id").count() == 0
+
+
+def test_event_analytics_empty(spark):
+    """Funnel / cohort / contract / join-sizing ops degrade gracefully on
+    empty inputs: empty or zero-count reports, never errors."""
+    from vector_search_databricks_poc_spark.operators.funnel import (
+        cohort_retention,
+        funnel_conversions,
+        funnel_user_times,
+    )
+    from vector_search_databricks_poc_spark.operators.joins import join_size_stats
+    from vector_search_databricks_poc_spark.operators.quality import (
+        not_null,
+        validate_table,
+    )
+
+    ev = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    assert funnel_user_times(ev, ["view", "click"]).count() == 0
+    conv = funnel_conversions(ev, ["view", "click"]).collect()
+    assert [r.n_users for r in conv] == [0, 0]
+    assert all(r.conversion is None for r in conv)
+    assert cohort_retention(ev).count() == 0
+
+    t = spark.createDataFrame([], "id long, v double")
+    rep = validate_table(t, row_rules=[not_null("id")]).collect()
+    assert rep[0].violations == 0 and rep[0].total == 0 and rep[0].ok
+
+    js = join_size_stats(t, t, "id").first()
+    assert js.matching_keys == 0 and js.join_rows is None
