@@ -29,6 +29,7 @@ NAMES = [
     "cohort_retention",
     "validate_contract",
     "chunked_doc_search",
+    "join_size_preflight",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
