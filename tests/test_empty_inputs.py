@@ -180,4 +180,5 @@ def test_event_analytics_empty(spark):
     assert rep[0].violations == 0 and rep[0].total == 0 and rep[0].ok
 
     js = join_size_stats(t, t, "id").first()
-    assert js.matching_keys == 0 and js.join_rows is None
+    assert js.matching_keys == 0 and js.join_rows == 0
+    assert js.max_key_pairs == 0 and js.top_key is None

@@ -173,7 +173,7 @@ def test_histogram_quantiles_exact_on_uniform_keys(spark):
         F.col("id").alias("v"), (F.col("id") % 4).alias("shard")
     )
     hist = shard_histograms(df, "shard", "v", bins=100)
-    out = {r.p: r.estimate for r in histogram_quantiles(hist, (0.5, 0.9), bins=100).collect()}
+    out = {r.p: r.estimate for r in histogram_quantiles(hist, (0.5, 0.9)).collect()}
     assert abs(out[0.5] - 5000) <= 100, out
     assert abs(out[0.9] - 9000) <= 100, out
 

@@ -67,10 +67,12 @@ def recall_report(
 
     Ground truth is the exact brute-force top-k for ``n_queries`` probe
     vectors drawn deterministically from the corpus (lowest ids).  Each
-    report row is (method, nprobe, recall): |approx ∩ exact| / (n·k),
-    computed with a distributed join per grid cell — the ground-truth set
-    is tiny (n·k rows) and broadcast, so corpus size only enters through
-    the index searches themselves.
+    report row is (method, nprobe, recall): |approx ∩ exact| divided by
+    the ACTUAL ground-truth pair count (not n·k — a corpus with fewer
+    than k vectors would otherwise deflate every method, including the
+    exact one), computed with a distributed join per grid cell — the
+    ground-truth set is tiny (≤ n·k rows) and broadcast, so corpus size
+    only enters through the index searches themselves.
 
     Index builds write under ``workdir`` (eager by contract, like any
     CREATE INDEX); the report DataFrame itself is lazy.  Seeded KMeans
@@ -83,26 +85,26 @@ def recall_report(
         .limit(n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
     )
-    n = queries.count()
-    denom = float(n * k)
     exact = (
         brute_force_topk_join(queries, emb, k=k, id_col=id_col, vec_col=vec_col)
         .select("query_id", id_col)
         .localCheckpoint(eager=False)  # reused by every grid cell
     )
+    denom = exact.agg(F.count(F.lit(1)).alias("_denom"))
 
     ivf = build_ivf_index(emb, f"{workdir}/ivf", k_centroids=k_centroids)
     pq = build_ivf_pq_index(emb, f"{workdir}/ivfpq", k_centroids=k_centroids)
 
     def leg(method: str, nprobe: int, hits: DataFrame) -> DataFrame:
-        return (
+        inter = (
             hits.select("query_id", id_col)
             .join(F.broadcast(exact), on=["query_id", id_col], how="inner")
-            .agg(
-                F.lit(method).alias("method"),
-                F.lit(nprobe).alias("nprobe"),
-                F.round(F.count(F.lit(1)) / F.lit(denom), 4).alias("recall"),
-            )
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        return inter.join(F.broadcast(denom)).select(
+            F.lit(method).alias("method"),
+            F.lit(nprobe).alias("nprobe"),
+            F.round(F.col("_hits") / F.col("_denom"), 4).alias("recall"),
         )
 
     def pq_rerank(nprobe: int) -> DataFrame:

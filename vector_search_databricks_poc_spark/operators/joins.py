@@ -70,10 +70,12 @@ def join_size_stats(
     Join output rows = Σ_k n_left(k)·n_right(k); computing it needs only
     the two per-key count tables (one agg each) joined on the key — at
     100 TB that's |distinct keys| rows meeting, not the join's output.
-    One row out: (join_rows, matching_keys, max_key_pairs,
-    top_key, top_key_pairs) — run it before a suspect join to catch an
-    accidental many-to-many explosion (join_rows orders of magnitude above
-    either input) and to see which key would dominate.
+    One row out: (join_rows, matching_keys, max_key_pairs, top_key) — run
+    it before a suspect join to catch an accidental many-to-many explosion
+    (join_rows orders of magnitude above either input) and to see which
+    key would dominate.  When no keys match, join_rows and max_key_pairs
+    read as 0 (not NULL) so numeric comparisons against input sizes work;
+    top_key alone is NULL.
     """
     lc = left.groupBy(on).agg(F.count(F.lit(1)).alias("_nl"))
     rc = right.groupBy(on).agg(F.count(F.lit(1)).alias("_nr"))
@@ -81,9 +83,9 @@ def join_size_stats(
         F.col(on), (F.col("_nl") * F.col("_nr")).alias("_pairs")
     )
     return per_key.agg(
-        F.sum("_pairs").alias("join_rows"),
+        F.coalesce(F.sum("_pairs"), F.lit(0)).alias("join_rows"),
         F.count(F.lit(1)).alias("matching_keys"),
-        F.max("_pairs").alias("max_key_pairs"),
+        F.coalesce(F.max("_pairs"), F.lit(0)).alias("max_key_pairs"),
         F.max_by(F.col(on), F.struct(F.col("_pairs"), F.col(on))).alias("top_key"),
     ).select(
         "join_rows", "matching_keys", "max_key_pairs", "top_key"

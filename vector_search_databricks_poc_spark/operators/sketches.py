@@ -87,7 +87,11 @@ def shard_histograms(
     cardinality; values outside pinned bounds clamp into the edge bins).
     With ``bounds=None`` the global min/max is computed once in-plan and
     rides along as a broadcast one-row cross join — still one lazy plan.
-    Null values are excluded; all-equal values degenerate to bucket 0.
+    Null and NaN values are excluded; all-equal values degenerate to
+    bucket 0.  The bin count rides along in a ``bins`` column so that
+    ``histogram_quantiles`` derives the bin width from the histogram
+    itself — callers can never skew estimates by re-supplying a different
+    bin count downstream.
     """
     v = F.col(value_col).cast("double")
     if bounds is not None:
@@ -111,31 +115,36 @@ def shard_histograms(
     )
     return (
         df.join(F.broadcast(bounds_df))
-        .where(v.isNotNull())
+        .where(v.isNotNull() & ~F.isnan(v))
         .groupBy(F.col(shard_col), bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("_lo").alias("lo"),
             F.first("_hi").alias("hi"),
+            F.first(F.lit(bins)).alias("bins"),
         )
     )
 
 
-def histogram_quantiles(
-    hist: DataFrame, probs: tuple[float, ...], bins: int = 64
-) -> DataFrame:
+def histogram_quantiles(hist: DataFrame, probs: tuple[float, ...]) -> DataFrame:
     """Quantile estimates from merged shard histograms: (p, estimate).
 
     Merges bucket counts across shards (one tiny shuffle over ≤ bins keys),
-    runs a cumulative sum over the ≤ ``bins`` merged rows (single-partition
+    runs a cumulative sum over the ≤ bins merged rows (single-partition
     window — over histogram rows, never data rows), then linearly
     interpolates each requested quantile inside its bucket.  Worst-case
-    error is one bin width; the base data is never touched.
+    error is one bin width; the base data is never touched.  The bin width
+    is derived from the histogram's own ``bins`` column (written by
+    ``shard_histograms``) — there is no separate bin-count argument to get
+    out of sync.
     """
     from pyspark.sql import Window
 
     merged = hist.groupBy("bucket").agg(
-        F.sum("cnt").alias("cnt"), F.first("lo").alias("lo"), F.first("hi").alias("hi")
+        F.sum("cnt").alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("bins").alias("bins"),
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
@@ -143,6 +152,7 @@ def histogram_quantiles(
         "cnt",
         "lo",
         "hi",
+        "bins",
         F.sum("cnt").over(w).alias("cum"),
         (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
     )
@@ -152,7 +162,7 @@ def histogram_quantiles(
     targets = probs_df.crossJoin(F.broadcast(total)).select(
         "p", (F.col("p") * F.col("_n")).alias("target")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    width = (F.col("hi") - F.col("lo")) / F.col("bins").cast("double")
     frac = F.greatest(
         F.lit(0.0),
         F.least(F.lit(1.0), (F.col("target") - F.col("cum_prev")) / F.col("cnt")),
@@ -164,9 +174,9 @@ def histogram_quantiles(
         targets.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
         .groupBy("p")
         .agg(
-            F.min_by(F.struct("bucket", "cnt", "cum_prev", "lo", "hi"), "bucket").alias(
-                "_s"
-            ),
+            F.min_by(
+                F.struct("bucket", "cnt", "cum_prev", "lo", "hi", "bins"), "bucket"
+            ).alias("_s"),
             F.first("target").alias("target"),
         )
         .select("p", "target", "_s.*")
@@ -185,7 +195,7 @@ def quantile_profile(
     exact percentile, with the bin-width error bound alongside — run at
     small scale before trusting merged histograms at 100 TB."""
     hist = shard_histograms(df, shard_col, value_col, bins)
-    est = histogram_quantiles(hist, probs, bins)
+    est = histogram_quantiles(hist, probs)
     v = F.col(value_col).cast("double")
     exact = df.agg(
         *[

@@ -2855,9 +2855,13 @@ def streaming_funnel_q(spark, sf_dir):
         .start()
     )
     q.awaitTermination(120)
+    # Update-mode memory sinks append one row per user per micro-batch, so
+    # collapse to each user's final (max) depth before counting — otherwise
+    # a user advancing across micro-batches is counted at several depths.
     return spark.sql(
-        f"SELECT depth, COUNT(DISTINCT user_id) AS n_users FROM {out_name} "
-        "GROUP BY depth ORDER BY depth"
+        f"SELECT depth, COUNT(*) AS n_users FROM ("
+        f"  SELECT user_id, MAX(depth) AS depth FROM {out_name} GROUP BY user_id"
+        f") GROUP BY depth ORDER BY depth"
     )
 
 
