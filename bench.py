@@ -8,6 +8,14 @@ Prints ONE JSON line:
 Each query is materialized via a count-ish action (collect for small
 results) so the full plan executes; times exclude session startup (reported
 separately in "startup_sec").
+
+Variance control (round-3 verdict): sub-second queries are overhead-bound
+and can drift ±30% on a noisy host with unchanged plans, so they get
+best-of-5 instead of best-of-3, and every query is compared against its
+recorded all-time floor (BENCH_FLOORS.json).  A query >20% above its floor
+is listed in "drift_flags" — plan regression OR host noise, either way
+worth a look; a query that beats its floor ratchets the floor file down so
+the signal tightens over rounds.
 """
 
 from __future__ import annotations
@@ -62,20 +70,43 @@ def main() -> None:
     R.QUERIES["global_topn"](spark, SF_DIR).count()
     warmup = time.time() - t
 
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FLOORS.json")
+    try:
+        with open(floors_path) as f:
+            floors: dict[str, float] = json.load(f)
+    except (OSError, ValueError):
+        floors = {}
+
     times: dict[str, float] = {}
+    drift_flags: dict[str, str] = {}
     for name in HEADLINE:
         # some r1 headline queries were consolidated into merged declared
         # queries; the original callables remain as module functions so the
         # bench keeps per-operator names stable for regression tracking
         fn = R.QUERIES.get(name) or getattr(R, name)
-        best, n = None, 0
-        for _ in range(3):  # best-of-3: steady-state, not scheduler noise
+        best, n, reps = None, 0, 0
+        # best-of-3, extended to best-of-5 for sub-second (overhead-bound)
+        # queries where scheduler noise dominates the signal
+        while reps < 3 or (best is not None and best < 1.0 and reps < 5):
             t = time.time()
             n = fn(spark, SF_DIR).count()
             el = time.time() - t
             best = el if best is None else min(best, el)
+            reps += 1
         times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        floor = floors.get(name)
+        if floor is not None and best > floor * 1.2:
+            drift_flags[name] = f"{times[name]}s vs floor {floor}s (+{(best / floor - 1) * 100:.0f}%)"
+        if floor is None or best < floor:
+            floors[name] = times[name]
+        print(f"# {name}: {times[name]}s ({n} rows, best of {reps})", file=sys.stderr)
+
+    try:  # ratchet the floor file down so next round's signal is tighter
+        with open(floors_path, "w") as f:
+            json.dump(floors, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
 
     out = {
         "metric": "headline_queries_total",
@@ -85,6 +116,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
         "warmup_sec": round(warmup, 3),
+        "floors": {k: floors[k] for k in times},
+        "drift_flags": drift_flags,
     }
     print(json.dumps(out))
 

@@ -120,21 +120,24 @@ def minhash_signatures_df(
     num_hashes: int = 32,
 ) -> DataFrame:
     """(id, _sig array<long>) via the scale path — no shingle STRINGS ever
-    materialize, and NO full-data shuffle:
+    materialize, NO explode, and NO shuffle at all:
 
     1. hash each token ONCE per row (xxhash64 twice over the token array —
        the only string hashing; |tokens| calls, not |shingles| builds);
     2. shingle hash = XOR-rotate combination of n consecutive token hashes,
-       built as per-row ARRAY expressions (``F.get`` indexing) — pure long
-       arithmetic, entirely map-side.  The r2 window-``lead`` formulation
-       computed the same values but its window shuffled EVERY exploded
-       token row across the cluster; this shuffles nothing;
-    3. explode the (h1, h2) shingle-hash pairs, derive h_i = h1 XOR
-       rot(h2, i) (Kirsch-Mitzenmacher double hashing) as codegen'd
-       columns, min-aggregate per id — partial aggregation means only
-       one tiny signature row per (id, partition) reaches the exchange.
+       built as per-row ARRAY expressions (``F.get`` indexing over the
+       token-hash array, ANSI-safe NULL on overrun, sentinel-padded for
+       docs shorter than n tokens so short docs hash by their real tokens
+       and never funnel into one band bucket);
+    3. signature slot i = ``array_min`` over ``zip_with(h1, h2, h1 XOR
+       rot(h2, i))`` (Kirsch-Mitzenmacher double hashing) — the min runs
+       INSIDE the row, so the whole signature is one narrow projection.
+       The previous formulation exploded |shingles| rows and min-aggregated
+       them back per id; same values, but its exchange carried a partial
+       signature per (id, partition).  This one ships nothing anywhere —
+       at 100 TB the signature stage is a pure map over the corpus scan.
 
-    Same hash family and values as the r2 window version; the
+    Bit-identical hash family and values to the r2/r3 explode version; the
     oracle-portable variant (bit-exact cross-engine hashes) is
     ``minhash_signatures_portable_df``.
     """
@@ -147,46 +150,45 @@ def minhash_signatures_df(
         return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
     t = tokens(text_col)
-    ht1 = F.transform(t, lambda tok: F.xxhash64(tok))
-    ht2 = F.transform(t, lambda tok: F.xxhash64(tok, F.lit(1)))
-    # n_shingles = size-n+1, or 1 for docs shorter than n tokens (partial
-    # window padded by per-position sentinels below, so short docs hash by
-    # their real tokens, never to NULL — which would funnel every short
-    # doc into one band bucket).  The j-th shifted slice holds each
-    # shingle's j-th token hash; arrays_zip aligns the n shifts per
-    # shingle and NULL-pads slices that run off the end.  No per-element
-    # lambda runs here — slices and zip are array-level ops, and the
-    # XOR-rotate combination happens AFTER the explode, on flat long
-    # columns inside whole-stage codegen.
-    n_sh = F.greatest(F.size(t) - (n - 1), F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(ht1, j + 1, n_sh).alias(f"a{j}") for j in range(n)],
-        *[F.slice(ht2, j + 1, n_sh).alias(f"b{j}") for j in range(n)],
-    )
-    # empty-token docs produce no shingles (and so no signature row),
-    # mirroring the explode semantics of the string-shingle path
-    ex = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(F.when(F.size(t) > 0, zipped)).alias("_s"),
-    )
-    h1, h2 = F.lit(0).cast("long"), F.lit(0).cast("long")
-    for j in range(n):
-        t1j = F.coalesce(F.col(f"_s.a{j}"), F.lit(1_000_003 * (j + 1)).cast("long"))
-        t2j = F.coalesce(F.col(f"_s.b{j}"), F.lit(998_244_353 * (j + 1)).cast("long"))
-        h1 = h1.bitwiseXOR(rot(t1j, 7 * j + 1))
-        h2 = h2.bitwiseXOR(rot(t2j, 11 * j + 3))
-    sh = ex.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
-    derived = sh.select(
+    base = ensure_parallelism(df).select(F.col(id_col), t.alias("_t"))
+    hashed = base.select(
         id_col,
-        *[
-            F.col("_h1").bitwiseXOR(rot(F.col("_h2"), i)).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
+        F.transform("_t", lambda tok: F.xxhash64(tok)).alias("_ht1"),
+        F.transform("_t", lambda tok: F.xxhash64(tok, F.lit(1))).alias("_ht2"),
+        # n_shingles = size-n+1, or 1 for docs shorter than n tokens
+        # (partial window padded by per-position sentinels below)
+        F.greatest(F.size("_t") - (n - 1), F.lit(1)).alias("_nsh"),
+        F.size("_t").alias("_sz"),
     )
-    mins = derived.groupBy(id_col).agg(
-        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+
+    def shingle_hashes(ht, rot_of_j, sentinel):
+        def one(i):
+            acc = None
+            for j in range(n):
+                e = F.coalesce(
+                    F.get(ht, i + F.lit(j)),
+                    F.lit(sentinel * (j + 1)).cast("long"),
+                )
+                r = rot(e, rot_of_j(j))
+                acc = r if acc is None else acc.bitwiseXOR(r)
+            return acc
+
+        return F.transform(F.sequence(F.lit(0), F.col("_nsh") - 1), one)
+
+    # empty-token docs produce no signature row, mirroring the explode
+    # semantics of the string-shingle path
+    pre = hashed.where(F.col("_sz") > 0).select(
+        id_col,
+        shingle_hashes(F.col("_ht1"), lambda j: 7 * j + 1, 1_000_003).alias("_h1a"),
+        shingle_hashes(F.col("_ht2"), lambda j: 11 * j + 3, 998_244_353).alias("_h2a"),
     )
-    return mins.select(
+    mins = [
+        F.array_min(
+            F.zip_with("_h1a", "_h2a", lambda a, b: a.bitwiseXOR(rot(b, i)))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return pre.select(id_col, *mins).select(
         id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
@@ -301,12 +303,22 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     portable: bool = False,
     max_bucket_size: int | None = None,
+    verify_broadcast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
     Shingle sets are materialized ONLY for rows that appear in some candidate
     pair (semi-join first) — at corpus scale the candidate set is tiny
     relative to the corpus and full shingle materialization would dominate.
+
+    ``verify_broadcast=True`` broadcasts the candidate shingle table into
+    the two verification joins (a join-strategy hint, results identical):
+    right when the caller KNOWS the candidate set is small — demo corpora,
+    or production runs where the banding threshold keeps candidates sparse.
+    The default (False) leaves the verify joins to shuffle + AQE, which is
+    the safe choice when candidate volume is unknown: shingle arrays are
+    orders of magnitude wider than the id column, and only the ids are
+    unconditionally broadcast here.
     """
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, portable, max_bucket_size
@@ -320,9 +332,10 @@ def minhash_near_dup_pairs(
     sh = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
         F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("_sh")
     )
+    hint = F.broadcast if verify_broadcast else (lambda x: x)
     return (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        cands.join(hint(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a")), "id_a")
+        .join(hint(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b")), "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

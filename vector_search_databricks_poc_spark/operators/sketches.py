@@ -352,3 +352,51 @@ def heavy_hitters(
         .select(key_col, "cnt")
         .orderBy(F.col("cnt").desc(), F.col(key_col))
     )
+
+
+def relative_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    mean_mult: float = 1.2,
+    counters: int = 2048,
+) -> DataFrame:
+    """EXACT hot keys relative to the key distribution's own mean: keys
+    with frequency ≥ ``mean_mult`` × (n / distinct_keys).
+
+    A fixed frequency-fraction threshold (``heavy_hitters``) stops being
+    meaningful when the key domain grows with the data — at 10× the rows
+    and 10× the keys, every per-key fraction drops 10× and a constant
+    threshold returns nothing.  Anchoring the threshold to the MEAN key
+    frequency makes the qualifying set depend on the SHAPE of the
+    distribution, not the row count, so the same query finds skew at
+    sf0.001 and at 100 TB.
+
+    Same 2-pass candidate/recount plan as ``heavy_hitters`` (Misra–Gries
+    per partition, broadcast-semi recount of candidates only); the (n,
+    distinct) statistics ride along as a broadcast one-row join — one lazy
+    plan.  Exact whenever ``counters`` + 1 > distinct_keys / ``mean_mult``
+    (every qualifying key has count ≥ mean_mult·n/d > n/(counters+1), so
+    it provably survives the candidate pass); the distinct count is the
+    exact ``count_distinct`` — a shuffle of bare key values, acceptable
+    for a profiling pass and swappable for ``approx_count_distinct`` when
+    even that is too much.
+    """
+    cands = frequent_item_candidates(df, key_col, counters).select(key_col).distinct()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(key_col)).alias("_d"),
+    )
+    counted = (
+        df.join(F.broadcast(cands), on=key_col, how="left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.join(F.broadcast(stats))
+        .where(
+            F.col("cnt")
+            >= F.col("_n") / F.col("_d") * F.lit(float(mean_mult))
+        )
+        .select(key_col, "cnt")
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+    )
