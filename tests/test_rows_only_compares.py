@@ -1,0 +1,352 @@
+"""DuckDB value-compares for rows-only declared queries.
+
+The driver's 50-slot oracle window is full, so every query declared after
+it is checked rows-only by the driver.  Each test here closes that gap
+for one deterministic rows-only query: the full result (or its
+deterministic projection) is value-compared against an independent DuckDB
+formulation over the same parquet — the same contract the driver applies
+to the first 50, run in pytest instead (round-3 verdict item #1).
+
+Queries that stay WITHOUT a compare here are non-deterministic
+(ingest_timestamp, seeded-RNG sampling beyond proportions) or
+engine-hashed end-to-end with a portable twin already compared
+(minhash/simhash/hashing_embed families).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+from vector_search_databricks_poc_spark import queries_registry as R
+from vector_search_databricks_poc_spark.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# hygiene family
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_matches_duckdb(spark):
+    """Per-tag hit counts + leak proof: DuckDB recounts the planted PII
+    with its own regexes (RE2), deriving the phone count from the planted
+    rule since RE2 lacks the lookbehind Spark's phone pattern uses."""
+    out = R.QUERIES["pii_redaction"](spark, SF_DIR)
+    sql = r"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 123-4567' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1' ELSE '' END AS text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, 'https?://[^ \t\n]+'))) AS url_hits,
+           SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS email_hits,
+           SUM(len(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,15}\b'))) AS card_hits,
+           SUM(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))) AS ssn_hits,
+           SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS phone_hits,
+           SUM(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS ip_hits,
+           0 AS leaked_docs
+    FROM p
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_boilerplate_removal_matches_duckdb(spark):
+    """Boilerplate line census + full-restoration count recomputed by
+    DuckDB from the same planted corpus."""
+    out = R.QUERIES["boilerplate_removal"](spark, SF_DIR)
+    sql = """
+    WITH p AS (
+      SELECT doc_id,
+             'home | products | about' || chr(10) || text || chr(10) ||
+             '(c) 2026 example corp - all rights reserved' AS text,
+             LENGTH(text) AS orig_len
+      FROM documents WHERE doc_id < 500
+    ), lines AS (
+      SELECT doc_id, TRIM(l) AS line
+      FROM p, UNNEST(string_split(p.text, chr(10))) AS t(l)
+    ), bp AS (
+      SELECT line, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, line FROM lines WHERE LENGTH(line) >= 10)
+      GROUP BY line HAVING COUNT(*) >= 50
+    ), raw AS (
+      SELECT doc_id, l AS raw_line
+      FROM p, UNNEST(string_split(p.text, chr(10))) AS t(l)
+    ), kept AS (
+      SELECT raw.doc_id, raw.raw_line
+      FROM raw LEFT JOIN bp ON TRIM(raw.raw_line) = bp.line
+      WHERE bp.line IS NULL
+    ), cl AS (
+      -- cleaned text length without needing line order: kept chars + newlines
+      SELECT doc_id, SUM(LENGTH(raw_line)) + COUNT(*) - 1 AS clean_len
+      FROM kept GROUP BY doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM bp) AS n_boilerplate_lines,
+           (SELECT MAX(n_docs) FROM bp) AS max_line_docs,
+           (SELECT COUNT(*) FROM cl JOIN p USING (doc_id)
+             WHERE clean_len = orig_len) AS docs_restored
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_benchmark_decontamination_matches_duckdb(spark):
+    """13-gram decontamination recomputed by DuckDB on gram STRINGS (the
+    engine uses xxhash64 of the same grams; equal sets unless the fixture
+    produced a 64-bit collision)."""
+    out = R.QUERIES["benchmark_decontamination"](spark, SF_DIR)
+    sql = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, UNNEST(
+        CASE WHEN len(t) >= 13
+             THEN list_transform(range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 5
+    ), bad AS (
+      SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+    )
+    SELECT COUNT(*) AS n_contaminated,
+           SUM(CASE WHEN doc_id < 5 THEN 1 ELSE 0 END) AS bench_self_hits,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM bad
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_lang_id_heuristic_matches_duckdb(spark):
+    """The marker-stopword CASE cascade mirrored verbatim in SQL (same
+    iteration order, strict > so earlier languages win ties)."""
+    out = R.QUERIES["lang_id_heuristic"](spark, SF_DIR)
+    sql = """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the', 'and', 'of'))) AS n_en,
+             len(list_filter(toks, x -> x IN ('el', 'la', 'de'))) AS n_es,
+             len(list_filter(toks, x -> x IN ('le', 'la', 'et'))) AS n_fr,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS n_de
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_de > greatest(n_en, n_es, n_fr, 0) THEN 'de'
+                WHEN n_fr > greatest(n_en, n_es, 0) THEN 'fr'
+                WHEN n_es > greatest(n_en, 0) THEN 'es'
+                WHEN n_en > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM counts
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+# ---------------------------------------------------------------------------
+# sketch / profiling family
+# ---------------------------------------------------------------------------
+
+
+def test_approx_distinct_within_tolerance_of_exact(spark):
+    """HLL++ estimate vs DuckDB's exact COUNT(DISTINCT): within the rsd
+    the query requests (0.02 -> assert 3 sigma = 6%)."""
+    approx = R.QUERIES["approx_distinct"](spark, SF_DIR).first()["approx_customers"]
+    con = duck_connection(SF_DIR)
+    exact = con.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert abs(approx - exact) / exact <= 0.06, (approx, exact)
+
+
+def test_distribution_drift_matches_duckdb(spark):
+    """TV distance between even/odd-id n_chars distributions recomputed by
+    DuckDB with the same shared-bounds 64-bin histogram."""
+    out = R.QUERIES["distribution_drift"](spark, SF_DIR)
+    sql = """
+    WITH tagged AS (
+      SELECT n_chars AS v, CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
+      FROM documents
+    ), bounds AS (
+      SELECT MIN(v)::DOUBLE AS lo, MAX(v)::DOUBLE AS hi FROM tagged
+    ), binned AS (
+      SELECT side,
+             CASE WHEN hi = lo THEN 0
+                  ELSE greatest(0, least(63, FLOOR((v - lo) / ((hi - lo) / 64.0))))::INT
+             END AS bucket
+      FROM tagged, bounds
+    ), hist AS (
+      SELECT bucket,
+             COUNT(*) FILTER (side = 'old') AS c_old,
+             COUNT(*) FILTER (side = 'new') AS c_new
+      FROM binned GROUP BY bucket
+    ), totals AS (
+      SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM hist
+    )
+    SELECT n_old, n_new,
+           ROUND(SUM(ABS(c_old / CAST(n_old AS DOUBLE) - c_new / CAST(n_new AS DOUBLE))) / 2, 6) AS tv_distance
+    FROM hist, totals
+    GROUP BY n_old, n_new
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+# ---------------------------------------------------------------------------
+# sampling / search families
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_proportions_vs_duckdb(spark):
+    """Seeded RNG means exact rows aren't portable, but the per-stratum
+    CONTRACT is checkable: n_sampled <= group size, the fraction-1.0
+    stratum is complete, and each sampled fraction is within a binomial
+    4-sigma band of the DuckDB group count times the requested fraction."""
+    rows = {r.lang: r.n_sampled for r in R.QUERIES["stratified_sample"](spark, SF_DIR).collect()}
+    con = duck_connection(SF_DIR)
+    totals = dict(
+        con.sql("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall()
+    )
+    fracs = {"en": 0.5, "es": 0.5, "fr": 0.2, "de": 0.2, "zh": 1.0}
+    for lang, frac in fracs.items():
+        n, total = rows.get(lang, 0), totals.get(lang, 0)
+        assert n <= total
+        if frac == 1.0:
+            assert n == total, (lang, n, total)
+        else:
+            sigma = (total * frac * (1 - frac)) ** 0.5
+            assert abs(n - total * frac) <= 4 * sigma + 1, (lang, n, total)
+
+
+def test_quantized_search_rank_agreement_vs_duckdb_exact(spark):
+    """Int8-quantized top-10 vs DuckDB's EXACT float dot-product top-10
+    (list_dot_product over the same parquet): ranking must agree on >= 8
+    of 10 ids, and the self-match must rank first."""
+    out = [r.vec_id for r in R.QUERIES["quantized_search"](spark, SF_DIR).collect()]
+    con = duck_connection(SF_DIR)
+    exact = [
+        r[0]
+        for r in con.sql(
+            """
+            SELECT e.vec_id
+            FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY list_dot_product(e.embedding, q) DESC, e.vec_id
+            LIMIT 10
+            """
+        ).fetchall()
+    ]
+    assert out[0] == 0 and exact[0] == 0
+    assert len(set(out) & set(exact)) >= 8, (out, exact)
+
+
+# ---------------------------------------------------------------------------
+# streaming family: final sink tables vs DuckDB batch SQL
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_tumbling_matches_duckdb(spark):
+    """The drained complete-mode sink equals DuckDB's hour-bucket GROUP BY
+    (single availableNow replay: the watermark drops nothing)."""
+    out = R.QUERIES["streaming_tumbling"](spark, SF_DIR)
+    sql = """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_streaming_dedup_keys_match_duckdb(spark):
+    """dropDuplicatesWithinWatermark keeps an arbitrary representative row
+    per key, so the deterministic projection is the KEY SET: exactly
+    DuckDB's DISTINCT (user_id, event_type)."""
+    out = R.QUERIES["streaming_dedup"](spark, SF_DIR).select("user_id", "event_type")
+    sql = "SELECT DISTINCT user_id, event_type FROM events"
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_stateful_user_stats_matches_duckdb(spark):
+    """Final per-user state (max n_events collapses possible multi-batch
+    update rows) equals DuckDB's per-user batch aggregate."""
+    sink = R.QUERIES["stateful_user_stats"](spark, SF_DIR)
+    out = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "last_ts")).alias("_s"))
+        .select("user_id", "_s.n_events", "_s.total_value", "_s.last_ts")
+    )
+    sql = """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_streaming_funnel_matches_duckdb(spark):
+    """Final depth distribution equals DuckDB's ordered-funnel depth count
+    (every user with events emits a row; depth = steps completed in strict
+    ts order)."""
+    out = R.QUERIES["streaming_funnel"](spark, SF_DIR)
+    sql = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), depths AS (
+      SELECT u.user_id,
+             (CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END +
+              CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END +
+              CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    )
+    SELECT depth, COUNT(*) AS n_users FROM depths GROUP BY depth ORDER BY depth
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+# ---------------------------------------------------------------------------
+# incremental family: count reports vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_index_refresh_counts_match_duckdb(spark):
+    out = R.QUERIES["incremental_index_refresh"](spark, SF_DIR)
+    sql = """
+    WITH wm AS (SELECT COUNT(*) // 2 AS watermark FROM embeddings)
+    SELECT watermark,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id > watermark) AS n_new,
+           (SELECT COUNT(*) FROM embeddings) AS n_total
+    FROM wm
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_streaming_index_sync_counts_match_duckdb(spark):
+    out = R.QUERIES["streaming_index_sync"](spark, SF_DIR)
+    sql = """
+    SELECT COUNT(*) // 2 AS watermark, COUNT(*) AS n_indexed FROM documents
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
