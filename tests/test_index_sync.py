@@ -177,3 +177,80 @@ def test_incremental_upsert_propagates_deletes(spark, tmp_path):
     assert after2.count() == 17
     assert after2.where(F.col("vec_id") == 16).count() == 0
     assert after2.where(F.col("vec_id") == 7).count() == 1
+
+
+def test_change_log_replay_reaches_batch_state(spark, tmp_path):
+    """Self-written change log (VERDICT r3 #5, closes the Delta-CDF gap
+    without delta-spark): three mixed batches applied with logging, then a
+    SECOND index — built from the same pre-image — replays only the
+    ``_changes`` parquet via stream_change_log_sync and must reach the
+    exact same (vec_id, embedding, centroid_id) contents."""
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        changes_path,
+        incremental_upsert,
+    )
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_change_log_sync,
+    )
+
+    src, idx_a = _two_cluster_index(spark, tmp_path, name="idx_log_a")
+    log = changes_path(idx_a.path)
+
+    # batch 1: update 3 (moves cluster), insert 100
+    b1 = spark.createDataFrame(
+        [(3, [0.0, 1.0, 0.0, 3e-3]), (100, [1.0, 0.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    assert incremental_upsert(spark, idx_a, b1, log_path=log) == 2
+    # batch 2: delete 5 and 15
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    gone = spark.createDataFrame([(5,), (15,)], "vec_id long")
+    incremental_upsert(spark, idx_a, empty, deleted=gone, log_path=log)
+    # batch 3: update 100 again (insert-then-update across batches),
+    # delete 7 while also re-updating it -> logs as update, row survives
+    b3 = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0, 0.25]), (7, [1.0, 0.0, 0.0, 7e-3])],
+        "vec_id long, embedding array<float>",
+    )
+    incremental_upsert(
+        spark, idx_a, b3,
+        deleted=spark.createDataFrame([(7,)], "vec_id long"), log_path=log,
+    )
+
+    logged = spark.read.parquet(log)
+    ops = {(r.vec_id, r.batch_seq): r.op for r in logged.collect()}
+    assert ops[(3, 0)] == "update" and ops[(100, 0)] == "insert"
+    assert ops[(5, 1)] == "delete" and ops[(15, 1)] == "delete"
+    assert ops[(100, 2)] == "update" and ops[(7, 2)] == "update"
+    assert (7, 2) in ops and not any(
+        op == "delete" and k[0] == 7 for k, op in ops.items()
+    )
+
+    # replay: fresh index from the same pre-image + the log only
+    _, idx_b = _two_cluster_index(spark, tmp_path, name="idx_log_b")
+    # post-image source = what the rows look like NOW
+    post = {r.vec_id: list(r.embedding) for r in src.collect()}
+    post.update({3: [0.0, 1.0, 0.0, 3e-3], 100: [0.0, 1.0, 0.0, 0.25],
+                 7: [1.0, 0.0, 0.0, 7e-3]})
+    for d in (5, 15):
+        post.pop(d)
+    post_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(post.items())],
+        "vec_id long, embedding array<float>",
+    )
+    q = stream_change_log_sync(
+        idx_b, post_df, log, checkpoint_dir=str(tmp_path / "log_ckpt")
+    )
+    q.awaitTermination(120)
+
+    def contents(path):
+        return sorted(
+            (r.vec_id, tuple(round(x, 6) for x in r.embedding), r.centroid_id)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert contents(idx_b.path) == contents(idx_a.path)
+    # the replayed index must not have written its own change log
+    import os as _os
+
+    assert not _os.path.exists(changes_path(idx_b.path))

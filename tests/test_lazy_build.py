@@ -32,6 +32,7 @@ EAGER_BY_CONTRACT = {
     "ann_recall_report",  # builds two indexes (CREATE INDEX analog)
     "hard_negative_mining",  # index build (CREATE INDEX analog)
     "streaming_index_sync",
+    "change_log_replay",  # CDC round trip: index builds + log replay stream
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

@@ -350,3 +350,17 @@ def test_streaming_index_sync_counts_match_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_change_log_replay_matches_duckdb(spark):
+    """CDC round-trip summary vs DuckDB: op counts follow from the fixed
+    id rules, both indexes hold source-5(deleted)+5(inserted) rows, and
+    the replayed index diverges from the batch one in 0 entries."""
+    out = R.QUERIES["change_log_replay"](spark, SF_DIR)
+    sql = """
+    SELECT 5 AS n_insert, 5 AS n_update, 5 AS n_delete,
+           COUNT(*) AS rows_batch, COUNT(*) AS rows_replayed, 0 AS n_mismatch
+    FROM embeddings
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

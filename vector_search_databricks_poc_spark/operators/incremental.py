@@ -58,6 +58,22 @@ def incremental_refresh(
     return n
 
 
+def changes_path(index_path: str) -> str:
+    """Default change-log location: a ``_changes`` parquet directory next
+    to the index table."""
+    return index_path.rstrip("/") + "_changes"
+
+
+def _next_batch_seq(spark: SparkSession, log_path: str) -> int:
+    """Next monotone batch sequence for the change log (one tiny aggregate
+    over the log itself; at scale this lives in the sync manifest)."""
+    try:
+        row = spark.read.parquet(log_path).agg(F.max("batch_seq")).first()
+        return (row[0] if row[0] is not None else -1) + 1
+    except Exception:
+        return 0
+
+
 def incremental_upsert(
     spark: SparkSession,
     index: IvfIndex,
@@ -65,6 +81,7 @@ def incremental_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     deleted: DataFrame | None = None,
+    log_path: str | None = None,
 ) -> int:
     """Propagate UPDATES, inserts, and DELETES into the index — the parquet
     analog of Delta Change Data Feed sync (reference syntetic_data.py:69-78):
@@ -85,6 +102,18 @@ def incremental_upsert(
     never rewrites a partition absent from the output, so those directories
     are deleted explicitly afterwards — otherwise the stale entries would
     survive and an updated id would be findable twice.
+
+    ``log_path`` (optional) appends this batch to a self-written CHANGE
+    LOG — a ``_changes`` parquet of (id, op ∈ insert/update/delete,
+    batch_seq, ts).  This closes the Delta-CDF gap without delta-spark
+    (reference contract syntetic_data.py:69-78): downstream consumers
+    (``streaming.index_sync.stream_change_log_sync``) replay the log to
+    reach the exact same index state as the batch path, so the change-feed
+    MECHANISM, not just its semantics, exists here.  Ops are classified
+    against the pre-image (id present → update, absent → insert; an id
+    both changed and deleted in one batch logs as update — the new row
+    wins in the index, see survivors/assigned below) and the log row is
+    written only after the index write succeeds.
 
     Returns the number of upserted rows (deletes not counted).
     """
@@ -113,6 +142,27 @@ def incremental_upsert(
     # materialize BEFORE the overwrite below invalidates the files this
     # plan reads; bounded by k_centroids, so driver-side set is tiny
     touched_parts = {r[0] for r in touched.collect()}
+    log_rows = None
+    if log_path is not None:
+        # classify ops against the pre-image; checkpoint before the
+        # overwrite invalidates `old`'s files
+        old_ids = old.select(id_col)
+        upd = assigned.select(id_col).join(old_ids, id_col, "left_semi")
+        ins = assigned.select(id_col).join(old_ids, id_col, "left_anti")
+        log_rows = upd.withColumn("op", F.lit("update")).unionByName(
+            ins.withColumn("op", F.lit("insert"))
+        )
+        if del_ids is not None:
+            real_del = (
+                del_ids.join(old_ids, id_col, "left_semi")
+                # an id both changed and deleted: the new row wins — log
+                # it once, as the update/insert it actually was
+                .join(assigned.select(id_col), id_col, "left_anti")
+            )
+            log_rows = log_rows.unionByName(
+                real_del.withColumn("op", F.lit("delete"))
+            )
+        log_rows = log_rows.localCheckpoint()
     survivors = (
         old.join(F.broadcast(touched), "centroid_id", "left_semi")
         .join(ids, id_col, "left_anti")
@@ -129,6 +179,18 @@ def incremental_upsert(
     )
     written_parts = {r[0] for r in out.select("centroid_id").distinct().collect()}
     _delete_partition_dirs(spark, index.path, touched_parts - written_parts)
+    if log_rows is not None:
+        seq = _next_batch_seq(spark, log_path)
+        (
+            log_rows.select(
+                id_col,
+                "op",
+                F.lit(seq).cast("long").alias("batch_seq"),
+                F.current_timestamp().alias("ts"),
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
     return n
 
 

@@ -2935,6 +2935,66 @@ def ann_recall_report_q(spark, sf_dir):
     )
 
 
+@register("change_log_replay")
+def change_log_replay_q(spark, sf_dir):
+    """A6/B21: self-written change-data-feed round trip — the engine's
+    Delta-CDF mechanism without delta-spark (reference contract
+    syntetic_data.py:69-78).  Builds an IVF index over embeddings, applies
+    one mixed CDC batch (update vec 0-4 to vec 5-9's vectors, insert 5
+    brand-new ids, delete vec 10-14) with ``log_path`` so a ``_changes``
+    parquet is emitted, then REPLAYS only that log into a second index
+    built from the same pre-image (streaming.index_sync.
+    stream_change_log_sync) and reports the log's op counts, both row
+    counts, and the number of mismatching entries between the two indexes
+    (must be 0).  Rows-only (eager index builds); byte-level equivalence
+    asserted in tests/test_index_sync.py, count summary DuckDB-compared in
+    tests/test_rows_only_compares.py."""
+    from .operators.incremental import changes_path, incremental_upsert
+    from .operators.index import build_ivf_index
+    from .streaming.index_sync import stream_change_log_sync
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_src = _split_id(sf_dir, "embeddings") * 2  # footer metadata, no scan
+    tmp = _scratch_dir("cdc_replay_")
+    idx_a = build_ivf_index(e, f"{tmp}/a", k_centroids=4)
+    log = changes_path(idx_a.path)
+
+    donors = e.where(F.col("vec_id").between(5, 9)).select(
+        (F.col("vec_id") - 5).alias("vec_id"), "embedding"
+    )
+    inserts = e.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(n_src)).alias("vec_id"), "embedding"
+    )
+    deletes = e.where(F.col("vec_id").between(10, 14)).select("vec_id")
+    incremental_upsert(
+        spark, idx_a, donors.unionByName(inserts), deleted=deletes, log_path=log
+    )
+
+    idx_b = build_ivf_index(e, f"{tmp}/b", k_centroids=4)
+    post = (
+        e.where(~F.col("vec_id").between(10, 14) & (F.col("vec_id") >= 5))
+        .unionByName(donors)
+        .unionByName(inserts)
+    )
+    q = stream_change_log_sync(idx_b, post, log, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination(120)
+
+    a = spark.read.parquet(idx_a.path).select("vec_id", "embedding", "centroid_id")
+    b = spark.read.parquet(idx_b.path).select("vec_id", "embedding", "centroid_id")
+    mism = a.exceptAll(b).unionByName(b.exceptAll(a))
+    ops = spark.read.parquet(log).groupBy().pivot("op", ["insert", "update", "delete"]).count()
+    return (
+        ops.select(
+            F.col("insert").alias("n_insert"),
+            F.col("update").alias("n_update"),
+            F.col("delete").alias("n_delete"),
+        )
+        .crossJoin(a.agg(F.count("*").alias("rows_batch")))
+        .crossJoin(b.agg(F.count("*").alias("rows_replayed")))
+        .crossJoin(mism.agg(F.count("*").alias("n_mismatch")))
+    )
+
+
 @register("chunked_doc_search")
 def chunked_doc_search_q(spark, sf_dir):
     """A10/B7/B12 composition: chunk-level retrieval with exact MaxSim

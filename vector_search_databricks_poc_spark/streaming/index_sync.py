@@ -53,3 +53,55 @@ def stream_index_sync(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_change_log_sync(
+    index: IvfIndex,
+    source: DataFrame,
+    log_path: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Replay a self-written change log (``incremental_upsert(...,
+    log_path=...)``) into an index — the engine's rendition of the
+    reference's CDF-triggered delta-sync (syntetic_data.py:69-78), with
+    the change FEED itself owned by the engine instead of delta-spark.
+
+    ``log_path`` streams as a file source of (id, op, batch_seq, ts)
+    rows; ``source`` is the post-image table (current row per live id).
+    Each micro-batch collapses to the LATEST op per id (``max_by`` over
+    batch_seq — several appended log batches can land in one micro-batch),
+    joins surviving insert/update ids back to ``source`` for their
+    vectors, and applies one ``incremental_upsert`` — so replaying the
+    whole log reaches the exact index state the batch path produced
+    (asserted in tests/test_index_sync.py).  Exactly-once via the
+    checkpointed foreachBatch; the replay writes no log of its own.
+
+    Returns the StreamingQuery.
+    """
+    from ..operators.incremental import incremental_upsert
+
+    spark = source.sparkSession
+    schema = f"{id_col} long, op string, batch_seq long, ts timestamp"
+    changes = spark.readStream.schema(schema).parquet(log_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy(id_col).agg(
+            F.max_by("op", "batch_seq").alias("op")
+        )
+        latest = latest.localCheckpoint()  # one pass over the batch, reused twice
+        upsert_ids = latest.where(F.col("op") != "delete").select(id_col)
+        changed = source.join(upsert_ids, id_col, "left_semi").select(
+            id_col, vec_col
+        )
+        delete_ids = latest.where(F.col("op") == "delete").select(id_col)
+        incremental_upsert(
+            spark, index, changed, id_col=id_col, vec_col=vec_col,
+            deleted=delete_ids,
+        )
+
+    writer = changes.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
