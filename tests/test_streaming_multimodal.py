@@ -73,10 +73,32 @@ def test_multimodal_pack_and_features(spark, sf_dir):
 
 
 def test_decode_stub_raises():
-    from vector_search_databricks_poc_spark.functions.multimodal import decode_image
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        decode_image,
+        decode_media_stub,
+    )
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+        decode_media_stub(b"xx")  # MP3/MP4 remain honestly stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"xx")  # garbage bytes are an error, not a crash
+
+
+def test_decode_image_dispatches_jpeg():
+    """decode_image routes JPEG magic to the stdlib baseline codec; the
+    roundtrip error is bounded by quantization loss."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import encode_jpeg
+    from vector_search_databricks_poc_spark.functions.multimodal import decode_image
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([(x * 16) % 256, (y * 16) % 256, ((x + y) * 8) % 256], -1).astype(
+        "uint8"
+    )
+    dec = decode_image(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
 
 
 def test_approx_distinct_error(spark, sf_dir):
@@ -442,3 +464,96 @@ def test_real_transformer_encoder_smoke(spark):
     v0 = out[0]["embedding"]
     assert len(v0) == 384  # all-MiniLM-L6-v2 hidden size
     assert any(abs(x) > 0 for x in v0)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py — VERDICT r3 #7, stub closed)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Encode->decode roundtrip on a structured RGB image: error bounded by
+    quantization loss at quality 90 (the golden contract alongside the
+    exact BMP/PNG roundtrips)."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:24, 0:17]  # non-multiple-of-8 dims exercise edge pads
+    img = np.stack(
+        [(x * 13) % 256, (y * 9) % 256, ((x + y) * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_flat_and_grayscale_lossless():
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == flat).all()
+    y, x = np.mgrid[0:24, 0:17]
+    g = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert decg.shape == g.shape
+    assert np.abs(decg.astype(int) - g.astype(int)).mean() < 1.0
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_databricks_poc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img, 90))
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2): honest scope error
+    sof = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:sof + 1]) + b"\xc2" + bytes(enc[sof + 2:])
+    with _pytest.raises(ValueError):
+        decode_jpeg(prog)
+    # truncated entropy stream
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[:-8]))
+
+
+def test_jpeg_through_media_features_and_thumbnail(spark):
+    """The Spark path: synth ids 4,5 mod 6 produce JPEG payloads; features
+    come from REAL decoded pixels (match a local decode), and
+    transform_media thumbnails them without error."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import decode_jpeg
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        extract_media_features,
+        synth_media_payload,
+        transform_media,
+    )
+
+    ids = [4, 5, 10, 11]  # all % 6 in {4, 5} -> JPEG containers
+    rows = [(i, "image", synth_media_payload(i, "image")) for i in ids]
+    media = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    feats = {r.asset_id: r for r in extract_media_features(media).collect()}
+    for i in ids:
+        px = decode_jpeg(synth_media_payload(i, "image")).astype(float)
+        want = [px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean()]
+        got = feats[i].feature[:3]
+        assert got == pytest.approx(want, abs=1e-3), i
+        assert feats[i].width == px.shape[1] and feats[i].height == px.shape[0]
+    thumbs = transform_media(media, thumb_h=4, thumb_w=4).collect()
+    assert len(thumbs) == len(ids)
+    assert all(t.width == 4 and t.height == 4 for t in thumbs)

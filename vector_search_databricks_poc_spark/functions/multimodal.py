@@ -12,12 +12,14 @@ format the Python stdlib can parse:
   (dimensions, per-channel means, luminance spread);
 - **PNG image**: real chunk walk + zlib inflate + all five per-row
   defilter types (``decode_png``);
+- **JPEG image** (baseline sequential): real Huffman decode + dequantize
+  + IDCT + YCbCr conversion, pure stdlib+numpy (``functions/jpeg.py``);
 - **SVF video** (simple frame container): real index parse with
   skip-decode frame sampling.
 
-Codecs that genuinely need external libraries (JPEG DCT, MP3, real
-MP4/AVI) remain stubbed behind ``NotImplementedError`` / the
-deterministic byte-histogram fake, clearly marked.
+Codecs that genuinely need external libraries (MP3, real MP4/AVI)
+remain stubbed behind ``NotImplementedError`` / the deterministic
+byte-histogram fake, clearly marked (``decode_media_stub``).
 """
 
 from __future__ import annotations
@@ -79,10 +81,26 @@ def pack_multimodal(docs: DataFrame, vectors: DataFrame,
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB for formats needing external codecs: JPEG (DCT) and video.
-    BMP and PNG decode for REAL — see ``decode_bmp`` / ``decode_png``."""
-    raise NotImplementedError("JPEG/video decoding requires PIL/opencv — not installed")
+def decode_image(payload: bytes):
+    """Dispatch to the real stdlib decoders by magic bytes: BMP, PNG, and
+    baseline JPEG (functions/jpeg.py — pure stdlib+numpy Huffman/IDCT).
+    The remaining stub is ``decode_media_stub`` (MP3/MP4/AVI)."""
+    if payload is not None and len(payload) >= 2:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+    return decode_png(payload)
+
+
+def decode_media_stub(payload: bytes):  # pragma: no cover - intentional stub
+    """STUB for formats that genuinely need external codecs: MP3 audio and
+    real MP4/AVI video.  Images decode for REAL in every supported
+    container — see ``decode_bmp`` / ``decode_png`` /
+    ``functions.jpeg.decode_jpeg``."""
+    raise NotImplementedError("MP3/MP4/AVI decoding requires ffmpeg-class codecs — not installed")
 
 
 # ---------------------------------------------------------------------------
@@ -311,8 +329,12 @@ def resize_nearest(pixels, out_h: int, out_w: int):
 
 
 def resize_image(payload: bytes, out_h: int, out_w: int) -> bytes:
-    """Decode (BMP or PNG by magic), nearest-resize, re-encode as BMP."""
-    px = decode_bmp(payload) if payload[:2] == b"BM" else decode_png(payload)
+    """Decode (BMP/PNG/JPEG by magic), nearest-resize, re-encode as BMP."""
+    import numpy as np
+
+    px = decode_image(payload)
+    if px.ndim == 2:  # grayscale JPEG -> replicate channels for the BMP
+        px = np.stack([px, px, px], axis=-1)
     return encode_bmp(resize_nearest(px, out_h, out_w))
 
 
@@ -365,8 +387,8 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     """Decode-and-featurize one asset.  Returns (n_bytes, width, height,
     sample_rate, duration_s, feature list[float]).
 
-    - image/BMP or image/PNG: real pixel decode -> [meanR, meanG, meanB,
-      luma_std];
+    - image/BMP, image/PNG, or image/JPEG (baseline, functions/jpeg.py):
+      real pixel decode -> [meanR, meanG, meanB, luma_std];
     - audio/WAV: real sample decode -> [rms, zero_crossing_rate, peak, mean];
     - anything else (or undecodable bytes): byte-histogram fake, with
       width/height/rate/duration null.
@@ -379,10 +401,9 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     n = 0 if payload is None else len(payload)
     if payload is not None and modality == "image":
         try:
-            if payload[:2] == b"BM":
-                px = decode_bmp(payload).astype(np.float64)
-            else:
-                px = decode_png(payload).astype(np.float64)
+            px = decode_image(payload).astype(np.float64)
+            if px.ndim == 2:  # grayscale JPEG -> replicate channels
+                px = np.stack([px, px, px], axis=-1)
             luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
             feat = [
                 float(px[..., 0].mean()),
@@ -455,8 +476,14 @@ def synth_media_payload(asset_id: int, modality: str) -> bytes:
         rng = np.random.default_rng(asset_id)
         h, w = 8 + asset_id % 5, 8 + asset_id % 7
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        # alternate containers so both real decoders run in the pipeline
-        return encode_bmp(px) if asset_id % 4 < 2 else encode_png(px)
+        # rotate containers so all three real decoders run in the pipeline
+        if asset_id % 6 < 2:
+            return encode_bmp(px)
+        if asset_id % 6 < 4:
+            return encode_png(px)
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(px, quality=90)
     if modality == "audio":
         n = 400 + (asset_id % 5) * 100
         t = np.arange(n, dtype=np.float64)

@@ -1351,11 +1351,12 @@ def multimodal_struct(spark, sf_dir):
 
 def multimodal_features(spark, sf_dir):
     """B13/B22: binary payload -> decode -> feature vector via Arrow-batched
-    mapInPandas.  The payloads are REAL containers (24-bit BMP for even
-    ids, 16-bit PCM WAV for odd) synthesized deterministically per asset
-    and decoded with stdlib parsers inside the workers — the full decode
-    path runs, not a stub (rows-only: byte-level synthesis isn't
-    SQL-expressible)."""
+    mapInPandas.  The payloads are REAL containers (BMP/PNG/baseline-JPEG
+    rotating by id for even ids, 16-bit PCM WAV for odd) synthesized
+    deterministically per asset and decoded with stdlib parsers inside the
+    workers — the full decode path runs, including the pure-stdlib JPEG
+    Huffman+IDCT codec (functions/jpeg.py), not a stub (rows-only:
+    byte-level synthesis isn't SQL-expressible)."""
     import pandas as pd
 
     from .functions.multimodal import extract_media_features, synth_media_payload
