@@ -364,3 +364,31 @@ def test_change_log_replay_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_hard_negative_mining_matches_duckdb_exact(spark):
+    """At nprobe = k_centroids the IVF search is exhaustive, so the mined
+    negatives are exactly the top-5 non-self neighbors by cosine — DuckDB
+    recomputes them with list_cosine_similarity (scores dropped from the
+    compare: float32-normalized index vs float64 oracle can differ in the
+    6th decimal at rounding boundaries; the RANKING must agree)."""
+    out = R.QUERIES["hard_negative_mining"](spark, SF_DIR).select(
+        "query_id", "vec_id", "neg_rank"
+    )
+    sql = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding, q.qv), 6) DESC,
+                        e.vec_id
+             ) AS neg_rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, neg_rank FROM scored WHERE neg_rank <= 5
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
