@@ -119,3 +119,20 @@ def test_zorder_layout_single_agg_shuffle(spark, sf_dir):
     assert A.uses_broadcast_join(df), A.plan_string(df)
     assert A.count_exchanges(df) <= 4, A.plan_string(df)
     assert set(A.read_schema_columns(df)) <= {"o_custkey", "o_totalprice"}
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """The r4 signature formulation is a pure map: the ONLY exchange in
+    the plan is the parallelism-guard round-robin repartition — no hash
+    exchange, no aggregate (the per-doc mins run inside the row via
+    array_min/zip_with)."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = minhash_signatures_df(d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan

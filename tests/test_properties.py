@@ -146,3 +146,29 @@ def test_heavy_hitters_always_exact(spark, keys, frac):
 
     expected = {(k, c) for k, c in Counter(keys).items() if c >= thr}
     assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_error_bounded(h, w, seed):
+    """Property: baseline JPEG roundtrip at quality 90 stays within a
+    conservative per-pixel error bound for ANY image shape (including
+    non-multiple-of-8 dims) and ANY pixel content."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    # random noise is the worst case for DCT quantization; mean error
+    # stays far below this bound on real images
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 32.0
