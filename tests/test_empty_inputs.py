@@ -182,3 +182,18 @@ def test_event_analytics_empty(spark):
     js = join_size_stats(t, t, "id").first()
     assert js.matching_keys == 0 and js.join_rows == 0
     assert js.max_key_pairs == 0 and js.top_key is None
+
+
+def test_relative_heavy_hitters_empty_and_uniform(spark):
+    """Empty input and all-unique keys both degrade to empty results —
+    and a perfectly uniform distribution has NO key above 1.2x the mean."""
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        relative_heavy_hitters,
+    )
+
+    empty = spark.createDataFrame([], "k string, v long")
+    assert relative_heavy_hitters(empty, "k").count() == 0
+    uniform = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(500)], ["k"]
+    ).repartition(8)
+    assert relative_heavy_hitters(uniform, "k", mean_mult=1.2).count() == 0

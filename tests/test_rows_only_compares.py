@@ -392,3 +392,49 @@ def test_hard_negative_mining_matches_duckdb_exact(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_hashing_embed_invariants_match_duckdb(spark):
+    """The embedding values are engine-hashed (xxhash64 buckets), but the
+    CONTRACT is portable: every vector has dim 32 and unit l2 norm —
+    value-compared as a projection against DuckDB constants per doc."""
+    out = R.QUERIES["hashing_embed"](spark, SF_DIR).select(
+        "doc_id", "dim", F.round("emb_l2", 4).alias("emb_l2")
+    )
+    sql = """
+    SELECT doc_id, 32 AS dim, 1.0::DOUBLE AS emb_l2 FROM documents WHERE doc_id < 200
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_ivf_batch_search_overlap_vs_duckdb_exact(spark):
+    """IVF at nprobe=4 of 8 is approximate; the independent check is
+    overlap with DuckDB's EXACT cosine top-5 per query — at least 4 of 5
+    ids shared on average across the 8 fixture queries (the recall pytest
+    uses Spark's own brute force as truth; this one leaves the engine)."""
+    hits = R.QUERIES["ivf_batch_search"](spark, SF_DIR).collect()
+    got = {}
+    for h in hits:
+        got.setdefault(h.query_id, set()).add(h.vec_id)
+    con = duck_connection(SF_DIR)
+    exact_rows = con.sql(
+        """
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                            e.vec_id
+                 ) AS rnk
+          FROM embeddings e CROSS JOIN (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+          ) q
+        ) WHERE rnk <= 5
+        """
+    ).fetchall()
+    exact = {}
+    for qid, vid in exact_rows:
+        exact.setdefault(qid, set()).add(vid)
+    overlaps = [len(got[q] & exact[q]) for q in exact]
+    assert sum(overlaps) / len(overlaps) >= 4.0, overlaps
