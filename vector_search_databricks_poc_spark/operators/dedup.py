@@ -790,13 +790,17 @@ def embedding_near_dup_pairs(
         )
     # enough block-pairs to keep every core busy: B(B+1)/2 >= 2*cores,
     # bounded below by the memory-driven block_size cap.  Replication per
-    # row is B (trivial vs the n^2 d flops the blocks distribute).
+    # row is B (trivial vs the n^2 d flops the blocks distribute).  The
+    # cores-busy floor only applies when the pair count can amortize the
+    # per-task Arrow/pandas overhead — a tiny exact job fragmented into
+    # dozens of tasks spends more on scheduling than on BLAS (measured:
+    # 2k vectors at B=12 is ~30% slower than B=4 for identical output).
     cores = df.sparkSession.sparkContext.defaultParallelism
-    n_blocks = max(
-        1,
-        _math.ceil(n / block_size),
-        min(_math.ceil(_math.sqrt(4 * cores)), max(1, n // 8)),
-    )
+    if (n * n) / max(cores, 1) >= 250_000:  # >=0.25M pairs/core: fan out fully
+        busy = min(_math.ceil(_math.sqrt(4 * cores)), max(1, n // 8))
+    else:
+        busy = min(4, max(1, n // 8))
+    n_blocks = max(1, _math.ceil(n / block_size), busy)
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -32,15 +32,25 @@ def bm25_scores(
     no driver-side action, the whole pipeline is one lazy plan.  df_counts
     (bounded by the query-term count) is broadcast; doc_len is per-document
     and left to Catalyst (a forced broadcast would OOM at corpus scale).
+
+    Document length is ``F.size`` of the token array — a map-side
+    projection, NOT an explode + groupBy (the r3 formulation shuffled
+    every token row back into per-doc counts; same values, one full-corpus
+    shuffle less).  The explode survives only on the term-frequency leg,
+    where the query-term filter prunes it before the partial aggregate.
     """
     terms = [t.lower() for t in query_terms]
+    # size > 0 mirrors explode semantics: empty/null token arrays produce
+    # no doc_len row, so N and avgdl are unchanged from the explode form
+    doc_len = docs.select(
+        F.col(id_col), F.size(tokens(F.lower(F.col(text_col)))).alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = doc_len.agg(
+        F.count("*").cast("double").alias("_N"), F.avg("dl").alias("_avgdl")
+    )
     tok = docs.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    doc_len = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = doc_len.agg(
-        F.count("*").cast("double").alias("_N"), F.avg("dl").alias("_avgdl")
     )
 
     qterms = F.array(*[F.lit(t) for t in terms])
