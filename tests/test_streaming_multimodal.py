@@ -557,3 +557,24 @@ def test_jpeg_through_media_features_and_thumbnail(spark):
     thumbs = transform_media(media, thumb_h=4, thumb_w=4).collect()
     assert len(thumbs) == len(ids)
     assert all(t.width == 4 and t.height == 4 for t in thumbs)
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn resync path: encoding with restart markers at several
+    intervals decodes bit-identically to the marker-free stream (DC
+    predictor resets and the padded-byte marker scan both exercised)."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:40, 0:33]
+    img = np.stack(
+        [(x * 13) % 256, (y * 9) % 256, ((x + y) * 5) % 256], -1
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3, 7):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=ri))
+        assert np.array_equal(dec, base), ri

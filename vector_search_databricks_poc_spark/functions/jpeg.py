@@ -239,9 +239,13 @@ def _receive_extend(reader: _BitReader, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
+def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB or (h, w) grayscale array as baseline
-    sequential JPEG (4:4:4, spec Huffman tables)."""
+    sequential JPEG (4:4:4, spec Huffman tables).  ``restart_interval`` > 0
+    emits a DRI segment and an RSTn marker every that-many MCUs (with DC
+    predictor resets) — the resync mechanism real encoders use so a bit
+    error only corrupts one restart segment; here it exists to exercise
+    the decoder's marker path end to end."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -271,8 +275,16 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     bw = _BitWriter()
     pred = [0] * len(comps)
     mcu_h, mcu_w = (h + 7) // 8, (w + 7) // 8
+    mcu_count = 0
+    rst_idx = 0
     for by in range(mcu_h):
         for bx in range(mcu_w):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align before the marker
+                bw.buf += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * len(comps)
+            mcu_count += 1
             for ci, comp in enumerate(comps):
                 block = np.zeros((8, 8))
                 ys, xs = by * 8, bx * 8
@@ -341,6 +353,8 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         ]
     for tc, bits, vals in tables:
         out += seg(0xC4, bytes([tc]) + bytes(bits[1:]) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nf])
     for ci in range(nf):
         td_ta = 0x00 if ci == 0 else 0x11
@@ -454,13 +468,15 @@ def _decode_scan(data, start, frame, scan, qtabs, huff, restart_interval):
         for bx in range(mcu_w):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 reader.align()
-                # skip the RSTn marker
-                while reader.pos < len(reader.data) and reader.data[reader.pos] == 0xFF:
-                    nxt = reader.data[reader.pos + 1]
-                    if 0xD0 <= nxt <= 0xD7:
-                        reader.pos += 2
+                # scan to the RSTn marker: everything before it is byte
+                # padding (possibly a stuffed FF 00 from all-ones fill)
+                dpos = reader.pos
+                while dpos + 1 < len(reader.data):
+                    if reader.data[dpos] == 0xFF and 0xD0 <= reader.data[dpos + 1] <= 0xD7:
+                        dpos += 2
                         break
-                    reader.pos += 1
+                    dpos += 1
+                reader.pos = dpos
                 pred = [0] * len(scan)
             for ci, comp in enumerate(scan):
                 try:
