@@ -172,3 +172,88 @@ def test_jpeg_roundtrip_error_bounded(h, w, seed):
     # random noise is the worst case for DCT quantization; mean error
     # stays far below this bound on real images
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 32.0
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 metadata parsers (functions/media_meta.py): construct-then-parse
+# roundtrips over the parameter space — pure Python, no Spark session.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 40),
+    bitrate=st.sampled_from(_MP3_BITRATES),
+    rate=st.sampled_from([32000, 44100, 48000]),
+    channels=st.sampled_from([1, 2]),
+    id3_len=st.one_of(st.none(), st.integers(0, 500)),
+)
+def test_mp3_construct_parse_roundtrip(n_frames, bitrate, rate, channels, id3_len):
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        mp3_metadata,
+    )
+
+    p = make_mp3(
+        n_frames=n_frames,
+        bitrate_kbps=bitrate,
+        rate=rate,
+        channels=channels,
+        id3_tag=None if id3_len is None else b"t" * id3_len,
+    )
+    m = mp3_metadata(p)
+    assert m["n_frames"] == n_frames
+    assert m["sample_rate"] == rate
+    assert m["channels"] == channels
+    assert m["bitrate_kbps"] == bitrate and m["mode"] == "cbr"
+    assert m["duration_s"] == pytest.approx(n_frames * 1152 / rate, abs=1e-5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dur_ms=st.integers(1, 10_000_000),
+    timescale=st.sampled_from([600, 1000, 90000]),
+    n_tracks=st.integers(0, 5),
+    version=st.sampled_from([0, 1]),
+    large=st.booleans(),
+)
+def test_mp4_construct_parse_roundtrip(dur_ms, timescale, n_tracks, version, large):
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp4,
+        mp4_metadata,
+    )
+
+    dur = dur_ms / 1000.0
+    m = mp4_metadata(
+        make_mp4(
+            duration_s=dur,
+            timescale=timescale,
+            n_tracks=n_tracks,
+            mvhd_version=version,
+            large_mdat=large,
+        )
+    )
+    assert m["timescale"] == timescale
+    assert m["n_tracks"] == n_tracks
+    # duration survives the round-trip up to timescale granularity
+    assert m["duration_s"] == pytest.approx(dur, abs=1.0 / timescale + 1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_media_probes_never_crash_on_arbitrary_bytes(data):
+    """Fuzz: arbitrary bytes either parse or raise ValueError — never any
+    other exception (the mapInPandas path catches exactly ValueError /
+    struct.error, so anything else would kill a 100 TB job)."""
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        mp3_metadata,
+        mp4_metadata,
+    )
+
+    for fn in (mp3_metadata, mp4_metadata):
+        try:
+            fn(data)
+        except ValueError:
+            pass

@@ -220,3 +220,46 @@ def test_primary_key_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not a valid primary key"):
         assert_primary_key(bad, "doc_id")
+
+
+def test_three_level_namespace_emulation(spark):
+    """A5: the reference's CREATE CATALOG/SCHEMA + 3-level full_name
+    (syntetic_data.py:32-35) over the encoded 2-level session catalog —
+    create, round-trip parse, list, write/read a managed table through
+    the 3-level name, drop."""
+    from vector_search_databricks_poc_spark.catalog import (
+        encode_namespace,
+        ensure_namespace,
+        full_name3,
+        list_schemas,
+        parse_full_name,
+    )
+
+    ensure_namespace(spark, "engine_cat", "bronze")
+    ensure_namespace(spark, "engine_cat", "silver")
+    try:
+        assert spark.catalog.databaseExists("engine_cat__bronze")
+        assert list_schemas(spark, "engine_cat") == ["bronze", "silver"]
+
+        name = full_name3("engine_cat", "bronze", "docs")
+        assert name == "engine_cat__bronze.docs"
+        assert parse_full_name(name) == ("engine_cat", "bronze", "docs")
+        assert parse_full_name("engine_cat.bronze.docs") == (
+            "engine_cat", "bronze", "docs",
+        )
+        assert parse_full_name("plain_db.t") == (None, "plain_db", "t")
+        assert parse_full_name("t") == (None, None, "t")
+
+        spark.range(5).write.mode("overwrite").saveAsTable(name)
+        assert spark.table(name).count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS engine_cat__bronze.docs")
+        spark.sql("DROP DATABASE IF EXISTS engine_cat__bronze CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS engine_cat__silver CASCADE")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_namespace("bad__name", "s")
+    with _pytest.raises(ValueError):
+        encode_namespace("a.b", "s")

@@ -578,3 +578,218 @@ def test_jpeg_restart_interval_roundtrip():
     for ri in (1, 3, 7):
         dec = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=ri))
         assert np.array_equal(dec, base), ri
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 metadata probing (functions/media_meta.py) — pure-stdlib parse
+# of the public MPEG frame-header / ISO BMFF box layouts; sample decode
+# stays stubbed, metadata is REAL.
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_metadata_golden_cbr():
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        mp3_metadata,
+    )
+
+    p = make_mp3(n_frames=20, bitrate_kbps=128, rate=44100)
+    m = mp3_metadata(p)
+    assert m["n_frames"] == 20
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    assert m["layer"] == 3 and m["version"] == "1"
+    assert m["mode"] == "cbr" and m["bitrate_kbps"] == 128
+    assert abs(m["duration_s"] - 20 * 1152 / 44100) < 1e-6
+
+
+def test_mp3_metadata_vbr_id3_mono_trailing_garbage():
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        mp3_metadata,
+    )
+
+    p = (
+        make_mp3(
+            n_frames=7,
+            bitrate_kbps=128,
+            vbr_alternate_kbps=64,
+            rate=32000,
+            channels=1,
+            id3_tag=b"x" * 300,  # ID3v2 skipped via sync-safe size
+        )
+        + b"TAG" + b"\x00" * 125  # ID3v1 trailer ends the walk, no crash
+    )
+    m = mp3_metadata(p)
+    assert m["n_frames"] == 7
+    assert m["mode"] == "vbr" and m["bitrate_kbps"] == 128
+    assert m["channels"] == 1 and m["sample_rate"] == 32000
+    assert m["duration_s"] == round(7 * 1152 / 32000, 6)
+
+
+def test_mp3_metadata_rejects_non_audio():
+    import pytest as _pytest
+
+    from vector_search_databricks_poc_spark.functions.media_meta import mp3_metadata
+
+    for bad in (None, b"", b"RIFF1234WAVE", b"\xff\xe0<short", b"ID3" + b"\x00" * 20):
+        with _pytest.raises(ValueError):
+            mp3_metadata(bad)
+
+
+def test_mp3_truncated_last_frame_not_counted():
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        mp3_metadata,
+    )
+
+    p = make_mp3(n_frames=5, bitrate_kbps=128, rate=44100)
+    m = mp3_metadata(p[:-10])  # last frame truncated -> walk stops before it
+    assert m["n_frames"] == 4
+
+
+def test_mp4_metadata_golden_v0_and_v1():
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp4,
+        mp4_metadata,
+    )
+
+    m = mp4_metadata(make_mp4(duration_s=4.5, timescale=1000, n_tracks=2))
+    assert m["brand"] == "isom"
+    assert m["duration_s"] == 4.5 and m["timescale"] == 1000
+    assert m["n_tracks"] == 2
+    assert m["boxes"] == ["ftyp", "moov", "mdat"]
+
+    m = mp4_metadata(
+        make_mp4(
+            duration_s=123.25,
+            timescale=90000,
+            n_tracks=1,
+            mvhd_version=1,
+            large_mdat=True,  # 64-bit box size path
+        )
+    )
+    assert m["duration_s"] == 123.25 and m["n_tracks"] == 1
+
+
+def test_mp4_metadata_rejects_and_survives_malformed():
+    import pytest as _pytest
+
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp4,
+        mp4_metadata,
+    )
+
+    for bad in (None, b"", b"\x00" * 40, b"garbage-not-a-box-stream"):
+        with _pytest.raises(ValueError):
+            mp4_metadata(bad)
+    # truncated mid-moov: walk stops cleanly; ftyp already gave a brand
+    p = make_mp4(duration_s=9.0, timescale=600, n_tracks=3)
+    m = mp4_metadata(p[:40])
+    assert m["brand"] == "isom"
+
+
+def test_media_features_mp3_and_mp4_metadata(spark):
+    """B13 e2e: MP3/MP4 payloads through the Spark mapInPandas decode path
+    report REAL sample_rate/duration from header parsing while the feature
+    stays the declared byte-histogram fallback (sample decode stubbed)."""
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        make_mp4,
+    )
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        extract_media_features,
+        fake_feature,
+    )
+
+    mp3 = make_mp3(n_frames=30, bitrate_kbps=64, rate=22050 * 2)
+    mp4 = make_mp4(duration_s=7.5, timescale=1000, n_tracks=1)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(mp3)), (2, "video", bytearray(mp4))],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_media_features(media).collect()}
+    a, v = rows[1], rows[2]
+    assert a["sample_rate"] == 44100
+    assert abs(a["duration_s"] - 30 * 1152 / 44100) < 1e-4
+    assert a["feature"] == [pytest.approx(x) for x in fake_feature(mp3)]
+    assert v["sample_rate"] is None
+    assert abs(v["duration_s"] - 7.5) < 1e-6
+    assert v["n_bytes"] == len(mp4)
+
+
+def test_media_metadata_probe_matches_construction(spark, sf_dir):
+    """Value-compare for the rows-only `media_metadata_probe` query: the
+    probed per-container aggregates must equal what the synthesis
+    CONSTRUCTED (durations/rates derived from the generator parameters,
+    byte totals from the encoder output) — parser checked against
+    constructor, not against itself."""
+    import pyarrow.parquet as pq
+
+    from vector_search_databricks_poc_spark.functions.media_meta import (
+        make_mp3,
+        make_mp4,
+    )
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        synth_media_payload,
+    )
+    from vector_search_databricks_poc_spark.queries_registry import QUERIES
+
+    ids = sorted(
+        i
+        for i in pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+        if i < 200
+    )
+    exp = {}
+    for i in ids:
+        c = ("wav", "mp3", "mp4", "svf")[i % 4]
+        if c == "wav":
+            nb = len(synth_media_payload(i, "audio"))
+            dur, rate = (400 + (i % 5) * 100) / 8000, 8000
+        elif c == "mp3":
+            nb = len(
+                make_mp3(
+                    n_frames=10 + i % 7,
+                    bitrate_kbps=64 if i % 8 < 4 else 128,
+                    rate=44100,
+                    channels=1 + (i // 4) % 2,
+                )
+            )
+            dur, rate = round((10 + i % 7) * 1152 / 44100, 6), 44100
+        elif c == "mp4":
+            nb = len(
+                make_mp4(
+                    duration_s=1.0 + (i % 10) * 0.5,
+                    timescale=600 if i % 2 else 90000,
+                    n_tracks=1 + i % 3,
+                    mvhd_version=i % 2,
+                    large_mdat=i % 3 == 0,
+                )
+            )
+            dur, rate = 1.0 + (i % 10) * 0.5, None
+        else:
+            nb = len(synth_media_payload(i, "video"))
+            dur, rate = None, None
+        e = exp.setdefault(c, {"n": 0, "bytes": 0, "durs": [], "rates": set()})
+        e["n"] += 1
+        e["bytes"] += nb
+        if dur is not None:
+            e["durs"].append(dur)
+        if rate is not None:
+            e["rates"].add(rate)
+
+    got = {r["container"]: r for r in QUERIES["media_metadata_probe"](spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for c, e in exp.items():
+        g = got[c]
+        assert g["n_assets"] == e["n"], c
+        assert g["total_bytes"] == e["bytes"], c
+        assert g["n_rates"] == len(e["rates"]), c
+        if e["durs"]:
+            assert g["avg_duration_s"] == pytest.approx(
+                sum(e["durs"]) / len(e["durs"]), abs=1e-3
+            ), c
+        else:
+            assert g["avg_duration_s"] is None, c

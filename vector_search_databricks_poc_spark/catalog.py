@@ -43,6 +43,68 @@ def ensure_database(spark: SparkSession, database: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
 
 
+# ---------------------------------------------------------------------------
+# 3-level namespace emulation (reference syntetic_data.py:32-35:
+# ``CREATE CATALOG IF NOT EXISTS``, ``catalog.schema.table``).  Vanilla
+# Spark's session catalog is 2-level, so the catalog level is encoded into
+# the database name (``catalog__schema``) — deterministic, reversible, and
+# honest about the mechanism.  Swapping in a real 3-level catalog later
+# (Unity, a V2 catalog plugin) means deleting the encoding, not rewriting
+# callers: the API below is already (catalog, schema, table)-shaped.
+# ---------------------------------------------------------------------------
+
+_NS_SEP = "__"
+
+
+def encode_namespace(catalog: str, schema: str) -> str:
+    """Map (catalog, schema) onto one vanilla-Spark database name.
+    Rejects names that would make the mapping ambiguous."""
+    for part in (catalog, schema):
+        if not part or _NS_SEP in part or "." in part:
+            raise ValueError(f"invalid namespace part: {part!r}")
+    return f"{catalog}{_NS_SEP}{schema}"
+
+
+def full_name3(catalog: str, schema: str, table: str) -> str:
+    """3-level ``full_name`` (reference syntetic_data.py:35) over the
+    encoded 2-level catalog."""
+    return f"{encode_namespace(catalog, schema)}.{table}"
+
+
+def parse_full_name(name: str) -> tuple[str | None, str | None, str]:
+    """Split ``[catalog.]schema.]table`` (or its encoded 2-level form)
+    back into (catalog, schema, table); missing levels come back None."""
+    parts = name.split(".")
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    if len(parts) == 2:
+        db, table = parts
+        if _NS_SEP in db:
+            cat, schema = db.split(_NS_SEP, 1)
+            return cat, schema, table
+        return None, db, table
+    if len(parts) == 1:
+        return None, None, parts[0]
+    raise ValueError(f"invalid table name: {name!r}")
+
+
+def ensure_namespace(spark: SparkSession, catalog: str, schema: str) -> None:
+    """Idempotent ``CREATE CATALOG/SCHEMA IF NOT EXISTS`` twin
+    (syntetic_data.py:32-34): one encoded database per (catalog, schema)."""
+    ensure_database(spark, encode_namespace(catalog, schema))
+
+
+def list_schemas(spark: SparkSession, catalog: str) -> list[str]:
+    """Schemas under an emulated catalog — the SHOW SCHEMAS IN <catalog>
+    analog; one metastore listing, no data touched."""
+    prefix = catalog + _NS_SEP
+    return sorted(
+        db.name[len(prefix):]
+        for db in spark.catalog.listDatabases()
+        if db.name.startswith(prefix)
+    )
+
+
 def _ensure_conf(spark: SparkSession) -> None:
     """Runtime-settable configs the engine depends on, applied defensively
     so externally created sessions (the driver harness) behave like ours."""

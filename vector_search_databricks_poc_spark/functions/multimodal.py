@@ -17,9 +17,14 @@ format the Python stdlib can parse:
 - **SVF video** (simple frame container): real index parse with
   skip-decode frame sampling.
 
-Codecs that genuinely need external libraries (MP3, real MP4/AVI)
-remain stubbed behind ``NotImplementedError`` / the deterministic
-byte-histogram fake, clearly marked (``decode_media_stub``).
+- **MP3 audio / MP4 video metadata** (``functions/media_meta.py``):
+  real MPEG frame-header walk and ISO BMFF box walk — duration, sample
+  rate, bitrate, CBR/VBR, brand, track count — no codec needed.
+
+Only the *sample/frame decode* of MP3/MP4/AVI, which genuinely needs
+external codec libraries, remains stubbed behind
+``NotImplementedError`` / the deterministic byte-histogram fake,
+clearly marked (``decode_media_stub``).
 """
 
 from __future__ import annotations
@@ -96,11 +101,15 @@ def decode_image(payload: bytes):
 
 
 def decode_media_stub(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB for formats that genuinely need external codecs: MP3 audio and
-    real MP4/AVI video.  Images decode for REAL in every supported
-    container — see ``decode_bmp`` / ``decode_png`` /
-    ``functions.jpeg.decode_jpeg``."""
-    raise NotImplementedError("MP3/MP4/AVI decoding requires ffmpeg-class codecs — not installed")
+    """STUB for the one capability that genuinely needs external codecs:
+    decoding MP3/MP4/AVI *samples and frames*.  Their METADATA parses for
+    real (``functions.media_meta``: frame-header walk, ISO BMFF box walk),
+    and images decode for real in every supported container — see
+    ``decode_bmp`` / ``decode_png`` / ``functions.jpeg.decode_jpeg``."""
+    raise NotImplementedError(
+        "MP3/MP4/AVI sample decode requires ffmpeg-class codecs — not "
+        "installed; metadata probing is real, see functions/media_meta.py"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +399,11 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     - image/BMP, image/PNG, or image/JPEG (baseline, functions/jpeg.py):
       real pixel decode -> [meanR, meanG, meanB, luma_std];
     - audio/WAV: real sample decode -> [rms, zero_crossing_rate, peak, mean];
+    - audio/MP3: real frame-header walk (functions/media_meta.py) ->
+      sample_rate + exact duration; samples stay undecoded (codec stub),
+      so the feature falls back to the byte histogram;
+    - video/MP4 (ISO BMFF): real box walk -> duration from mvhd; frames
+      stay undecoded, byte-histogram feature;
     - anything else (or undecodable bytes): byte-histogram fake, with
       width/height/rate/duration null.
     """
@@ -431,7 +445,31 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
             dur = round(len(s) / rate, 6) if rate else None
             return n, None, None, int(rate), dur, [round(f, 6) for f in feat]
         except (ValueError, EOFError, wave.Error, struct.error):
-            pass  # non-WAV audio bytes -> histogram fallback below
+            # non-WAV audio: probe MPEG frame headers for real metadata
+            # (duration/rate) even though sample decode stays stubbed
+            from .media_meta import mp3_metadata
+
+            try:
+                m = mp3_metadata(payload)
+                return (
+                    n, None, None, int(m["sample_rate"]),
+                    float(m["duration_s"]), fake_feature(payload, dim),
+                )
+            except (ValueError, struct.error):
+                pass  # histogram fallback below
+    if payload is not None and modality == "video":
+        from .media_meta import mp4_metadata
+
+        try:
+            m = mp4_metadata(payload)
+            dur = m["duration_s"]
+            return (
+                n, None, None, None,
+                float(dur) if dur is not None else None,
+                fake_feature(payload, dim),
+            )
+        except (ValueError, struct.error):
+            pass  # SVF / unknown container -> histogram fallback below
     return n, None, None, None, None, fake_feature(payload, dim)
 
 

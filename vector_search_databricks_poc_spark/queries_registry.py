@@ -1394,6 +1394,81 @@ def multimodal_features(spark, sf_dir):
 QUERIES["multimodal_features"] = multimodal_features
 
 
+def media_metadata_probe(spark, sf_dir):
+    """B13 header-only media probing: synthesize a mixed media corpus
+    (WAV / MP3 / MP4 / SVF rotating by id — all REAL containers, public
+    RIFF / MPEG-frame / ISO-BMFF layouts), probe metadata through the
+    mapInPandas decode path (functions/media_meta.py walks frame headers
+    and boxes; sample/mdat bytes are never read), and aggregate per
+    container.  The "filter 100 TB of media by duration/bitrate without
+    decoding a sample" shape.  Rows-only (byte synthesis isn't
+    SQL-expressible); deterministic — value-compared against a pure-Python
+    recomputation in tests/test_streaming_multimodal.py."""
+    import pandas as pd
+
+    from .functions.multimodal import extract_media_features
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def synth(it):
+        from .functions.media_meta import make_mp3, make_mp4
+        from .functions.multimodal import synth_media_payload
+
+        def payload(i: int) -> bytes:
+            c = i % 4
+            if c == 0:
+                return synth_media_payload(i, "audio")  # WAV
+            if c == 1:
+                return make_mp3(
+                    n_frames=10 + i % 7,
+                    bitrate_kbps=64 if i % 8 < 4 else 128,
+                    rate=44100,
+                    channels=1 + (i // 4) % 2,
+                )
+            if c == 2:
+                return make_mp4(
+                    duration_s=1.0 + (i % 10) * 0.5,
+                    timescale=600 if i % 2 else 90000,
+                    n_tracks=1 + i % 3,
+                    mvhd_version=i % 2,
+                    large_mdat=i % 3 == 0,
+                )
+            return synth_media_payload(i, "video")  # SVF
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": ["audio" if i % 4 < 2 else "video" for i in ids],
+                    "payload": [payload(i) for i in ids],
+                }
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    feats = extract_media_features(media)
+    container = F.element_at(
+        F.array(F.lit("wav"), F.lit("mp3"), F.lit("mp4"), F.lit("svf")),
+        (F.pmod(F.col("asset_id"), F.lit(4)) + 1).cast("int"),
+    )
+    return (
+        feats.withColumn("container", container)
+        .groupBy("container")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+            F.count_distinct("sample_rate").alias("n_rates"),
+        )
+        .orderBy("container")
+    )
+
+
+QUERIES["media_metadata_probe"] = media_metadata_probe
+
+
 def _scratch_dir(prefix: str) -> str:
     """Process-lifetime scratch directory for index tables built inside
     declared queries.  NOT a TemporaryDirectory context — the returned
