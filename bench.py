@@ -72,11 +72,19 @@ def main() -> None:
 
     floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FLOORS.json")
+    # floors are only comparable within one (scale factor, core count)
+    # environment — one run at a different sf would otherwise ratchet every
+    # floor to nonsense and flag all queries as drifted forever after
+    env_key = f"sf{sf}@cpus{spark.sparkContext.defaultParallelism}"
     try:
         with open(floors_path) as f:
-            floors: dict[str, float] = json.load(f)
+            all_floors: dict = json.load(f)
     except (OSError, ValueError):
-        floors = {}
+        all_floors = {}
+    if all_floors and not any(isinstance(v, dict) for v in all_floors.values()):
+        # migrate the pre-r4 flat layout (recorded at the default env)
+        all_floors = {"sf0.1@cpus32": all_floors}
+    floors: dict[str, float] = dict(all_floors.get(env_key, {}))
 
     times: dict[str, float] = {}
     drift_flags: dict[str, str] = {}
@@ -109,8 +117,9 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows, best of {reps})", file=sys.stderr)
 
     try:  # ratchet the floor file down so next round's signal is tighter
+        all_floors[env_key] = floors
         with open(floors_path, "w") as f:
-            json.dump(floors, f, indent=1, sort_keys=True)
+            json.dump(all_floors, f, indent=1, sort_keys=True)
     except OSError:
         pass
 

@@ -247,6 +247,10 @@ def test_media_probes_never_crash_on_arbitrary_bytes(data):
     """Fuzz: arbitrary bytes either parse or raise ValueError — never any
     other exception (the mapInPandas path catches exactly ValueError /
     struct.error, so anything else would kill a 100 TB job)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from vector_search_databricks_poc_spark.functions.jpeg import decode_jpeg
     from vector_search_databricks_poc_spark.functions.media_meta import (
         mp3_metadata,
         mp4_metadata,
@@ -257,3 +261,9 @@ def test_media_probes_never_crash_on_arbitrary_bytes(data):
             fn(data)
         except ValueError:
             pass
+    # the JPEG decoder shares the contract; force the SOI magic so the
+    # fuzz reaches the marker walk instead of bailing at the first check
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except (ValueError, _struct.error, _zlib.error):
+        pass

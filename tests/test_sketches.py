@@ -268,3 +268,37 @@ def test_heavy_hitters_plan_is_lazy_semi_join(spark):
     plan = heavy_hitters(e, "user_id", threshold_frac=0.008)._jdf.queryExecution().toString()
     assert "LeftSemi" in plan
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_relative_heavy_hitters_guard_and_null_keys(spark):
+    """Review r4: (a) when the distinct-key domain exceeds the Misra–Gries
+    exactness bound mean_mult*(counters+1), the plan raises instead of
+    silently dropping qualifying keys; (b) null keys are excluded from n
+    consistently with the candidate/recount passes, so they don't inflate
+    the mean threshold."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.sketches import (
+        relative_heavy_hitters,
+    )
+
+    rows = (
+        [Row(k="hot")] * 50
+        + [Row(k=f"c{i}") for i in range(30)]
+        + [Row(k=None)] * 120  # nulls outnumber data rows
+    )
+    df = spark.createDataFrame(rows)
+
+    # non-null n=80, d=31, mean=2.58; 'hot' (50) qualifies at 1.2x mean.
+    # With nulls wrongly counted, n=200 -> threshold 7.7 still passes for
+    # 'hot', so assert the THRESHOLD effect: a key at 4 > 1.2*2.58=3.1
+    # qualifies only under the null-excluding n.
+    df4 = df.union(spark.createDataFrame([Row(k="warm")] * 4))
+    got = {r.k for r in relative_heavy_hitters(df4, "k", mean_mult=1.2).collect()}
+    assert "hot" in got
+    assert "warm" in got  # n=84, d=32 -> mean 2.63, threshold 3.15 < 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exactness bound"):
+        relative_heavy_hitters(df, "k", mean_mult=1.2, counters=8).collect()

@@ -263,3 +263,9 @@ def test_three_level_namespace_emulation(spark):
         encode_namespace("bad__name", "s")
     with _pytest.raises(ValueError):
         encode_namespace("a.b", "s")
+    # boundary underscores would make the encoding ambiguous:
+    # ("cat_", "x") and ("cat", "_x") both -> "cat___x"
+    with _pytest.raises(ValueError):
+        encode_namespace("cat_", "x")
+    with _pytest.raises(ValueError):
+        encode_namespace("cat", "_x")

@@ -529,6 +529,16 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     # truncated entropy stream
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(enc[:-8]))
+    # review r4: internal IndexError/KeyError/StopIteration shapes must
+    # surface as ValueError — the only type media_features treats as
+    # "bad asset" (anything else kills the mapInPandas task)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\x01\xff")  # dangling marker byte
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02")  # lying DHT len
+    # segment truncated mid-header
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[: sof + 3]))
 
 
 def test_jpeg_through_media_features_and_thumbnail(spark):
@@ -687,6 +697,11 @@ def test_mp4_metadata_rejects_and_survives_malformed():
     p = make_mp4(duration_s=9.0, timescale=600, n_tracks=3)
     m = mp4_metadata(p[:40])
     assert m["brand"] == "isom"
+    # review r4: an empty-body mvhd at payload end must raise ValueError
+    # (no usable metadata), never IndexError — only ValueError/struct.error
+    # count as "bad asset" in the mapInPandas path
+    with _pytest.raises(ValueError):
+        mp4_metadata(b"\x00\x00\x00\x10moov\x00\x00\x00\x08mvhd")
 
 
 def test_media_features_mp3_and_mp4_metadata(spark):

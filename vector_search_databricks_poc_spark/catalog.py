@@ -58,9 +58,17 @@ _NS_SEP = "__"
 
 def encode_namespace(catalog: str, schema: str) -> str:
     """Map (catalog, schema) onto one vanilla-Spark database name.
-    Rejects names that would make the mapping ambiguous."""
+    Rejects names that would make the mapping ambiguous: ``__`` or ``.``
+    inside a part, and boundary underscores — ``cat_`` + ``x`` and
+    ``cat`` + ``_x`` would otherwise both encode to ``cat___x``."""
     for part in (catalog, schema):
-        if not part or _NS_SEP in part or "." in part:
+        if (
+            not part
+            or _NS_SEP in part
+            or "." in part
+            or part.startswith("_")
+            or part.endswith("_")
+        ):
             raise ValueError(f"invalid namespace part: {part!r}")
     return f"{catalog}{_NS_SEP}{schema}"
 

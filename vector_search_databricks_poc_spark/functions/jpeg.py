@@ -106,9 +106,6 @@ def _dct_matrix() -> np.ndarray:
     """8x8 orthonormal DCT-II matrix: X = M @ x @ M.T, inverse = M.T @ X @ M."""
     k = np.arange(8)
     m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    m[0, :] = 1.0
-    scale = np.full(8, 0.5)
-    scale[0] = 1.0 / (2 ** 0.5) * 0.5 * 2  # c0 = 1/sqrt(2) * 1/2 * 2
     # orthonormal: row 0 scaled by sqrt(1/8), others sqrt(2/8)
     m = m * np.where(k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
     return m
@@ -374,7 +371,22 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline sequential JPEG into (h, w, 3) uint8 RGB (or (h, w)
     for grayscale).  Raises ValueError on progressive/subsampled/corrupt
-    input — the honest boundary of the stdlib codec."""
+    input — the honest boundary of the stdlib codec.
+
+    The ValueError contract is load-bearing: media_features /
+    transform_media treat exactly (ValueError, struct.error, zlib.error)
+    as "bad asset, fall back / drop" — any other exception type escaping
+    from here would kill the surrounding mapInPandas task on one corrupt
+    payload.  Truncated segments, lying DHT lengths, and dangling table
+    ids surface internally as IndexError/KeyError/StopIteration, so the
+    walk below runs under a translator that rewraps them as ValueError."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, StopIteration, struct.error) as ex:
+        raise ValueError(f"corrupt JPEG stream: {ex!r}") from ex
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -245,6 +245,8 @@ def mp4_metadata(payload: bytes) -> dict:
         elif typ == b"moov":
             for ctyp, cbody, cend in _walk_boxes(payload, body, box_end):
                 if ctyp == b"mvhd":
+                    if cend <= cbody:  # empty-body box: nothing to read
+                        continue
                     version = payload[cbody]
                     if version == 1 and cend - cbody >= 28 + 4:
                         timescale, duration = struct.unpack_from(

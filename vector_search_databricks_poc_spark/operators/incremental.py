@@ -25,12 +25,18 @@ from .index import IvfIndex, assign_centroid
 
 def high_watermark(spark: SparkSession, index_path: str, id_col: str = "vec_id"):
     """Current max indexed id (one aggregate over index metadata columns;
-    at scale, store this in a manifest instead of scanning)."""
+    at scale, store this in a manifest instead of scanning).
+
+    Only a missing table reads as "no watermark" — a corrupt or
+    unreadable index must propagate, not silently restart the sync from
+    scratch (which would re-append every source row as 'new')."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(index_path).agg(F.max(id_col)).first()
         return row[0]
-    except Exception:
-        return None
+    except AnalysisException:
+        return None  # PATH_NOT_FOUND: first sync, nothing indexed yet
 
 
 def incremental_refresh(
@@ -66,12 +72,19 @@ def changes_path(index_path: str) -> str:
 
 def _next_batch_seq(spark: SparkSession, log_path: str) -> int:
     """Next monotone batch sequence for the change log (one tiny aggregate
-    over the log itself; at scale this lives in the sync manifest)."""
+    over the log itself; at scale this lives in the sync manifest).
+
+    Only a missing log maps to seq 0.  Any other read failure (corrupt
+    file from an interrupted append, permissions) must propagate: writing
+    a duplicate batch_seq=0 would make ``max_by(op, batch_seq)`` replay
+    ordering nondeterministic — e.g. a delete could resurrect."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(log_path).agg(F.max("batch_seq")).first()
         return (row[0] if row[0] is not None else -1) + 1
-    except Exception:
-        return 0
+    except AnalysisException:
+        return 0  # PATH_NOT_FOUND: log doesn't exist yet
 
 
 def incremental_upsert(

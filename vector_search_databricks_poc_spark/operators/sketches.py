@@ -383,7 +383,10 @@ def relative_heavy_hitters(
     """
     cands = frequent_item_candidates(df, key_col, counters).select(key_col).distinct()
     stats = df.agg(
-        F.count(F.lit(1)).alias("_n"),
+        # F.count(col) excludes nulls — consistent with the candidate and
+        # recount passes, which join on the key and so never see null keys;
+        # F.count(lit(1)) would inflate the mean threshold on nully columns
+        F.count(F.col(key_col)).alias("_n"),
         F.count_distinct(F.col(key_col)).alias("_d"),
     )
     counted = (
@@ -391,12 +394,30 @@ def relative_heavy_hitters(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Exactness guard, evaluated IN the plan (the builder is lazy, so the
+    # check can't run on the driver): Misra–Gries with k counters only
+    # guarantees candidates for keys with count > n/(k+1); the mean-based
+    # threshold mean_mult·n/d clears that bound iff d ≤ mean_mult·(k+1).
+    # Beyond it the result could silently drop qualifying keys — fail
+    # loudly instead and tell the caller to raise `counters`.
+    bound = float(mean_mult) * (counters + 1)
+    thresh = F.when(
+        F.col("_d") > F.lit(bound),
+        F.raise_error(
+            F.concat(
+                F.lit("relative_heavy_hitters: "),
+                F.col("_d").cast("string"),
+                F.lit(
+                    f" distinct keys exceed the exactness bound "
+                    f"mean_mult*(counters+1)={bound:.0f}; raise counters "
+                    f"(>= distinct/mean_mult) for an exact result"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_n") / F.col("_d") * F.lit(float(mean_mult)))
     return (
         counted.join(F.broadcast(stats))
-        .where(
-            F.col("cnt")
-            >= F.col("_n") / F.col("_d") * F.lit(float(mean_mult))
-        )
+        .where(F.col("cnt") >= thresh)
         .select(key_col, "cnt")
         .orderBy(F.col("cnt").desc(), F.col(key_col))
     )

@@ -1492,6 +1492,14 @@ def _split_id(sf_dir: str, table: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows // 2
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Exact fixture row count from the parquet footer (same O(1)
+    metadata read as ``_split_id`` — no scan, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 _INDEX_CACHE: dict = {}
 
 
@@ -3030,7 +3038,9 @@ def change_log_replay_q(spark, sf_dir):
     from .streaming.index_sync import stream_change_log_sync
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_src = _split_id(sf_dir, "embeddings") * 2  # footer metadata, no scan
+    # exact row count (not _split_id*2, which under-counts by 1 for odd
+    # N and would alias an 'insert' id onto an existing row)
+    n_src = _table_rows(sf_dir, "embeddings")  # footer metadata, no scan
     tmp = _scratch_dir("cdc_replay_")
     idx_a = build_ivf_index(e, f"{tmp}/a", k_centroids=4)
     log = changes_path(idx_a.path)
