@@ -30,6 +30,7 @@ NAMES = [
     "validate_contract",
     "chunked_doc_search",
     "join_size_preflight",
+    "media_metadata_probe",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

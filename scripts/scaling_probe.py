@@ -25,6 +25,7 @@ NAMES = [
     "tumbling_window",
     "heavy_hitters",
     "quantile_profile",
+    "media_metadata_probe",
 ]
 
 

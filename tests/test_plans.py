@@ -136,3 +136,24 @@ def test_minhash_signatures_shuffle_free(spark, sf_dir):
     assert plan.count("Exchange") <= 1, plan
     assert "hashpartitioning" not in plan, plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_media_probe_pruned_scan_chained_mapinpandas(spark, sf_dir):
+    """media_metadata_probe: the scan reads ONLY doc_id with the <200
+    filter pushed, and synth + featurize run as two CHAINED MapInPandas
+    stages with no exchange between them — the corpus flows straight from
+    the scan through both Arrow stages before the tiny per-container
+    aggregate shuffles."""
+    df = QUERIES["media_metadata_probe"](spark, sf_dir)
+    assert A.has_pushed_filters(df), A.plan_string(df)
+    assert A.read_schema_columns(df) == ["doc_id"], A.read_schema_columns(df)
+    import re
+
+    # simple-mode string: one line per operator (formatted mode repeats
+    # each node in its detail section, which would double the counts)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan
+    # no Exchange between the two MapInPandas nodes (they are adjacent in
+    # the operator chain)
+    between = re.search(r"MapInPandas.*MapInPandas", plan, re.S)
+    assert between and "Exchange" not in between.group(0), plan
