@@ -438,3 +438,44 @@ def test_ivf_batch_search_overlap_vs_duckdb_exact(spark):
         exact.setdefault(qid, set()).add(vid)
     overlaps = [len(got[q] & exact[q]) for q in exact]
     assert sum(overlaps) / len(overlaps) >= 4.0, overlaps
+
+
+def test_multimodal_features_match_construction(spark):
+    """Independent value-compare for `multimodal_features`: expected
+    dimensions, byte counts, durations, and first-feature values are
+    recomputed from the SYNTHESIS parameters (numpy pixel/sample math on
+    the same seeded generators) — the decode path is checked against the
+    constructor, not against itself.  BMP/PNG mean-R is exact; JPEG is
+    bounded by quantization loss; WAV rms by 16-bit quantization."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = {r["asset_id"]: r for r in R.QUERIES["multimodal_features"](spark, SF_DIR).collect()}
+    ids = [
+        i
+        for i in pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+        if i < 200
+    ]
+    assert set(out) == set(ids)
+    for i in ids:
+        r = out[i]
+        if i % 2 == 0:  # image: BMP/PNG/JPEG rotation by id % 6
+            rng = np.random.default_rng(i)
+            h, w = 8 + i % 5, 8 + i % 7
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            mean_r = float(px[..., 0].mean())
+            assert (r["width"], r["height"]) == (w, h), i
+            assert r["sample_rate"] is None and r["duration_s"] is None, i
+            tol = 4.0 if i % 6 >= 4 else 1e-3  # JPEG quality-90 loss bound
+            assert abs(r["f0"] - round(mean_r, 4)) <= tol, (i, r["f0"], mean_r)
+        else:  # audio: 16-bit PCM WAV of a pure sine
+            n = 400 + (i % 5) * 100
+            t = np.arange(n, dtype=np.float64)
+            s = 0.5 * np.sin(2 * np.pi * (2.0 + i % 10) * t / n)
+            assert r["sample_rate"] == 8000, i
+            assert abs(r["duration_s"] - n / 8000) < 1e-4, i
+            rms = float(np.sqrt((s * s).mean()))
+            assert abs(r["f0"] - rms) < 1e-3, (i, r["f0"], rms)
+            assert r["width"] is None and r["height"] is None, i
