@@ -53,6 +53,7 @@ HEADLINE = [
     "ivf_pq_batch_search",      # A9/B8 IVF-PQ codes-only batch ADC
     "heavy_hitters",            # r3 sketch family: MG candidates + exact recount
     "funnel_conversions",       # r3 event analytics: ordered funnel
+    "media_metadata_probe",     # r4 B13: header-only media probe via mapInPandas
 ]
 
 
@@ -123,6 +124,16 @@ def main() -> None:
     except OSError:
         pass
 
+    # many queries drifting TOGETHER is a loaded host, not a plan
+    # regression — plans change one query at a time; annotate so a reader
+    # of one noisy run doesn't chase 8 phantom regressions
+    drift_note = None
+    if len(drift_flags) >= max(3, len(times) // 3):
+        drift_note = (
+            f"{len(drift_flags)}/{len(times)} queries >20% above floor "
+            "simultaneously - global host slowdown, not per-query regressions"
+        )
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
@@ -133,6 +144,7 @@ def main() -> None:
         "warmup_sec": round(warmup, 3),
         "floors": {k: floors[k] for k in times},
         "drift_flags": drift_flags,
+        "drift_note": drift_note,
     }
     print(json.dumps(out))
 
