@@ -1,0 +1,194 @@
+"""Regression tests for the round-4 operator-review fixes: outer interval
+joins, as-of null-key/collision semantics, session-gap boundary equivalence,
+hybrid-search column collision, and the IVF-PQ search-pipeline composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    """how='left' must KEEP left rows with no in-window right row (the
+    range condition lives in the join condition; as a post-join filter it
+    silently degraded 'left' to 'inner')."""
+    from vector_search_databricks_poc_spark.streaming.joins import interval_join
+
+    purchases = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts("2024-01-01 10:00:00"), amount=5.0),
+            Row(user_id=2, ts=_ts("2024-01-01 10:00:00"), amount=7.0),  # no trigger
+        ]
+    )
+    triggers = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts("2024-01-01 09:30:00"), event_type="ad")]
+    )
+    out = interval_join(
+        purchases, triggers, key="user_id", upper="1 hour", how="left"
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["r_event_type"] == "ad"
+    assert rows[2]["r_event_type"] is None and rows[2]["r_ts"] is None
+    # inner still drops the unmatched row
+    inner = interval_join(purchases, triggers, key="user_id", upper="1 hour")
+    assert {r["user_id"] for r in inner.collect()} == {1}
+
+
+def test_interval_join_out_of_window_right_not_matched_outer(spark):
+    """A right row OUTSIDE the window must not match even under 'left' —
+    the left row survives with null payload instead."""
+    from vector_search_databricks_poc_spark.streaming.joins import interval_join
+
+    l = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01 10:00:00"), a=1.0)])
+    r = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01 07:00:00"), b="stale")]  # 3h before
+    )
+    out = interval_join(l, r, key="k", upper="1 hour", how="left").collect()
+    assert len(out) == 1 and out[0]["r_b"] is None
+
+
+def test_attribution_report_custom_ts_names(spark):
+    """attribution_report works with non-default timestamp column names
+    (they arrive l_/r_-prefixed from interval_join's parameters)."""
+    from vector_search_databricks_poc_spark.streaming.joins import (
+        attribution_report,
+        interval_join,
+    )
+
+    l = spark.createDataFrame(
+        [Row(user_id=1, purchase_ts=_ts("2024-01-01 10:00:00"))]
+    )
+    r = spark.createDataFrame(
+        [Row(user_id=1, signup_ts=_ts("2024-01-01 09:45:00"), event_type="promo")]
+    )
+    joined = interval_join(
+        l, r, key="user_id", left_ts="purchase_ts", right_ts="signup_ts"
+    )
+    rep = attribution_report(
+        joined, left_ts="l_purchase_ts", right_ts="r_signup_ts"
+    ).collect()
+    assert rep[0]["trigger_type"] == "promo"
+    assert rep[0]["avg_latency_s"] == 900.0
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL-key rows must behave like SQL joins (no match), not share a
+    'latest null-key right row' through the window partition."""
+    from vector_search_databricks_poc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=_ts("2024-01-01 10:00:00")),
+            Row(k=None, lts=_ts("2024-01-01 10:00:00")),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01 09:00:00"), px=1.5),
+            Row(k=None, rts=_ts("2024-01-01 09:00:00"), px=9.9),
+        ]
+    )
+    inner = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(inner) == 1 and inner[0]["k"] == 1 and inner[0]["px"] == 1.5
+    outer = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", how="left"
+    ).collect()
+    got = {r["k"]: r["px"] for r in outer}
+    assert got == {1: 1.5, None: None}
+
+
+def test_asof_join_payload_collision_raises(spark):
+    """A right payload column sharing a left column's name would emit an
+    ambiguous duplicate — rejected loudly instead."""
+    from vector_search_databricks_poc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01 10:00:00"), price=1.0)])
+    right = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01 09:00:00"), price=2.0)])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_session_gap_boundary_matches_native_session_window(spark, tmp_path):
+    """Two events exactly `gap` apart: Spark's native session_window MERGES
+    them (a new event whose window start touches the previous window's end
+    extends the session — verified empirically here), so the batch
+    lag/cumsum twin must use strict >, keeping boundary events together.
+    This pins the boundary semantics of BOTH twins against each other."""
+    from vector_search_databricks_poc_spark.streaming.windows import (
+        session_windows_batch,
+        session_windows_streaming,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, event_id=1, ts=_ts("2024-01-01 10:00:00")),
+            Row(user_id=1, event_id=2, ts=_ts("2024-01-01 10:30:00")),  # == gap
+            Row(user_id=1, event_id=3, ts=_ts("2024-01-01 11:20:00")),  # > gap
+        ]
+    )
+    batch = session_windows_batch(ev, gap_minutes=30).collect()
+    sizes = sorted(r["n_events"] for r in batch)
+    assert sizes == [1, 2]  # boundary pair merged, the 50-min gap splits
+
+    src = str(tmp_path / "sess")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_windows_streaming(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = spark.sql("SELECT n_events FROM sess_sink").collect()
+    assert sorted(r["n_events"] for r in stream_rows) == sizes
+
+
+def test_hybrid_search_query_df_named_embedding(spark, sf_dir):
+    """The DataFrame-query branch must work when the query column is named
+    'embedding' — the name embed_text naturally produces — despite the
+    corpus vector column having the same name."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.hybrid import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vectors = load_table(spark, sf_dir, "embeddings")
+    qv = vectors.where(F.col("vec_id") == 0).select("embedding")  # collides
+    out = hybrid_search(docs, vectors, ["vector", "search"], qv, k=5).collect()
+    assert len(out) == 5
+    # and the DataFrame branch is semantically identical to passing the
+    # same vector as a Python literal
+    qv_list = vectors.where(F.col("vec_id") == 0).first()["embedding"]
+    lit = hybrid_search(docs, vectors, ["vector", "search"], list(qv_list), k=5).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in out] == [
+        (r["doc_id"], r["rrf"]) for r in lit
+    ]
+
+
+def test_search_pipeline_composes_with_ivf_pq(spark, sf_dir, tmp_path):
+    """§3.1 kind='ivf_pq' output must feed §3.2: the PQ index's ADC column
+    is adapted to the pipeline's 'score' contract."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_index_pipeline,
+        search_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    idx = build_index_pipeline(
+        docs, str(tmp_path / "pq_idx"), kind="ivf_pq", k_centroids=4
+    )
+    out = search_pipeline(spark, idx, docs, "vector search embedding", k=3).collect()
+    assert len(out) == 1
+    assert out[0]["context"] and "[" in out[0]["context"]

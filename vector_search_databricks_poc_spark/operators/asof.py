@@ -44,6 +44,18 @@ def asof_join(
     if payload is None:
         payload = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
+    dup = [c for c in payload if c in lcols]
+    if dup:
+        # the output would carry two columns with the same name — silently
+        # ambiguous downstream; make the caller rename or select payload
+        raise ValueError(
+            f"payload columns {dup} collide with left columns — rename the "
+            f"right side or pass an explicit payload list"
+        )
+    # NULL keys never match in SQL joins (and in DuckDB's ASOF JOIN, the
+    # oracle): drop null-key right rows so the window trick can't fill a
+    # null-key left row from a 'latest null-key right row' phantom match
+    right = right.where(F.col(on).isNotNull())
 
     # Payload travels as ONE struct (non-null for every right row), so
     # last(ignorenulls) fills all payload columns from the SAME matched

@@ -130,9 +130,12 @@ def hybrid_search(
     )
 
     if isinstance(query_vector, DataFrame):
-        qcol = query_vector.columns[0]
-        src = vectors.crossJoin(F.broadcast(query_vector))
-        q = F.col(qcol)
+        # re-alias the query column before the cross join: embed_text
+        # naturally names it 'embedding', which would collide with the
+        # corpus vector column and make both references ambiguous
+        qdf = query_vector.select(F.col(query_vector.columns[0]).alias("_hq"))
+        src = vectors.crossJoin(F.broadcast(qdf))
+        q = F.col("_hq")
     else:
         src = vectors
         q = V.lit_vector(query_vector)

@@ -20,9 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.embedding import embed_text
-from .operators.index import IvfIndex, build_ivf_index
+from .operators.index import build_ivf_index
 from .operators.rag import assemble_context, clean_hits
-from .operators.topk import top_k_similar
 
 
 def build_index_pipeline(
@@ -225,7 +224,7 @@ def chunked_search_pipeline(
 
 def search_pipeline(
     spark: SparkSession,
-    index: IvfIndex,
+    index,
     docs: DataFrame,
     query_text: str,
     k: int = 5,
@@ -239,16 +238,30 @@ def search_pipeline(
     (A7=A12 unification), probe the index, join text back, dedup, assemble
     the RAG context.  Returns a 1-row DataFrame with the context string.
 
+    ``index`` is either handle :func:`build_index_pipeline` returns:
+    ``IvfIndex`` (exact cosine over float vectors) or ``IvfPqIndex``
+    (ADC approximation over codes — relabeled ``score`` here so the two
+    §3.1 layouts compose with the same §3.2 tail).
+
     Fully lazy: the query embedding never leaves the plan — it flows into
-    ``IvfIndex.batch_search`` as a one-row DataFrame whose probe set and
-    scores are pure expressions over the broadcast literal centroids."""
+    ``batch_search`` as a one-row DataFrame whose probe set and scores are
+    pure expressions over the broadcast literal centroids."""
+    from .operators.index import IvfPqIndex
+
     qdf = spark.createDataFrame([(0, query_text)], ["query_id", text_col])
     queries = embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
         "query_id", F.col("embedding").alias("query_vec")
     )
-    hits = index.batch_search(
-        spark, queries, k=k, nprobe=nprobe, score_decimals=None
-    ).drop("query_id", "rank")
+    if isinstance(index, IvfPqIndex):
+        hits = (
+            index.batch_search(spark, queries, k=k, nprobe=nprobe)
+            .withColumnRenamed("adc", "score")
+            .drop("query_id", "rank")
+        )
+    else:
+        hits = index.batch_search(
+            spark, queries, k=k, nprobe=nprobe, score_decimals=None
+        ).drop("query_id", "rank")
     with_text = docs.join(
         F.broadcast(hits), on=docs[doc_id_col] == hits[index.id_col], how="inner"
     ).select(hits[index.id_col].alias("vec_id"), docs[text_col].alias("text"), hits["score"])

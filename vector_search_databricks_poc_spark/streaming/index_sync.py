@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import vectors as V
 from ..functions.embedding import hashing_embedding
 from ..operators.index import IvfIndex, assign_centroid
 
@@ -37,12 +36,10 @@ def stream_index_sync(
     store; parquet append + batch id logging is the simple default).
     """
 
+    # hashing_embedding L2-normalizes by default — no second normalize fold
     embedded = doc_stream.select(
         F.col(id_col).alias(index.id_col),
-        hashing_embedding(text_col, dim=dim).alias("_raw"),
-    ).select(
-        index.id_col,
-        V.l2_normalize("_raw").cast("array<float>").alias(index.vec_col),
+        hashing_embedding(text_col, dim=dim).cast("array<float>").alias(index.vec_col),
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -83,7 +80,11 @@ def stream_change_log_sync(
     from ..operators.incremental import incremental_upsert
 
     spark = source.sparkSession
-    schema = f"{id_col} long, op string, batch_seq long, ts timestamp"
+    # the log's id column has whatever type the source id has (string doc
+    # ids are legal) — hardcoding 'long' would break the parquet read for
+    # any non-int64 key
+    id_type = source.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, op string, batch_seq long, ts timestamp"
     changes = spark.readStream.schema(schema).parquet(log_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

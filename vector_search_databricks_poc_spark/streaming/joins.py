@@ -36,14 +36,18 @@ def interval_join(
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
     )
     r = right.select(
-        F.col(key).alias("_k"),
+        F.col(key).alias("_rk"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
     )
+    # The range condition must live IN the join condition, not a post-join
+    # .where(): for outer joins a filter on right-side columns evaluates
+    # NULL on the padded rows and silently turns 'left' into 'inner'.
     cond = (
-        (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+        (F.col("_k") == F.col("_rk"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, on=["_k"], how=how).where(cond).withColumnRenamed("_k", key)
+    return l.join(r, on=cond, how=how).drop("_rk").withColumnRenamed("_k", key)
 
 
 def stream_interval_join(
@@ -73,11 +77,18 @@ def stream_interval_join(
     return l.join(r, on=["_k"], how="inner").where(cond).withColumnRenamed("_k", key)
 
 
-def attribution_report(joined: DataFrame, trigger_type_col: str = "r_event_type") -> DataFrame:
+def attribution_report(
+    joined: DataFrame,
+    trigger_type_col: str = "r_event_type",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+) -> DataFrame:
     """Aggregate an interval-join result into the attribution report: per
     trigger event type, how many conversions it preceded and the mean
-    trigger->conversion latency in seconds."""
-    lat = F.col("l_ts").cast("double") - F.col("r_ts").cast("double")
+    trigger->conversion latency in seconds.  ``left_ts``/``right_ts`` name
+    the joined timestamp columns (``l_``/``r_``-prefixed forms of whatever
+    the interval join was given — not hardwired to ts='ts')."""
+    lat = F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
     return (
         joined.groupBy(F.col(trigger_type_col).alias("trigger_type"))
         .agg(

@@ -24,6 +24,11 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
+        # last event time as epoch-µs; kept IN state so the timeout
+        # emission (the final row consumers keep) still carries it, and so
+        # a late-but-in-watermark batch can't move the reported value
+        # backwards to its own batch max
+        StructField("last_ts_us", LongType()),
     ]
 )
 
@@ -56,35 +61,43 @@ def running_user_stats(
         (user_id,) = key
         if state.hasTimedOut:
             # user idle past the timeout: emit the final state and free it
-            n, total = state.get
+            n, total, last_us = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
                     "total_value": [round(total, 2)],
-                    "last_ts": pd.to_datetime([None]),
+                    "last_ts": pd.to_datetime(
+                        [last_us * 1000 if last_us is not None else None]
+                    ),
                 }
             )
             return
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        n, total, last_us = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            batch_max = pdf["ts"].max()
-            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-        state.update((n, total))
-        state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + timeout_minutes * 60 * 1000
+            batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = batch_max_us if last_us is None else max(last_us, batch_max_us)
+        state.update((n, total, last_us))
+        # timeout anchored on the LATEST event time (the watermark alone is
+        # 0 on the first batch, which would expire everyone immediately on
+        # the next); must still exceed the current watermark per the API
+        anchor_ms = max(
+            state.getCurrentWatermarkMs() + 1,
+            (last_us // 1000) if last_us is not None else 0,
         )
+        state.setTimeoutTimestamp(anchor_ms + timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
                 "total_value": [round(total, 2)],
                 # to_datetime keeps the column datetime64 even when empty/None
-                "last_ts": pd.to_datetime([last_ts]),
+                "last_ts": pd.to_datetime(
+                    [last_us * 1000 if last_us is not None else None]
+                ),
             }
         )
 
@@ -120,6 +133,7 @@ def streaming_funnel_depth(
     watermark: str = "10 minutes",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    timeout_minutes: int = 24 * 60,
 ) -> DataFrame:
     """Streaming twin of ``operators.funnel.funnel_user_times``: per-user
     funnel depth tracked live with explicit state (the completed steps'
@@ -135,14 +149,34 @@ def streaming_funnel_depth(
     append-only funnel tracker.  Output mode is update: the latest row per
     user carries their current depth; depth is monotone, so consumers take
     the max.
+
+    State is bounded: a user idle past ``timeout_minutes`` (event time,
+    default 24 h — the conversion-attribution window) has their final
+    depth emitted once more and their state expired.  Without this the
+    store grows with every user EVER seen — including fully-converted
+    users whose depth can never change — and an unbounded user population
+    eventually exhausts it.  A user re-appearing after expiry restarts at
+    depth 0: the documented recall/memory tradeoff of any bounded tracker.
     """
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        if state.hasTimedOut:
+            # idle past the attribution window: re-emit the final depth
+            # (a no-op for max-depth consumers) and free the state
+            times = list(state.get[0])
             state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "depth": [len(times)],
+                    "last_step_ts": pd.to_datetime(
+                        [times[-1] * 1000 if times else None]
+                    ),
+                }
+            )
             return
         times = list(state.get[0]) if state.exists else []
         pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -160,6 +194,12 @@ def streaming_funnel_depth(
             times.append(last)
             depth += 1
         state.update((times,))
+        # anchor on the batch's latest event time (watermark is 0 on the
+        # first batch); must still exceed the current watermark per the API
+        anchor_ms = max(
+            state.getCurrentWatermarkMs() + 1, int(ts_us.max()) // 1000
+        )
+        state.setTimeoutTimestamp(anchor_ms + timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -178,6 +218,6 @@ def streaming_funnel_depth(
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -46,8 +46,12 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
 def session_windows_batch(events: DataFrame, gap_minutes: int = 30,
                           ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
     """Batch sessionization: a new session starts when the gap from the
-    previous event exceeds ``gap_minutes``; session id = running count of
-    session starts (classic lag + cumulative-sum rewrite, fully
+    previous event EXCEEDS ``gap_minutes`` (strict >: two events exactly
+    gap apart stay in one session, which is what Spark's native
+    ``session_window`` does — its windows merge when the next event's
+    start touches the previous window's end; boundary equivalence is
+    pinned in tests/test_review_fixes_r4.py); session id = running count
+    of session starts (classic lag + cumulative-sum rewrite, fully
     SQL-expressible so the oracle can check it)."""
     from pyspark.sql import Window
 
