@@ -58,7 +58,7 @@ def test_sequence_packing_oracle(spark, con):
       FROM toks
     )
     SELECT pack_group,
-           COUNT(DISTINCT pack_group * 1048576 + CAST(FLOOR(start / 512) AS BIGINT)) AS n_packs,
+           COUNT(DISTINCT pack_group * 8796093022208 + CAST(FLOOR(start / 512) AS BIGINT)) AS n_packs,
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS tokens
     FROM packed GROUP BY pack_group ORDER BY pack_group
@@ -81,7 +81,7 @@ def test_pack_boundaries(spark):
     for g, members in by_group.items():
         start = 0
         for r in sorted(members, key=lambda r: r.doc_id):
-            assert r.pack_id == g * (1 << 20) + start // 512
+            assert r.pack_id == g * (1 << 43) + start // 512
             assert r.pack_pos == start % 512
             assert 0 <= r.pack_pos < 512
             start += r.n_tokens

@@ -192,3 +192,135 @@ def test_search_pipeline_composes_with_ivf_pq(spark, sf_dir, tmp_path):
     out = search_pipeline(spark, idx, docs, "vector search embedding", k=3).collect()
     assert len(out) == 1
     assert out[0]["context"] and "[" in out[0]["context"]
+
+
+def test_train_test_split_string_ids(spark):
+    """String ids must hash through the portable fallback — previously
+    cast('long') made every bucket NULL and BOTH split sides came back
+    empty with no error."""
+    from vector_search_databricks_poc_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    ids = [f"24{i:02d}.{i * 7:05d}v1" for i in range(200)]  # arXiv-style
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    train, test = train_test_split(df, "doc_id", test_fraction=0.2)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 200
+    assert n_train > 0 and n_test > 0
+    # deterministic: same membership on a rerun
+    again, _ = train_test_split(df, "doc_id", test_fraction=0.2)
+    assert train.exceptAll(again).count() == 0
+
+
+def test_split_bucket_huge_ids_no_overflow(spark):
+    """Ids above ~3.5e9 overflowed id * 2654435761 in int64 (ANSI crash);
+    the pre-mod keeps the math in range and the buckets identical for
+    small ids."""
+    from vector_search_databricks_poc_spark.operators.sampling import (
+        split_bucket,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(4_000_000_000,), (9_000_000_000_000,), (7,)], ["id"]
+        )
+        rows = df.select("id", split_bucket("id").alias("b")).collect()
+        assert all(0 <= r["b"] < 100 for r in rows)
+        # small-id bucket unchanged from the original formula
+        assert {r["id"]: r["b"] for r in rows}[7] == (7 * 2654435761 % 2147483647) % 100
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_domain_mixture_missing_weighted_domain_returns_empty(spark):
+    """A weighted domain with zero corpus rows must clamp N to 0 (the
+    mixture is infeasible) instead of silently returning a one-domain
+    'mixture' against a 50/50 target."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        domain_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], ["doc_id", "domain"]
+    )
+    out = domain_mixture_sample(df, "domain", {"a": 0.5, "b": 0.5})
+    assert out.count() == 0
+    # feasible mixtures still work
+    df2 = df.union(
+        spark.createDataFrame([(1000 + i, "b") for i in range(50)], ["doc_id", "domain"])
+    )
+    kept = domain_mixture_sample(df2, "domain", {"a": 0.5, "b": 0.5})
+    by_dom = {r["domain"]: r["n"] for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by_dom == {"a": 50, "b": 50}
+
+
+def test_topk_ignores_nan_scores(spark):
+    """One corrupt embedding (NaN) must not occupy rank 1 of every query —
+    NaN sorts above every real value in descending order without the
+    isnan guard."""
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [float("nan"), 1.0]),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = top_k_similar(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+
+
+def test_pq_encode_and_search_tolerate_null_vectors(spark, tmp_path):
+    """A NULL embedding must not TypeError the PQ encode or the planning
+    UDF: null corpus rows are dropped from the index, null query vectors
+    from the query set."""
+    from vector_search_databricks_poc_spark.operators.index import (
+        build_ivf_pq_index,
+    )
+
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(64)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_pq_index(
+        df, str(tmp_path / "pq"), k_centroids=2, pq_m=2, pq_k=4
+    )
+    stored = spark.read.parquet(idx.path)
+    assert stored.count() == 64  # null row excluded
+    queries = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)], "query_id long, query_vec array<double>"
+    )
+    hits = idx.batch_search(spark, queries, k=3, nprobe=2).collect()
+    qids = {r["query_id"] for r in hits}
+    assert qids == {0}  # null query dropped, real one answered
+    assert 999 not in {r["vec_id"] for r in hits}
+
+
+def test_pack_sequences_group_capacity_guard(spark):
+    from vector_search_databricks_poc_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_groups"):
+        pack_sequences(df, n_groups=(1 << 20) + 1)
+
+
+def test_compact_files_swap_preserves_data(spark, tmp_path):
+    """The staged-swap protocol must end with the compacted data at the
+    original path and no leftover __compact/__old directories."""
+    import os
+
+    from vector_search_databricks_poc_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).repartition(24).write.parquet(path)
+    n = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 10_000
+    assert not os.path.exists(path + "__compact")
+    assert not os.path.exists(path + "__old")

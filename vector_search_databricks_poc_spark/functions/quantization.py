@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 
 def quantize(vec: Column | str) -> tuple[Column, Column]:
-    """Returns (scale, qvec) columns for a float-array column."""
+    """Returns (scale, qvec) columns for a float-array column.
+
+    NOTE: the returned qvec embeds the scale expression inside its
+    per-element lambda; higher-order functions run interpreted with no
+    CSE across invocations, so the full-vector absmax re-evaluates for
+    every element (O(dim^2) per row).  Fine for one-off expressions;
+    the corpus-sized pass should use :func:`quantize_table`, which
+    materializes the scale as a column first."""
     v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(absmax != 0, absmax / 127.0).otherwise(F.lit(1.0))
@@ -31,9 +38,20 @@ def dequantize(scale: Column | str, qvec: Column | str) -> Column:
 
 
 def quantize_table(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Replace the float vector with (q_scale, q_vec) — 4x smaller at rest."""
-    scale, qvec = quantize(vec_col)
-    return df.withColumns({"q_scale": scale, "q_vec": qvec}).drop(vec_col)
+    """Replace the float vector with (q_scale, q_vec) — 4x smaller at rest.
+
+    Two-step so the per-row scale is computed ONCE as a real column and
+    the element lambda divides by ``F.col("q_scale")`` — O(dim) per row
+    instead of O(dim^2) (the scale expression re-evaluated per element
+    under interpreted higher-order functions)."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax != 0, absmax / 127.0).otherwise(F.lit(1.0))
+    out = df.withColumn("q_scale", scale.cast("float"))
+    qvec = F.transform(
+        v, lambda x: F.round(x / F.col("q_scale").cast("double")).cast("tinyint")
+    )
+    return out.withColumn("q_vec", qvec).drop(vec_col)
 
 
 class PqCodebook:
@@ -147,13 +165,19 @@ class PqCodebook:
         m, _k, sub = cb.shape
 
         def _enc(s):
-            X = np.asarray([np.asarray(v, dtype="float64") for v in s])
-            if len(X) == 0:
-                return pd.Series([], dtype=object)
-            Xs = X.reshape(len(X), m, 1, sub)
-            d2 = ((Xs - cb[None, :, :, :]) ** 2).sum(-1)  # [n, m, k]
-            codes = d2.argmin(-1).astype("int32")
-            return pd.Series([c.tolist() for c in codes])
+            # NULL vectors encode to NULL codes instead of TypeError-ing
+            # the whole task (one bad row must not kill a 100 TB encode)
+            mask = [v is not None for v in s]
+            vals = [np.asarray(v, dtype="float64") for v, ok in zip(s, mask) if ok]
+            out: list = [None] * len(s)
+            if vals:
+                X = np.asarray(vals)
+                Xs = X.reshape(len(X), m, 1, sub)
+                d2 = ((Xs - cb[None, :, :, :]) ** 2).sum(-1)  # [n, m, k]
+                codes = d2.argmin(-1).astype("int32")
+                it = iter(codes)
+                out = [next(it).tolist() if ok else None for ok in mask]
+            return pd.Series(out, dtype=object)
 
         enc = F.pandas_udf(_enc, "array<int>")
         return df.withColumn("pq_code", enc(F.col(vec_col).cast("array<double>")))

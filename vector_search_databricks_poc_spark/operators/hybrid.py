@@ -142,7 +142,7 @@ def hybrid_search(
     vec = src.select(
         F.col(vec_id_col).alias(id_col),
         F.round(V.cosine("embedding", q), 6).alias("cos"),
-    ).where(F.col("cos").isNotNull())
+    ).where(F.col("cos").isNotNull() & ~F.isnan("cos"))
     w_vec = Window.orderBy(F.desc("cos"), F.col(id_col))
     vec_ranked = vec.orderBy(F.desc("cos"), F.col(id_col)).limit(pool).withColumn(
         "rank_vec", F.row_number().over(w_vec)

@@ -44,7 +44,9 @@ def build_ivf_index(
     corpus — then assignment is a deterministic nearest-centroid expression
     over broadcast centroids, so the transform stage is shuffle-free.
     """
-    normalized = df.select(
+    # null vectors can never match a query and would land in a null
+    # centroid partition (or TypeError the PQ encode) — drop them here
+    normalized = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
@@ -151,7 +153,7 @@ def build_ivf_pq_index(
     """
     from ..functions.quantization import PqCodebook
 
-    normalized = df.select(
+    normalized = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
     )
     centroids = fit_centroids(normalized, vec_col, k_centroids, seed)
@@ -297,6 +299,9 @@ class IvfPqIndex:
                 )
 
         qid_type = queries.schema[query_id_col].dataType.simpleString()
+        # a NULL query vector has no defined result (SQL null-comparison
+        # semantics) and would TypeError inside the planning UDF
+        queries = queries.where(F.col(query_vec_col).isNotNull())
         planned = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
         ).mapInPandas(
@@ -413,6 +418,9 @@ class IvfIndex:
                 )
 
         qid_type = queries.schema[query_id_col].dataType.simpleString()
+        # a NULL query vector has no defined result (SQL null-comparison
+        # semantics) and would TypeError inside the planning UDF
+        queries = queries.where(F.col(query_vec_col).isNotNull())
         planned = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
         ).mapInPandas(

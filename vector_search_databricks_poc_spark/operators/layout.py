@@ -101,12 +101,18 @@ def compact_files(
     file count written.  Small-file proliferation (streaming sinks,
     per-batch appends) kills 100 TB scans — footer reads and task overhead
     scale with file count, not bytes.  Sizing uses the relation's plan
-    statistics (no data job); the rewrite stages into ``<path>__compact``
-    then atomically points the final rename at the original path.
+    statistics (no data job).
+
+    Swap protocol (Hadoop FileSystem API, so it works on any filesystem
+    Spark reaches, not just local disk): stage the compacted copy at
+    ``<path>__compact``, rename the original aside to ``<path>__old``,
+    rename staged into place, then delete the old copy.  Directory rename
+    is not atomic on object stores, but at EVERY step at least one
+    complete copy of the data exists — a crash leaves the original (as
+    ``path`` or ``__old``) recoverable, never a window where the data is
+    gone (the previous rmtree-then-rename had exactly that window).
     """
     import math
-    import shutil
-    from pathlib import Path
 
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -116,9 +122,20 @@ def compact_files(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").option("compression", compression).parquet(staged)
-    p, s = Path(path), Path(staged)
-    shutil.rmtree(p)
-    s.rename(p)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p, s, old = hpath(path), hpath(staged), hpath(f"{path}__old")
+    fs = p.getFileSystem(hconf)
+    if fs.exists(old):  # leftover from an interrupted previous swap
+        fs.delete(old, True)
+    if not fs.rename(p, old):
+        raise IOError(f"compact_files: could not move {path} aside")
+    if not fs.rename(s, p):
+        fs.rename(old, p)  # roll back: original back in place
+        raise IOError(f"compact_files: could not move staged copy into {path}")
+    fs.delete(old, True)
     return n
 
 

@@ -27,16 +27,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import _MIX
+from .sampling import _MIX, portable_id_key
 
 _P31 = 2147483647  # Mersenne prime 2^31-1; all bucket math is mod-P31
 
 
 def _mix_hash(id_col: str | Column) -> Column:
-    """Engine-portable scramble of an integer id (same family as
-    sampling.split_bucket): multiplicative mix mod 2^31-1."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c.cast("long") * F.lit(_MIX), F.lit(_P31))
+    """Engine-portable scramble of an id (same family as
+    sampling.split_bucket): multiplicative mix mod 2^31-1.  Id goes
+    through ``portable_id_key`` — overflow-safe for any int64 and defined
+    for string ids (identical values for in-range numeric ids)."""
+    return F.pmod(portable_id_key(id_col) * F.lit(_MIX), F.lit(_P31))
 
 
 def pack_sequences(
@@ -54,12 +55,19 @@ def pack_sequences(
     straddle the cut, as in standard LM sequence packing).  Groups are
     deterministic hash buckets of the id, so packing is embarrassingly
     parallel — the window sorts only within a group — and reproducible on
-    any engine: ``pack_id = group * ceil(max_stream/budget-ish) + cut`` is
-    encoded as ``group * 2^20 + floor(start/budget)``.
+    any engine: ``pack_id = group * 2^43 + floor(start/budget)``.  2^43
+    cuts per group means a group's token stream can reach budget * 2^43
+    (~1.8e16 tokens at budget=2048) before ids could collide — beyond any
+    int64-summable corpus; the earlier 2^20 encoding overflowed into the
+    next group's id space at ~2e9 tokens/group, silently merging packs
+    across hash groups at exactly the 100 TB scale this targets.
+    ``n_groups`` is capped at 2^20 so group * 2^43 stays inside int64.
 
     Adds ``pack_group``, ``pack_id``, ``pack_pos`` (token offset of the doc
     inside its pack).
     """
+    if n_groups > 1 << 20:
+        raise ValueError(f"n_groups must be <= 2^20, got {n_groups}")
     g = F.pmod(_mix_hash(id_col), F.lit(n_groups))
     out = df.withColumn("pack_group", g)
     w = (
@@ -71,7 +79,7 @@ def pack_sequences(
     out = out.withColumn("_start", start)
     cut = F.floor(F.col("_start") / F.lit(budget))
     return (
-        out.withColumn("pack_id", F.col("pack_group") * F.lit(1 << 20) + cut)
+        out.withColumn("pack_id", F.col("pack_group") * F.lit(1 << 43) + cut)
         .withColumn("pack_pos", F.col("_start") - cut * F.lit(budget))
         .drop("_start")
     )
@@ -102,7 +110,17 @@ def domain_mixture_sample(
     tagged = df.join(
         F.broadcast(wdf), F.col(domain_col) == F.col("_dom"), "inner"
     ).drop("_dom")
-    counts = tagged.groupBy(domain_col, "_w").agg(F.count("*").alias("_cnt"))
+    # per-WEIGHT counts, not per-present-domain: a weighted domain with
+    # zero corpus rows must clamp N toward 0 (floor(w_d*N) <= 0), or the
+    # output silently violates the target mixture (e.g. 100% of one domain
+    # against a 50/50 target).  Left join from the weight table keeps the
+    # zero-count domains in the aggregate.
+    present = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").alias("_cnt")
+    )
+    counts = wdf.join(F.broadcast(present), "_dom", "left").select(
+        "_w", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt")
+    )
     # largest N with floor(w_d*N) <= cnt_d for all d  <=>  N = min(floor(cnt_d/w_d))
     feasible = counts.agg(
         F.min(F.floor(F.col("_cnt") / F.col("_w"))).alias("_n")

@@ -65,7 +65,7 @@ def brute_force_topk_join(
     scored = (
         c.crossJoin(q)
         .select("query_id", F.col(id_col), score.alias("score"))
-        .where(F.col("score").isNotNull())
+        .where(F.col("score").isNotNull() & ~F.isnan("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -138,7 +138,7 @@ def lsh_topk_join(
         score = F.round(score, score_decimals)
     scored = pairs.select(
         "query_id", F.col(id_col), score.alias("score")
-    ).where(F.col("score").isNotNull())
+    ).where(F.col("score").isNotNull() & ~F.isnan("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -53,7 +53,7 @@ def top_k_similar(
         score = F.round(score, score_decimals)
     return (
         corpus.select(F.col(id_col), score.alias("score"))
-        .where(F.col("score").isNotNull())
+        .where(F.col("score").isNotNull() & ~F.isnan("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

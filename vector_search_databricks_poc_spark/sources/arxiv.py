@@ -151,7 +151,10 @@ def fetch_arxiv_paginated(
         if not page:
             break
         rows.extend(page)
-        start += batch_size
+        # advance by what actually arrived: the export API routinely
+        # returns short pages under load, and advancing by batch_size
+        # would silently skip the records it withheld
+        start += len(page)
         if len(rows) < target_total:
             time.sleep(sleep_s)
     raw = spark.createDataFrame(rows[:target_total], RAW_SCHEMA)
