@@ -324,3 +324,93 @@ def test_compact_files_swap_preserves_data(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10_000
     assert not os.path.exists(path + "__compact")
     assert not os.path.exists(path + "__old")
+
+
+def test_exact_dedup_null_keys_pass_through(spark):
+    """NULL-keyed rows must survive dedup untouched — the semi-join's
+    NULL=NULL equality previously DELETED every null-text row."""
+    from vector_search_databricks_poc_spark.operators.dedup import exact_dedup
+    from vector_search_databricks_poc_spark.operators.text import canonical_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello"), (2, "hello"), (3, None), (4, None), (5, "world")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert got == {1, 2, 3, 4, 5}  # exact: case differs, nulls pass through
+    got = {r["doc_id"] for r in canonical_dedup(df).collect()}
+    assert got == {1, 3, 4, 5}  # canonical: case folds, nulls pass through
+
+
+def test_hashing_embedding_null_text_yields_null_vector(spark):
+    """NULL text must embed to NULL (not an array of dim NULLs, which
+    passes size()==dim validity checks and then NULLs every cosine)."""
+    from vector_search_databricks_poc_spark import vectors as V
+    from vector_search_databricks_poc_spark.functions.embedding import (
+        hashing_embedding,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], ["id", "text"])
+    out = df.select(
+        "id",
+        hashing_embedding("text", dim=4).alias("emb"),
+    ).withColumn("ok", V.vec_dim_ok("emb", 4))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["emb"] is not None and rows[1]["ok"]
+    assert rows[2]["emb"] is None and not rows[2]["ok"]
+
+
+def test_strip_html_entity_decode_order(spark):
+    """&amp; decodes last: '&amp;lt;' is the literal text '&lt;', not '<'."""
+    from vector_search_databricks_poc_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [("use &amp;lt; for a literal less-than, &lt;b&gt;bold&lt;/b&gt;",)],
+        ["t"],
+    )
+    got = df.select(strip_html("t").alias("s")).first()["s"]
+    assert got == "use &lt; for a literal less-than, <b>bold</b>"
+
+
+def test_remove_boilerplate_keeps_all_boilerplate_docs(spark):
+    """A doc whose every line is boilerplate must come back with text='',
+    not vanish from the corpus."""
+    from vector_search_databricks_poc_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, "SUBSCRIBE NOW TODAY!") for i in range(12)]
+    rows.append((100, "SUBSCRIBE NOW TODAY!\nactual unique content here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, min_docs=10).collect()}
+    assert len(out) == 13  # every id present
+    assert out[100] == "actual unique content here"
+    assert all(out[i] == "" for i in range(12))
+
+
+def test_assemble_context_descending_relevance(spark):
+    """order_col + ascending=False formats most-relevant-first (the
+    reference's prompt order); the default stays ascending by id."""
+    from vector_search_databricks_poc_spark.operators.rag import assemble_context
+
+    hits = spark.createDataFrame(
+        [(1, "best", 0.95), (2, "worst", 0.10), (3, "mid", 0.5)],
+        ["vec_id", "text", "score"],
+    )
+    ctx = assemble_context(
+        hits, order_col="score", ascending=False
+    ).first()["context"]
+    assert ctx.index("best") < ctx.index("mid") < ctx.index("worst")
+
+
+def test_has_pushed_filters_multi_scan(spark, sf_dir):
+    """A filtered fact joined to an unfiltered broadcast dim: the dim's
+    'PushedFilters: []' must not mask the fact scan's pushdown."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.plans import audit as A
+
+    fact = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    dim = load_table(spark, sf_dir, "customer")
+    joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+    assert A.has_pushed_filters(joined), A.plan_string(joined)

@@ -25,6 +25,13 @@ from pyspark.sql.types import ArrayType, FloatType
 
 from ..operators.text import tokens
 
+# Per-Python-worker encoder singleton.  A MODULE attribute, looked up via
+# import inside the UDF: cloudpickle rebuilds the UDF's function-globals
+# dict on every task deserialization, so a closure-level `global` cache
+# would reload the model once per TASK; the module object survives for
+# the worker process lifetime (spark.python.worker.reuse default true).
+_ENCODER_CACHE: dict = {}
+
 
 def hashing_embedding(
     text: Column | str, dim: int = 64, normalize: bool = True, portable: bool = False
@@ -41,6 +48,12 @@ def hashing_embedding(
     (operators.dedup.portable_string_hash) so the DuckDB oracle can
     recompute the embedding — the hook that makes the whole
     embed->similarity-search pipeline oracle-checkable.
+
+    Cost note: the bucket fold is O(dim * n_tokens) interpreted-HOF work
+    per row — unavoidable in pure expressions (immutable array
+    accumulators make the 'one pass over tokens' form copy the dim-array
+    per token, same product).  This encoder is the test/default path;
+    corpus-scale embedding belongs to the Arrow-batched transformer UDF.
     """
     t = tokens(text)
     if portable:
@@ -67,7 +80,11 @@ def hashing_embedding(
     if normalize:
         norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
         vec = F.when(norm != 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
-    return vec.cast(ArrayType(FloatType()))
+    # NULL text -> NULL embedding, not an array of dim NULL elements: the
+    # element-NULL form passes size()==dim validity checks (vec_dim_ok)
+    # and then poisons every downstream cosine/dot with NULL scores
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(c.isNotNull(), vec).cast(ArrayType(FloatType()))
 
 
 def masked_mean_pool(last_hidden_state, attention_mask):
@@ -100,9 +117,10 @@ def make_transformer_encoder_udf(
     Mirrors the reference's semantics — tokenizer(padding, truncation) ->
     no-grad forward -> masked mean pooling with clamp(min=1e-9)
     (syntetic_data.py:148-163) — with the scale fixes: the model loads
-    lazily ONCE PER EXECUTOR PYTHON WORKER (module-level cache inside the
-    UDF, never pickled from the driver), and batching is Arrow's, not a
-    hand-rolled BATCH_SIZE=2 loop.
+    lazily ONCE PER EXECUTOR PYTHON WORKER (cache resolved through the
+    imported module so it survives task re-deserialization — a bare
+    function-global would reload per task; never pickled from the
+    driver), and batching is Arrow's, not a hand-rolled BATCH_SIZE=2 loop.
 
     The transformers/torch stack is not installed in this container, so the
     UDF raises ImportError at first execution unless the libs are present;
@@ -117,11 +135,22 @@ def make_transformer_encoder_udf(
     # inference; the explicit returnType + default SCALAR type suffice.
     @pandas_udf(ArrayType(FloatType()))
     def embed(texts):
-        global _ENCODER_CACHE  # per-Python-worker singleton
+        # resolve the cache through the imported MODULE (worker-lifetime),
+        # not the pickled closure's globals (task-lifetime); fall back to
+        # a function-global only if the package isn't importable on the
+        # worker (still correct, just per-task reload)
         try:
-            cache = _ENCODER_CACHE
-        except NameError:
-            cache = _ENCODER_CACHE = {}
+            from vector_search_databricks_poc_spark.functions import (
+                embedding as _mod,
+            )
+
+            cache = _mod._ENCODER_CACHE
+        except ImportError:  # pragma: no cover - package not shipped
+            global _ENCODER_FALLBACK_CACHE
+            try:
+                cache = _ENCODER_FALLBACK_CACHE
+            except NameError:
+                cache = _ENCODER_FALLBACK_CACHE = {}
         if model_name not in cache:
             try:
                 import torch  # noqa: F401

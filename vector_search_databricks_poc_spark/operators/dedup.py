@@ -32,9 +32,22 @@ _LOG = logging.getLogger(__name__)
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per key — the minimum id (deterministic, unlike
-    ``dropDuplicates`` whose survivor depends on partition order)."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+    ``dropDuplicates`` whose survivor depends on partition order).
+
+    NULL-keyed rows pass through UNTOUCHED: the semi-join's equality never
+    matches NULL = NULL, so without the split every null-key row would be
+    silently DELETED (data loss, not dedup).  Passing them through treats
+    each NULL as its own key — matching SQL join semantics; callers who
+    want null keys collapsed should coalesce the key first.
+    """
+    any_null = None
+    for k in key_cols:
+        cond = F.col(k).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    non_null = df.where(~any_null)
+    keep = non_null.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    deduped = non_null.join(keep, on=key_cols + [id_col], how="left_semi")
+    return deduped.unionByName(df.where(any_null))
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

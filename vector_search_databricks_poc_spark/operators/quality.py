@@ -99,6 +99,9 @@ def validate_table(
                 ).alias("r")
             ).select("r.rule", "r.violations", "r.total")
         )
+    # one total for ALL referential legs — recomputing df.count() per
+    # reference would add a full fact-table scan per rule
+    total = df.agg(F.count(F.lit(1)).alias("total")) if references else None
     for fact_col, dim_df, dim_col in references:
         missing = df.where(F.col(fact_col).isNotNull()).join(
             F.broadcast(
@@ -107,7 +110,6 @@ def validate_table(
             fact_col,
             "left_anti",
         )
-        total = df.agg(F.count(F.lit(1)).alias("total"))
         legs.append(
             missing.agg(F.count(F.lit(1)).alias("violations"))
             .join(F.broadcast(total))

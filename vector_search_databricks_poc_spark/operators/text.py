@@ -80,9 +80,12 @@ def strip_html(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
+    # &amp; decodes LAST: doing it first would double-unescape
+    # double-escaped entities ('&amp;lt;' means the literal text '&lt;',
+    # not '<') — the classic entity-decode-order bug
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
@@ -340,6 +343,11 @@ def remove_boilerplate_lines(
     lines: posexplode -> broadcast anti-join -> collect (pos, line) structs
     -> sort_array -> concat.  Ordering is enforced by the sort_array, not
     collect_list order (which the shuffle does not guarantee).
+
+    EVERY input id appears in the output: a doc whose lines were all
+    boilerplate (or whose text was NULL) comes back with text='' — the
+    anti-join leaves it zero rows, and without the final right join to the
+    id set such docs would VANISH from the pipeline instead of shrinking.
     """
     bp = boilerplate_lines(df, id_col, text_col, min_docs, min_chars)
     exploded = df.select(
@@ -347,7 +355,7 @@ def remove_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
     ).withColumn("line", F.trim("_raw"))
     kept = exploded.join(F.broadcast(bp.select("line")), "line", "left_anti")
-    return (
+    rebuilt = (
         kept.groupBy(id_col)
         .agg(
             F.array_join(
@@ -358,6 +366,10 @@ def remove_boilerplate_lines(
                 "\n",
             ).alias(text_col)
         )
+    )
+    all_ids = df.select(id_col).distinct()
+    return all_ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 

@@ -265,4 +265,9 @@ def search_pipeline(
     with_text = docs.join(
         F.broadcast(hits), on=docs[doc_id_col] == hits[index.id_col], how="inner"
     ).select(hits[index.id_col].alias("vec_id"), docs[text_col].alias("text"), hits["score"])
-    return assemble_context(clean_hits(with_text))
+    # most-relevant-first, as the reference formats its prompt context
+    return assemble_context(
+        clean_hits(with_text, score_col="score"),
+        order_col="score",
+        ascending=False,
+    )

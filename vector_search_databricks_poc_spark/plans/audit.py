@@ -20,9 +20,17 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
-    """Parquet scan received pushdown-able predicates."""
+    """At least one scan received pushdown-able predicates.  Per-scan, not
+    all-scans: a filtered fact joined to an unfiltered dimension prints
+    'PushedFilters: []' for the dim scan, which must not mask the fact
+    scan's real pushdown."""
+    import re
+
     s = plan_string(df)
-    return "PushedFilters: [" in s and "PushedFilters: []" not in s
+    return any(
+        m.group(1).strip()
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", s)
+    )
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
@@ -61,10 +69,15 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the plan (Exchange nodes, minus broadcast
-    exchanges which don't repartition the big side)."""
+    """Shuffle count in the plan: Exchange nodes minus broadcast exchanges
+    (no big-side repartition) minus reused exchanges (reference an already
+    -counted exchange's output — no new shuffle executes)."""
     s = plan_string(df, "simple")
-    return s.count("Exchange") - s.count("BroadcastExchange")
+    return (
+        s.count("Exchange")
+        - s.count("BroadcastExchange")
+        - s.count("ReusedExchange")
+    )
 
 
 def audit(df: DataFrame) -> dict:
