@@ -56,8 +56,12 @@ def session_windows_batch(events: DataFrame, gap_minutes: int = 30,
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    starts = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # microsecond precision: cast("long") truncates to whole seconds, so a
+    # gap of 1800.4s read as 1800 would NOT split while native
+    # session_window (exact timestamps) does — and the DuckDB oracle's
+    # fractional epoch() would disagree the other way
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    starts = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     with_sess = events.withColumn("_new_sess", starts).withColumn(
         "session_seq", F.sum("_new_sess").over(w)
     )
