@@ -267,3 +267,112 @@ def test_media_probes_never_crash_on_arbitrary_bytes(data):
         decode_jpeg(b"\xff\xd8" + data)
     except (ValueError, _struct.error, _zlib.error):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Randomized semantics checks: asof_join and interval_join against plain
+# Python reference implementations (hypothesis generates the event layout)
+# ---------------------------------------------------------------------------
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # key (None mixed in below)
+        st.integers(0, 100_000),      # seconds offset
+        st.integers(0, 9),            # payload tag
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _mk_ts(off):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_ev, right=_ev, how=st.sampled_from(["inner", "left"]))
+def test_asof_join_matches_python_reference(spark, left, right, how):
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.operators.asof import asof_join
+
+    # dedupe right per (key, ts): the operator's documented determinism
+    # contract requires at most one right row per key+timestamp
+    seen = {}
+    for k, off, tag in right:
+        seen[(k, off)] = tag
+    right_rows = [(k, _mk_ts(off), tag) for (k, off), tag in seen.items()]
+    left_rows = [(k, _mk_ts(off), tag) for k, off, tag in left]
+
+    ldf = spark.createDataFrame(
+        left_rows or [(None, None, None)],
+        "k int, lts timestamp, ltag int",
+    )
+    if not left_rows:
+        ldf = ldf.where(F.lit(False))
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)],
+        "k int, rts timestamp, px int",
+    )
+    if not right_rows:
+        rdf = rdf.where(F.lit(False))
+
+    got = {
+        (r["k"], r["lts"], r["ltag"]): r["px"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", how=how
+        ).collect()
+    }
+
+    exp = {}
+    for k, lts, ltag in left_rows:
+        cands = [(rts, px) for rk, rts, px in right_rows if rk == k and rts <= lts]
+        if cands:
+            exp[(k, lts, ltag)] = max(cands)[1]
+        elif how == "left":
+            exp[(k, lts, ltag)] = None
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_ev, right=_ev, how=st.sampled_from(["inner", "left"]))
+def test_interval_join_matches_python_reference(spark, left, right, how):
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.streaming.joins import interval_join
+
+    upper_s = 3600
+    left_rows = [(k, _mk_ts(off), tag) for k, off, tag in left]
+    right_rows = [(k, _mk_ts(off), tag) for k, off, tag in right]
+    ldf = spark.createDataFrame(
+        left_rows or [(None, None, None)], "user_id int, ts timestamp, a int"
+    )
+    if not left_rows:
+        ldf = ldf.where(F.lit(False))
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)], "user_id int, ts timestamp, b int"
+    )
+    if not right_rows:
+        rdf = rdf.where(F.lit(False))
+
+    got = sorted(
+        (r["user_id"], r["l_ts"], r["l_a"], r["r_b"])
+        for r in interval_join(
+            ldf, rdf, key="user_id", upper="1 hour", how=how
+        ).collect()
+    )
+
+    exp = []
+    for k, lts, a in left_rows:
+        matches = [
+            b
+            for rk, rts, b in right_rows
+            if rk == k and rts <= lts and (lts - rts).total_seconds() <= upper_s
+        ]
+        if matches:
+            exp.extend((k, lts, a, b) for b in matches)
+        elif how == "left":
+            exp.append((k, lts, a, None))
+    assert got == sorted(exp)

@@ -808,3 +808,38 @@ def test_media_metadata_probe_matches_construction(spark, sf_dir):
             ), c
         else:
             assert g["avg_duration_s"] is None, c
+
+
+def test_session_windows_streaming_equals_batch_on_fixture(spark, sf_dir, tmp_path):
+    """The lag/cumsum batch sessionization and native session_window
+    streaming twin agree on the REAL events fixture (n_events multiset per
+    user), not just on the 3-row boundary case."""
+    from vector_search_databricks_poc_spark.streaming.windows import (
+        session_windows_batch,
+        session_windows_streaming,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    batch = session_windows_batch(ev, gap_minutes=30)
+    batch_sizes = sorted(
+        (r["user_id"], r["n_events"]) for r in batch.collect()
+    )
+
+    src = str(tmp_path / "sess_fx")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_windows_streaming(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_fx_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_fx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    stream_sizes = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT user_id, n_events FROM sess_fx_sink").collect()
+    )
+    assert stream_sizes == batch_sizes
