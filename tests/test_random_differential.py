@@ -1,0 +1,377 @@
+"""Seeded randomized differential testing against DuckDB.
+
+The registry's 50 oracle queries pin down hand-picked plans; this harness
+pins down the *translation rules themselves*: each seeded spec is rendered
+BOTH as a DataFrame-API plan (the way every registry query is built) and as
+the equivalent ANSI SQL, then executed on Spark and DuckDB over the same
+parquet fixture and compared cell-by-cell with numeric tolerance.  A
+divergence here means a semantics bug in how we express group-bys, HAVING,
+conditional aggregation, window frames, or order/limit — the exact failure
+class a fixed query set can miss (hypothesis-randomized *join* semantics
+live in tests/test_properties.py; this file covers the agg/window axis).
+
+Specs are generated from fixed seeds so failures reproduce; constants come
+from the fixture's real value domains (TESTDATA.md) so predicates hit
+meaningful selectivities instead of always-empty or always-full scans.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import duck_connection
+
+# --------------------------------------------------------------------------
+# table metadata: group-able columns, numeric columns, unique row key,
+# timestamp column, and a predicate pool rendered as (sql, builder)
+# --------------------------------------------------------------------------
+
+TABLES = {
+    "orders": {
+        "group": ["o_orderstatus", "o_orderpriority"],
+        "nums": ["o_totalprice"],
+        "key": ["o_orderkey"],
+        "ts": "o_orderdate",
+        "preds": [
+            ("o_totalprice >= 250000", lambda: F.col("o_totalprice") >= 250000),
+            ("o_orderstatus = 'O'", lambda: F.col("o_orderstatus") == "O"),
+            (
+                "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+                lambda: F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            ),
+            (
+                "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'",
+                lambda: F.col("o_orderdate")
+                < F.to_timestamp(F.lit("1998-01-01 00:00:00")),
+            ),
+        ],
+    },
+    "lineitem": {
+        "group": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "nums": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "key": ["l_orderkey", "l_linenumber"],
+        "ts": "l_shipdate",
+        "preds": [
+            (
+                "l_quantity BETWEEN 10 AND 40",
+                lambda: F.col("l_quantity").between(10, 40),
+            ),
+            ("l_discount >= 0.05", lambda: F.col("l_discount") >= 0.05),
+            ("l_returnflag <> 'N'", lambda: F.col("l_returnflag") != "N"),
+            (
+                "l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'",
+                lambda: F.col("l_shipdate")
+                >= F.to_timestamp(F.lit("1997-06-01 00:00:00")),
+            ),
+        ],
+    },
+    "events": {
+        "group": ["event_type"],
+        "nums": ["value"],
+        "key": ["event_id"],
+        "ts": "ts",
+        "preds": [
+            ("value > 50", lambda: F.col("value") > 50),
+            (
+                "event_type IN ('view', 'click')",
+                lambda: F.col("event_type").isin("view", "click"),
+            ),
+            (
+                "ts < TIMESTAMP '2024-01-15 00:00:00'",
+                lambda: F.to_timestamp(F.col("ts"))
+                < F.to_timestamp(F.lit("2024-01-15 00:00:00")),
+            ),
+        ],
+    },
+}
+
+
+def _load(spark, table):
+    return spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# tolerant comparison: rows aligned on exact key columns, numeric cells
+# compared with isclose (double sums differ in the last ulps between
+# engines by associativity; everything else must match exactly)
+# --------------------------------------------------------------------------
+
+
+def _cell_eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-8, abs_tol=1e-8)
+    if isinstance(a, datetime.datetime) or isinstance(b, datetime.datetime):
+        return a == b
+    return str(a) == str(b)
+
+
+def _sort_norm(v):
+    """Row-alignment sort key: exact for non-floats, rounded to 6
+    significant digits for floats so engine-side 1e-12 jitter in computed
+    columns can't reorder the alignment (values are then compared with
+    the tighter _cell_eq tolerance)."""
+    if isinstance(v, float):
+        return f"{v:.6e}"
+    return str(v)
+
+
+def assert_equivalent(spark_df, con, sql: str, key_cols: list[str], spec: str):
+    cols = spark_df.columns
+    srows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    dcols = list(rel.columns)
+    assert sorted(cols) == sorted(dcols), f"{spec}: cols {cols} vs {dcols}"
+    perm = [dcols.index(c) for c in cols]
+    drows = [tuple(r[i] for i in perm) for r in rel.fetchall()]
+    assert len(srows) == len(drows), (
+        f"{spec}: row count {len(srows)} vs {len(drows)}"
+    )
+    kidx = [cols.index(k) for k in key_cols]
+    rest = [i for i in range(len(cols)) if i not in kidx]
+
+    # align on keys first, then on the remaining (normalized) cells —
+    # the fixture's "natural keys" are NOT unique (duplicate
+    # (l_orderkey, l_linenumber) pairs exist by construction), so rows
+    # sharing a key are paired by value multiset, not by position
+    def skey(row):
+        return (
+            tuple(_sort_norm(row[i]) for i in kidx)
+            + tuple(_sort_norm(row[i]) for i in rest)
+        )
+
+    srows.sort(key=skey)
+    drows.sort(key=skey)
+    for a, b in zip(srows, drows):
+        for c, (x, y) in zip(cols, zip(a, b)):
+            assert _cell_eq(x, y), (
+                f"{spec}: column {c} diverges: spark={x!r} duck={y!r}\n"
+                f"  spark row {a}\n  duck  row {b}\n  sql: {sql}"
+            )
+
+
+# --------------------------------------------------------------------------
+# spec generators
+# --------------------------------------------------------------------------
+
+
+def _agg_pool(meta, rng):
+    """(alias, spark Column, sql fragment) candidates for one table."""
+    n = rng.choice(meta["nums"])
+    ts = meta["ts"]
+    psql, pcol = rng.choice(meta["preds"])
+    return [
+        ("cnt", F.count(F.lit(1)).alias("cnt"), "COUNT(*) AS cnt"),
+        (
+            f"cntd_{meta['group'][0]}",
+            F.countDistinct(meta["group"][0]).alias(f"cntd_{meta['group'][0]}"),
+            f"COUNT(DISTINCT {meta['group'][0]}) AS cntd_{meta['group'][0]}",
+        ),
+        (f"sum_{n}", F.sum(n).alias(f"sum_{n}"), f"SUM({n}) AS sum_{n}"),
+        (f"min_{n}", F.min(n).alias(f"min_{n}"), f"MIN({n}) AS min_{n}"),
+        (f"max_{n}", F.max(n).alias(f"max_{n}"), f"MAX({n}) AS max_{n}"),
+        (f"avg_{n}", F.avg(n).alias(f"avg_{n}"), f"AVG({n}) AS avg_{n}"),
+        (f"min_{ts}", F.min(ts).alias(f"min_{ts}"), f"MIN({ts}) AS min_{ts}"),
+        (
+            f"csum_{n}",
+            F.sum(F.when(pcol(), F.col(n)).otherwise(F.lit(0.0))).alias(
+                f"csum_{n}"
+            ),
+            f"SUM(CASE WHEN {psql} THEN {n} ELSE 0 END) AS csum_{n}",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_grouped_aggregates_match_duckdb(spark, seed):
+    rng = random.Random(1000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    keys = rng.sample(meta["group"], rng.randint(0, min(2, len(meta["group"]))))
+
+    pool = _agg_pool(meta, rng)
+    picked, seen = [], set()
+    for a in rng.sample(pool, rng.randint(2, 4)):
+        if a[0] not in seen:
+            seen.add(a[0])
+            picked.append(a)
+    use_pred = rng.random() < 0.6
+    psql, pcol = rng.choice(meta["preds"])
+    use_having = bool(keys) and rng.random() < 0.4
+    if use_having and "cnt" not in seen:
+        picked.append(pool[0])
+
+    df = _load(spark, table)
+    if use_pred:
+        df = df.where(pcol())
+    gdf = df.groupBy(*keys).agg(*[c for _, c, _ in picked]) if keys else df.agg(
+        *[c for _, c, _ in picked]
+    )
+    if use_having:
+        gdf = gdf.where(F.col("cnt") > 3)
+
+    sel = ", ".join([*keys, *[frag for _, _, frag in picked]])
+    sql = f"SELECT {sel} FROM {table}"
+    if use_pred:
+        sql += f" WHERE {psql}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+    if use_having:
+        sql += " HAVING COUNT(*) > 3"
+
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(gdf, con, sql, keys, f"agg seed={seed} {table}")
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_rollup_cube_match_duckdb(spark, seed):
+    """Multi-level aggregation (ROLLUP / CUBE) — the super-aggregate rows'
+    NULL markers and values must agree between the DataFrame API and
+    DuckDB's ANSI GROUP BY ROLLUP/CUBE."""
+    rng = random.Random(4000 + seed)
+    table = rng.choice(["orders", "lineitem"])
+    meta = TABLES[table]
+    keys = rng.sample(meta["group"], 2)
+    n = rng.choice(meta["nums"])
+    mode = rng.choice(["rollup", "cube"])
+
+    df = _load(spark, table)
+    grouped = df.rollup(*keys) if mode == "rollup" else df.cube(*keys)
+    out = grouped.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(n).alias(f"sum_{n}")
+    )
+
+    sql = (
+        f"SELECT {', '.join(keys)}, COUNT(*) AS cnt, SUM({n}) AS sum_{n} "
+        f"FROM {table} GROUP BY {mode.upper()} ({', '.join(keys)})"
+    )
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(out, con, sql, keys, f"{mode} seed={seed} {table}")
+    finally:
+        con.close()
+
+
+WINDOW_FUNCS = [
+    # (name, needs_tiebreak, spark builder, sql template)
+    ("row_number", True, lambda n: F.row_number(), "ROW_NUMBER()"),
+    ("rank", False, lambda n: F.rank(), "RANK()"),
+    ("dense_rank", False, lambda n: F.dense_rank(), "DENSE_RANK()"),
+    ("lag1", True, lambda n: F.lag(n, 1), "LAG({n}, 1)"),
+    ("lead2", True, lambda n: F.lead(n, 2), "LEAD({n}, 2)"),
+    (
+        "runsum",
+        True,
+        lambda n: F.sum(n),
+        "SUM({n})",
+    ),
+    (
+        "movavg",
+        True,
+        lambda n: F.avg(n),
+        "AVG({n})",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_window_functions_match_duckdb(spark, seed):
+    rng = random.Random(2000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    part = rng.choice(meta["group"])
+    order = rng.choice([meta["ts"], *meta["nums"]])
+    n = rng.choice(meta["nums"])
+    fname, tie, fcol, ftmpl = rng.choice(WINDOW_FUNCS)
+
+    # frame/offset-dependent functions need a TOTAL order: the fixture's
+    # natural keys are not unique, so tie-break over EVERY column (rows
+    # identical in all columns contribute identically, so the result
+    # multiset stays deterministic)
+    all_cols = _load(spark, table).columns
+    order_cols = (
+        [order, *[c for c in all_cols if c != order]] if tie else [order]
+    )
+    w = Window.partitionBy(part).orderBy(*[F.col(c).asc() for c in order_cols])
+    frame_sql = ""
+    if fname == "runsum":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        frame_sql = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    elif fname == "movavg":
+        w = w.rowsBetween(-3, Window.currentRow)
+        frame_sql = " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+
+    df = _load(spark, table).select(
+        *meta["key"], fcol(n).over(w).alias("wval")
+    )
+
+    over = (
+        f"PARTITION BY {part} ORDER BY "
+        + ", ".join(f"{c} ASC" for c in order_cols)
+        + frame_sql
+    )
+    sql = (
+        f"SELECT {', '.join(meta['key'])}, {ftmpl.format(n=n)} OVER ({over})"
+        f" AS wval FROM {table}"
+    )
+
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(
+            df, con, sql, meta["key"], f"window seed={seed} {table} {fname}"
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_filter_topn_match_duckdb(spark, seed):
+    rng = random.Random(3000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    n = rng.choice(meta["nums"])
+    limit = rng.choice([5, 20, 100])
+    use_pred = rng.random() < 0.5
+    psql, pcol = rng.choice(meta["preds"])
+    proj = [*meta["key"], n, meta["group"][0]]
+
+    df = _load(spark, table)
+    if use_pred:
+        df = df.where(pcol())
+    # tie-break over EVERY projected column: natural keys are not unique,
+    # so only rows identical in the whole projection can tie at the LIMIT
+    # boundary — and those are interchangeable
+    ties = [c for c in proj if c != n]
+    df = (
+        df.select(*proj)
+        .orderBy(F.col(n).desc(), *[F.col(c).asc() for c in ties])
+        .limit(limit)
+    )
+
+    order = f"{n} DESC, " + ", ".join(f"{c} ASC" for c in ties)
+    sql = f"SELECT {', '.join(proj)} FROM {table}"
+    if use_pred:
+        sql += f" WHERE {psql}"
+    sql += f" ORDER BY {order} LIMIT {limit}"
+
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(
+            df, con, sql, meta["key"], f"topn seed={seed} {table}"
+        )
+    finally:
+        con.close()
