@@ -267,6 +267,19 @@ def test_media_probes_never_crash_on_arbitrary_bytes(data):
         decode_jpeg(b"\xff\xd8" + data)
     except (ValueError, _struct.error, _zlib.error):
         pass
+    # AVI probes: plain bytes, and RIFF-prefixed so the chunk walk runs
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_frame_offsets,
+        avi_metadata,
+        sample_avi_frames,
+    )
+
+    for fn in (avi_metadata, avi_frame_offsets, sample_avi_frames):
+        for blob in (data, b"RIFF" + data, b"RIFF\x00\x01\x00\x00AVI " + data):
+            try:
+                fn(blob)
+            except (ValueError, _struct.error):
+                pass
 
 
 # ---------------------------------------------------------------------------

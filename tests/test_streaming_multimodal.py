@@ -759,7 +759,7 @@ def test_media_metadata_probe_matches_construction(spark, sf_dir):
     )
     exp = {}
     for i in ids:
-        c = ("wav", "mp3", "mp4", "svf")[i % 4]
+        c = ("wav", "mp3", "mp4", "svf", "avi")[i % 5]
         if c == "wav":
             nb = len(synth_media_payload(i, "audio"))
             dur, rate = (400 + (i % 5) * 100) / 8000, 8000
@@ -784,6 +784,19 @@ def test_media_metadata_probe_matches_construction(spark, sf_dir):
                 )
             )
             dur, rate = 1.0 + (i % 10) * 0.5, None
+        elif c == "avi":
+            import numpy as np
+
+            from vector_search_databricks_poc_spark.functions.avi import encode_avi
+
+            rng = np.random.default_rng(i)
+            frames = [
+                rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+                for _ in range(2 + i % 4)
+            ]
+            nb = len(encode_avi(frames, fps=5.0))
+            # real container duration: n_frames / fps
+            dur, rate = (2 + i % 4) / 5.0, None
         else:
             nb = len(synth_media_payload(i, "video"))
             dur, rate = None, None
@@ -843,3 +856,130 @@ def test_session_windows_streaming_equals_batch_on_fixture(spark, sf_dir, tmp_pa
         for r in spark.sql("SELECT user_id, n_events FROM sess_fx_sink").collect()
     )
     assert stream_sizes == batch_sizes
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    """functions/avi.py: encode -> metadata golden -> exact frame decode;
+    every-nth sampling returns header-spliced BMPs (no transcode)."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_frame_offsets,
+        avi_metadata,
+        decode_avi_frame,
+        encode_avi,
+        sample_avi_frames,
+    )
+    from vector_search_databricks_poc_spark.functions.multimodal import decode_bmp
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    payload = encode_avi(frames, fps=8.0)
+
+    m = avi_metadata(payload)
+    assert (m["width"], m["height"], m["n_frames"]) == (5, 6, 5)
+    assert m["fps"] == 8.0 and m["duration_s"] == 0.625
+    assert m["codec"] == "DIB" and m["compression"] == 0 and m["bit_count"] == 24
+
+    offs = avi_frame_offsets(payload)
+    assert len(offs) == 5
+    for i, (o, ln) in enumerate(offs):
+        assert np.array_equal(
+            decode_avi_frame(payload[o : o + ln], m["width"], m["height"]),
+            frames[i],
+        )
+
+    bmps = sample_avi_frames(payload, every_n=2)
+    assert len(bmps) == 3
+    for i, b in enumerate(bmps):
+        assert b[:2] == b"BM"
+        assert np.array_equal(decode_bmp(b), frames[2 * i])
+    assert len(sample_avi_frames(payload, every_n=2, max_frames=2)) == 2
+
+
+def test_avi_without_idx1_falls_back_to_movi_walk():
+    import struct
+
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_frame_offsets,
+        encode_avi,
+    )
+
+    frames = [np.full((4, 4, 3), i * 30, dtype=np.uint8) for i in range(3)]
+    payload = bytearray(encode_avi(frames, fps=10.0))
+    cut = bytes(payload).rindex(b"idx1")
+    payload = payload[:cut]
+    payload[4:8] = struct.pack("<I", len(payload) - 8)  # fix RIFF size
+    offs = avi_frame_offsets(bytes(payload))
+    assert len(offs) == 3
+
+
+def test_avi_compressed_codec_metadata_real_decode_refused():
+    """A compressed-codec AVI still yields REAL container metadata, but
+    frame sampling raises ValueError (codec needs external libs) — the
+    decode_media_stub contract, narrowed to exactly that case."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_metadata,
+        encode_avi,
+        sample_avi_frames,
+    )
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8) for _ in range(2)]
+    payload = bytearray(encode_avi(frames, fps=5.0))
+    # patch strh fccHandler and strf biCompression to a compressed codec
+    h = bytes(payload).index(b"DIB ")
+    payload[h : h + 4] = b"MJPG"
+    strf_body = bytes(payload).index(b"strf") + 8
+    payload[strf_body + 16 : strf_body + 20] = struct.pack("<I", 0x47504A4D)
+    payload = bytes(payload)
+
+    m = avi_metadata(payload)
+    assert m["codec"] == "MJPG" and m["compression"] == 0x47504A4D
+    assert (m["width"], m["height"], m["n_frames"]) == (4, 4, 2)
+    with pytest.raises(ValueError, match="external codecs"):
+        sample_avi_frames(payload)
+
+
+def test_avi_through_transform_media_and_features(spark):
+    """End-to-end Spark path: an AVI video asset fans out to one BMP row
+    per sampled frame in transform_media, and media_features reports REAL
+    width/height/duration plus first-frame pixel statistics."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import encode_avi
+    from vector_search_databricks_poc_spark.functions.multimodal import (
+        decode_bmp,
+        extract_media_features,
+        transform_media,
+    )
+
+    frames = [np.full((8, 8, 3), (40, 80, 120), dtype=np.uint8) for _ in range(4)]
+    payload = encode_avi(frames, fps=2.0)
+    media = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", b"RIFFcorrupt-not-avi")],
+        "asset_id long, modality string, payload binary",
+    )
+
+    out = transform_media(media, frame_every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 1]
+    assert all(r["asset_id"] == 1 for r in out)  # corrupt RIFF dropped
+    px = decode_bmp(bytes(out[0]["payload"]))
+    assert px.shape == (8, 8, 3)
+    assert np.array_equal(px[0, 0], np.array([40, 80, 120], dtype=np.uint8))
+
+    feats = {r["asset_id"]: r for r in extract_media_features(media).collect()}
+    f1 = feats[1]
+    assert (f1["width"], f1["height"]) == (8, 8)
+    assert abs(f1["duration_s"] - 2.0) < 1e-9
+    assert abs(f1["feature"][0] - 40.0) < 1e-6  # mean R of first frame
+    assert abs(f1["feature"][1] - 80.0) < 1e-6
+    assert abs(f1["feature"][2] - 120.0) < 1e-6
+    # corrupt RIFF still featurized via histogram fallback, not dropped
+    assert feats[2]["width"] is None and len(feats[2]["feature"]) == 8

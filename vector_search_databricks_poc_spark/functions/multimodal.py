@@ -16,13 +16,17 @@ format the Python stdlib can parse:
   + IDCT + YCbCr conversion, pure stdlib+numpy (``functions/jpeg.py``);
 - **SVF video** (simple frame container): real index parse with
   skip-decode frame sampling.
+- **AVI video** (``functions/avi.py``): real RIFF/idx1 container walk
+  for any codec (dimensions, fps, frame count, duration), and real
+  frame DECODE for uncompressed 24-bit DIB video — sampled frames are
+  header-spliced into standalone BMPs, never transcoded.
 
 - **MP3 audio / MP4 video metadata** (``functions/media_meta.py``):
   real MPEG frame-header walk and ISO BMFF box walk — duration, sample
   rate, bitrate, CBR/VBR, brand, track count — no codec needed.
 
-Only the *sample/frame decode* of MP3/MP4/AVI, which genuinely needs
-external codec libraries, remains stubbed behind
+Only the *sample decode* of MP3/MP4 and of compressed-codec AVI, which
+genuinely needs external codec libraries, remains stubbed behind
 ``NotImplementedError`` / the deterministic byte-histogram fake,
 clearly marked (``decode_media_stub``).
 """
@@ -102,13 +106,17 @@ def decode_image(payload: bytes):
 
 def decode_media_stub(payload: bytes):  # pragma: no cover - intentional stub
     """STUB for the one capability that genuinely needs external codecs:
-    decoding MP3/MP4/AVI *samples and frames*.  Their METADATA parses for
-    real (``functions.media_meta``: frame-header walk, ISO BMFF box walk),
+    decoding MP3/MP4 *samples* and compressed-codec AVI *frames*.  Their
+    METADATA parses for real (``functions.media_meta``: frame-header walk,
+    ISO BMFF box walk; ``functions.avi``: RIFF/idx1 walk), uncompressed
+    DIB AVI frames DECODE for real (``functions.avi.decode_avi_frame``),
     and images decode for real in every supported container — see
     ``decode_bmp`` / ``decode_png`` / ``functions.jpeg.decode_jpeg``."""
     raise NotImplementedError(
-        "MP3/MP4/AVI sample decode requires ffmpeg-class codecs — not "
-        "installed; metadata probing is real, see functions/media_meta.py"
+        "MP3/MP4 sample / compressed-AVI frame decode requires ffmpeg-class "
+        "codecs — not installed; metadata probing is real "
+        "(functions/media_meta.py, functions/avi.py) and uncompressed DIB "
+        "AVI decodes for real (functions/avi.py)"
     )
 
 
@@ -385,7 +393,16 @@ def svf_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
 def sample_frames(payload: bytes, every_n: int = 2, max_frames: int | None = None) -> list[bytes]:
     """Every-nth-frame sampling: parse the index, slice ONLY the selected
     frames' bytes (skipped frames are never decoded or copied) — the shape
-    a real keyframe sampler has over MP4 at scale."""
+    a real keyframe sampler has over MP4 at scale.
+
+    Dispatches by magic: RIFF/AVI containers go through the real idx1-index
+    sampler (functions/avi.py — uncompressed DIB frames come back as
+    standalone BMPs via a header splice, no transcode); anything else is
+    treated as the SVF frame container."""
+    if payload is not None and payload[:4] == b"RIFF":
+        from .avi import sample_avi_frames
+
+        return sample_avi_frames(payload, every_n, max_frames)
     offs = svf_frame_offsets(payload)[::every_n]
     if max_frames is not None:
         offs = offs[:max_frames]
@@ -460,6 +477,34 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
     if payload is not None and modality == "video":
         from .media_meta import mp4_metadata
 
+        if payload[:4] == b"RIFF":
+            from .avi import avi_metadata, sample_avi_frames
+
+            try:
+                m = avi_metadata(payload)
+                try:
+                    # uncompressed DIB: REAL pixel features from the first
+                    # frame (header-spliced to BMP, then the image path)
+                    first = sample_avi_frames(payload, every_n=1, max_frames=1)
+                    px = decode_bmp(first[0]).astype(np.float64)
+                    luma = (
+                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                    )
+                    feat = [
+                        float(px[..., 0].mean()),
+                        float(px[..., 1].mean()),
+                        float(px[..., 2].mean()),
+                        float(luma.std()),
+                    ]
+                    feat = [round(f, 6) for f in feat]
+                except (ValueError, struct.error, IndexError):
+                    # compressed codec (MJPG/...) — metadata still real
+                    feat = fake_feature(payload, dim)
+                return (
+                    n, m["width"], m["height"], None, m["duration_s"], feat,
+                )
+            except (ValueError, struct.error):
+                pass  # corrupt RIFF -> histogram fallback below
         try:
             m = mp4_metadata(payload)
             dur = m["duration_s"]
