@@ -32,6 +32,8 @@ EAGER_BY_CONTRACT = {
     "ann_recall_report",  # builds two indexes (CREATE INDEX analog)
     "hard_negative_mining",  # index build (CREATE INDEX analog)
     "streaming_index_sync",
+    "bloom_decontamination",  # Bloom bitmap build over the benchmark side
+    #   (CREATE INDEX analog, like the IVF KMeans fit)
     "change_log_replay",  # CDC round trip: index builds + log replay stream
     "streaming_tumbling",
     "streaming_dedup",

@@ -140,3 +140,72 @@ def test_canonicalize_udf_null_safe(spark):
     canon = canonicalize_text_udf()
     got = {r.i: r.c for r in df.select("i", canon(F.col("t")).alias("c")).collect()}
     assert got[1] is None and got[2] == "abc"
+
+
+def test_bloom_decontamination_equals_exact_path(spark):
+    """operators/bloom.py: the Bloom-guarded route must return EXACTLY the
+    broadcast-exact contaminated-id set on the real fixture (false
+    positives die in the verify semi-join; Bloom has no false negatives)."""
+    from tests.conftest import SF_DIR
+    from vector_search_databricks_poc_spark.operators.bloom import (
+        bloom_contaminated_ids,
+    )
+    from vector_search_databricks_poc_spark.operators.text import contaminated_ids
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.where("doc_id < 5").select("text")
+    exact = {r["doc_id"] for r in contaminated_ids(d, bench, n=13).collect()}
+    bloom = {r["doc_id"] for r in bloom_contaminated_ids(d, bench, n=13).collect()}
+    assert bloom == exact and len(exact) >= 5  # at least the bench docs
+
+
+def test_bloom_decontamination_exact_even_with_tiny_noisy_bloom(spark):
+    """Force heavy false-positive pressure (64-bit bloom, k=2) on planted
+    data: candidates balloon but the verification join keeps the answer
+    exact, and a clean doc is never flagged."""
+    from vector_search_databricks_poc_spark.operators.bloom import (
+        bloom_contaminated_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta extra tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    out = {
+        r["doc_id"]
+        for r in bloom_contaminated_ids(
+            corpus, bench, n=8, m_bits=64, k=2
+        ).collect()
+    }
+    assert out == {1, 3}
+
+
+def test_bloom_empty_benchmark_flags_nothing(spark):
+    from vector_search_databricks_poc_spark.operators.bloom import (
+        bloom_contaminated_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some training document with plenty of words inside it")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([], "text string")
+    assert bloom_contaminated_ids(corpus, bench, n=5).count() == 0
+
+
+def test_bloom_registry_query_matches_exact_query(spark):
+    """Registry-level value compare: bloom_decontamination's summary row
+    equals benchmark_decontamination's on the same fixture."""
+    from tests.conftest import SF_DIR
+    from vector_search_databricks_poc_spark.queries_registry import QUERIES
+
+    a = QUERIES["benchmark_decontamination"](spark, SF_DIR).collect()[0]
+    b = QUERIES["bloom_decontamination"](spark, SF_DIR).collect()[0]
+    assert a.asDict() == b.asDict()

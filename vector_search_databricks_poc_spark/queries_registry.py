@@ -1415,12 +1415,13 @@ QUERIES["multimodal_features"] = multimodal_features
 
 def media_metadata_probe(spark, sf_dir):
     """B13 header-only media probing: synthesize a mixed media corpus
-    (WAV / MP3 / MP4 / SVF rotating by id — all REAL containers, public
-    RIFF / MPEG-frame / ISO-BMFF layouts), probe metadata through the
-    mapInPandas decode path (functions/media_meta.py walks frame headers
-    and boxes; sample/mdat bytes are never read), and aggregate per
-    container.  The "filter 100 TB of media by duration/bitrate without
-    decoding a sample" shape.  Rows-only (byte synthesis isn't
+    (WAV / MP3 / MP4 / SVF / AVI rotating by id — all REAL containers,
+    public RIFF / MPEG-frame / ISO-BMFF layouts), probe metadata through
+    the mapInPandas decode path (functions/media_meta.py walks frame
+    headers and boxes, functions/avi.py walks RIFF lists + idx1; sample/
+    mdat bytes are never read, except the AVI first DIB frame which
+    decodes for REAL).  The "filter 100 TB of media by duration/bitrate
+    without decoding a sample" shape.  Rows-only (byte synthesis isn't
     SQL-expressible); deterministic — value-compared against a pure-Python
     recomputation in tests/test_streaming_multimodal.py."""
     import pandas as pd
@@ -1430,11 +1431,12 @@ def media_metadata_probe(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
 
     def synth(it):
+        from .functions.avi import encode_avi
         from .functions.media_meta import make_mp3, make_mp4
         from .functions.multimodal import synth_media_payload
 
         def payload(i: int) -> bytes:
-            c = i % 4
+            c = i % 5
             if c == 0:
                 return synth_media_payload(i, "audio")  # WAV
             if c == 1:
@@ -1452,14 +1454,23 @@ def media_metadata_probe(spark, sf_dir):
                     mvhd_version=i % 2,
                     large_mdat=i % 3 == 0,
                 )
-            return synth_media_payload(i, "video")  # SVF
+            if c == 3:
+                return synth_media_payload(i, "video")  # SVF
+            import numpy as np
+
+            rng = np.random.default_rng(i)
+            frames = [
+                rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+                for _ in range(2 + i % 4)
+            ]
+            return encode_avi(frames, fps=5.0)  # uncompressed DIB AVI
 
         for pdf in it:
             ids = [int(i) for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
-                    "modality": ["audio" if i % 4 < 2 else "video" for i in ids],
+                    "modality": ["audio" if i % 5 < 2 else "video" for i in ids],
                     "payload": [payload(i) for i in ids],
                 }
             )
@@ -1469,8 +1480,10 @@ def media_metadata_probe(spark, sf_dir):
     )
     feats = extract_media_features(media)
     container = F.element_at(
-        F.array(F.lit("wav"), F.lit("mp3"), F.lit("mp4"), F.lit("svf")),
-        (F.pmod(F.col("asset_id"), F.lit(4)) + 1).cast("int"),
+        F.array(
+            F.lit("wav"), F.lit("mp3"), F.lit("mp4"), F.lit("svf"), F.lit("avi")
+        ),
+        (F.pmod(F.col("asset_id"), F.lit(5)) + 1).cast("int"),
     )
     return (
         feats.withColumn("container", container)
@@ -2255,6 +2268,32 @@ def benchmark_decontamination(spark, sf_dir):
 
 
 QUERIES["benchmark_decontamination"] = benchmark_decontamination
+
+
+def bloom_decontamination(spark, sf_dir):
+    """Training-data hygiene at the next scale notch: the SAME
+    decontamination answer as `benchmark_decontamination`, via the
+    Bloom-guarded route (operators/bloom.py) — benchmark n-grams
+    aggregated into a broadcast bitmap (built distributedly, partial
+    bitmaps OR-merged), corpus n-grams filtered IN PLACE by a vectorized
+    pandas_udf probe, exact semi-join verification only for the
+    survivors.  The plan for when the eval set outgrows an exact
+    broadcast.  Rows-only (engine-local xxhash64); asserted EQUAL to the
+    exact path in tests/test_text_hygiene.py."""
+    from .operators.bloom import bloom_contaminated_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 5).select("text")
+    bad = bloom_contaminated_ids(d, bench, n=13)
+    return bad.agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum(F.when(F.col("doc_id") < 5, 1).otherwise(0)).alias("bench_self_hits"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+QUERIES["bloom_decontamination"] = bloom_decontamination
 
 
 @register(
