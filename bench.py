@@ -16,6 +16,15 @@ recorded all-time floor (BENCH_FLOORS.json).  A query >20% above its floor
 is listed in "drift_flags" — plan regression OR host noise, either way
 worth a look; a query that beats its floor ratchets the floor file down so
 the signal tightens over rounds.
+
+Host calibration (round 4): floors recorded on one incarnation of the VM
+are meaningless on a slower one — a reboot onto different hardware made
+ALL 20 queries read "+45% drift" with unchanged plans.  So the bench
+times a fixed calibration job (a small Spark range-hash aggregate: JVM +
+scheduler + CPU, the same overheads the sub-second queries measure) and
+stores its floor next to the query floors; the drift threshold scales by
+current_calibration / floor_calibration, making flags mean "this query
+drifted MORE THAN THE HOST did".  Raw floors still only ratchet downward.
 """
 
 from __future__ import annotations
@@ -71,6 +80,18 @@ def main() -> None:
     R.QUERIES["global_topn"](spark, SF_DIR).count()
     warmup = time.time() - t
 
+    # calibration: fixed CPU+JVM+scheduler workload, best-of-5 (first rep
+    # after the warmup query, so codegen/JIT noise lands in rep 1 and the
+    # min reflects steady state)
+    calib = None
+    for _ in range(5):
+        t = time.time()
+        # shiftright keeps the ANSI-mode sum inside a long (5M × <2^32)
+        spark.range(5_000_000).selectExpr(
+            "sum(shiftright(xxhash64(id), 32)) s"
+        ).collect()
+        calib = min(calib or 1e9, time.time() - t)
+
     floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FLOORS.json")
     # floors are only comparable within one (scale factor, core count)
@@ -87,6 +108,13 @@ def main() -> None:
         all_floors = {"sf0.1@cpus32": all_floors}
     floors: dict[str, float] = dict(all_floors.get(env_key, {}))
 
+    # host-speed factor: >1 = this incarnation of the VM is slower than
+    # the one the floors were recorded on; drift thresholds scale with it
+    calib_floor = floors.get("_calibration_sec")
+    speed = (calib / calib_floor) if calib_floor else 1.0
+    if calib_floor is None or calib < calib_floor:
+        floors["_calibration_sec"] = round(calib, 4)
+
     times: dict[str, float] = {}
     drift_flags: dict[str, str] = {}
     for name in HEADLINE:
@@ -100,10 +128,13 @@ def main() -> None:
         # queries where scheduler noise dominates the signal — and for any
         # query currently >20% above its floor, so a drift flag is only
         # raised after the extra reps failed to close the gap
+        # drift threshold scales with how much slower this host measured
+        # vs the floor-recording host (never tightens below the raw 1.2)
+        margin = 1.2 * max(speed, 1.0)
         while reps < 3 or (
             best is not None
             and reps < 5
-            and (best < 1.0 or (floor is not None and best > floor * 1.2))
+            and (best < 1.0 or (floor is not None and best > floor * margin))
         ):
             t = time.time()
             n = fn(spark, SF_DIR).count()
@@ -111,8 +142,12 @@ def main() -> None:
             best = el if best is None else min(best, el)
             reps += 1
         times[name] = round(best, 3)
-        if floor is not None and best > floor * 1.2:
-            drift_flags[name] = f"{times[name]}s vs floor {floor}s (+{(best / floor - 1) * 100:.0f}%)"
+        if floor is not None and best > floor * margin:
+            drift_flags[name] = (
+                f"{times[name]}s vs floor {floor}s "
+                f"(+{(best / floor - 1) * 100:.0f}%, host-adjusted "
+                f"threshold +{(margin - 1) * 100:.0f}%)"
+            )
         if floor is None or best < floor:
             floors[name] = times[name]
         print(f"# {name}: {times[name]}s ({n} rows, best of {reps})", file=sys.stderr)
@@ -142,6 +177,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
         "warmup_sec": round(warmup, 3),
+        "calibration_sec": round(calib, 4),
+        "host_speed_factor": round(speed, 3),
         "floors": {k: floors[k] for k in times},
         "drift_flags": drift_flags,
         "drift_note": drift_note,
