@@ -100,10 +100,10 @@ def test_funnel_matches_duckdb(spark):
     the fixture events."""
     from tests.conftest import SF_DIR
     from tests.oracle_utils import compare, duck_connection
-    from vector_search_databricks_poc_spark.operators.funnel import funnel_conversions
+    from vector_search_databricks_poc_spark import queries_registry as R
 
-    ev = load_table(spark, SF_DIR, "events")
-    out = funnel_conversions(ev, ["view", "click", "purchase"])
+    # registry-level: the declared rows-only query, not just the operator
+    out = R.QUERIES["funnel_conversions"](spark, SF_DIR)
     sql = """
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
@@ -137,10 +137,10 @@ def test_cohort_retention_matches_duckdb(spark):
     epoch-day period arithmetic."""
     from tests.conftest import SF_DIR
     from tests.oracle_utils import compare, duck_connection
-    from vector_search_databricks_poc_spark.operators.funnel import cohort_retention
+    from vector_search_databricks_poc_spark import queries_registry as R
 
-    ev = load_table(spark, SF_DIR, "events")
-    out = cohort_retention(ev, period_days=7)
+    # registry-level: the declared rows-only query, not just the operator
+    out = R.QUERIES["cohort_retention"](spark, SF_DIR)
     sql = """
     WITH ap AS (
       SELECT DISTINCT user_id,
@@ -280,10 +280,11 @@ def test_join_size_preflight_matches_duckdb_and_reality(spark):
     and the actually-executed join's row count."""
     from tests.conftest import SF_DIR
     from tests.oracle_utils import compare, duck_connection
-    from vector_search_databricks_poc_spark.operators.joins import join_size_stats
+    from vector_search_databricks_poc_spark import queries_registry as R
 
+    # registry-level: the declared rows-only query, not just the operator
     li = load_table(spark, SF_DIR, "lineitem")
-    out = join_size_stats(li, li, "l_orderkey")
+    out = R.QUERIES["join_size_preflight"](spark, SF_DIR)
     sql = """
     WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
     SELECT SUM(n * n) AS join_rows,
