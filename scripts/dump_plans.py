@@ -31,6 +31,7 @@ NAMES = [
     "chunked_doc_search",
     "join_size_preflight",
     "media_metadata_probe",
+    "bloom_decontamination",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -157,3 +157,22 @@ def test_media_probe_pruned_scan_chained_mapinpandas(spark, sf_dir):
     # the operator chain)
     between = re.search(r"MapInPandas.*MapInPandas", plan, re.S)
     assert between and "Exchange" not in between.group(0), plan
+
+
+def test_bloom_decontamination_probe_filters_in_place(spark, sf_dir):
+    """bloom_decontamination (operators/bloom.py): the corpus side must be
+    FILTERED IN PLACE by the broadcast-bitmap probe — an ArrowEvalPython
+    (vectorized pandas_udf) over the exploded n-gram stream feeding the
+    verify semi-join, with the documents scan pruned to (doc_id, text) and
+    no shuffle before the probe (candidates alone reach the join)."""
+    df = QUERIES["bloom_decontamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan          # vectorized probe, not a row UDF
+    assert "BatchEvalPython" not in plan, plan      # never row-at-a-time
+    assert plan.count("LeftSemi") >= 1, plan        # exact verification join
+    # every documents scan reads only the two needed columns
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = sorted(p.split(":")[0] for p in m.group(1).split(",") if p)
+        assert cols == ["doc_id", "text"], plan

@@ -495,11 +495,12 @@ def test_ivf_pq_batch_search_overlap_vs_duckdb_exact(spark):
     fixture queries (measured 3.25; exact-top-5 precision is restored by
     the rerank stage, compared separately in quantized_search)."""
     hits = R.QUERIES["ivf_pq_batch_search"](spark, SF_DIR).collect()
-    got, first = {}, {}
+    got, top = {}, {}
     for h in hits:
         got.setdefault(h.query_id, set()).add(h.vec_id)
-        first.setdefault(h.query_id, h.vec_id)
-    assert all(first[q] == q for q in first), first  # own vector tops
+        if h.rank == 1:  # the returned rank column, not collect() order
+            top[h.query_id] = h.vec_id
+    assert all(top[q] == q for q in got), top  # own vector ranks first
     con = duck_connection(SF_DIR)
     exact_rows = con.sql(
         """
@@ -569,18 +570,28 @@ def test_pipeline_embed_search_matches_expression_recompute(spark):
 
 
 def test_ann_recall_report_invariants(spark):
-    """Registry-level: the recall audit's exact method must report recall
-    1.0, and IVF recall must be non-decreasing in nprobe with PQ+rerank
-    at least as good as PQ at equal nprobe."""
+    """Registry-level: the audit emits methods ivf / ivf_pq /
+    ivf_pq_rerank over nprobe (1, 2, 4, 8) with k_centroids=8 — so IVF at
+    nprobe=8 probes EVERY partition and must report recall exactly 1.0
+    (it degenerates to brute force); every method must be non-decreasing
+    in nprobe; and the rerank stage may never hurt PQ recall."""
     rows = R.QUERIES["ann_recall_report"](spark, SF_DIR).collect()
     by = {(r["method"], r["nprobe"]): r["recall"] for r in rows}
-    assert all(v == 1.0 for (m, _), v in by.items() if m == "exact"), by
-    for method in ("ivf", "pq", "pq_rerank"):
-        seq = [v for (m, np_), v in sorted(by.items(), key=lambda kv: kv[0][1]) if m == method]
-        assert seq == sorted(seq), (method, seq)
-    for np_ in {n for (m, n) in by if m == "pq"}:
-        if ("pq_rerank", np_) in by:
-            assert by[("pq_rerank", np_)] >= by[("pq", np_)] - 1e-9, by
+    methods = {m for m, _ in by}
+    assert methods == {"ivf", "ivf_pq", "ivf_pq_rerank"}, methods
+    assert by[("ivf", 8)] == 1.0, by  # full probe == exact
+    # plain IVF scores exactly, so more probed partitions can only help;
+    # ADC-ranked methods are NOT strictly monotone (an extra partition's
+    # quantization-noisy scores can displace true neighbors), so they get
+    # a small noise bound plus a net-improvement check across the grid
+    ivf_seq = [by[("ivf", np_)] for np_ in (1, 2, 4, 8)]
+    assert ivf_seq == sorted(ivf_seq), ivf_seq
+    for method in ("ivf_pq", "ivf_pq_rerank"):
+        seq = [by[(method, np_)] for np_ in (1, 2, 4, 8)]
+        assert all(b >= a - 0.05 for a, b in zip(seq, seq[1:])), (method, seq)
+        assert seq[-1] >= seq[0] - 1e-9, (method, seq)
+    for np_ in (1, 2, 4, 8):
+        assert by[("ivf_pq_rerank", np_)] >= by[("ivf_pq", np_)] - 1e-9, by
 
 
 def test_incremental_near_dup_equals_one_shot_on_fixture(spark):
@@ -622,12 +633,44 @@ def test_ingest_timestamp_counts_match_duckdb(spark):
 
 
 def test_chunked_doc_search_ranking_contract(spark):
-    """chunked_doc_search: 5 distinct docs, scores non-increasing, and the
-    reported best-chunk score equals an independent recompute of that
-    document's maximum chunk score through the same public chunker."""
+    """chunked_doc_search: 5 distinct docs, scores non-increasing, AND the
+    MaxSim rollup verified — an independent chunk->embed->cosine->groupBy
+    MAX recompute (plain aggregation, no window/provenance machinery)
+    must produce the same top-5 (doc_id, score) list."""
+    from vector_search_databricks_poc_spark.functions.embedding import embed_text
+    from vector_search_databricks_poc_spark.operators.text import chunk_documents
+
     rows = R.QUERIES["chunked_doc_search"](spark, SF_DIR).collect()
     assert len(rows) == 5
     ids = [r["doc_id"] for r in rows]
     assert len(set(ids)) == 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    emb = embed_text(chunks, text_col="chunk_text", dim=64)
+    qdf = spark.createDataFrame([("vector search embedding index",)], ["text"])
+    qv = embed_text(qdf, dim=64).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    l2 = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    recomputed = [
+        (r["doc_id"], round(r["best"], 6))
+        for r in emb.crossJoin(F.broadcast(qv))
+        .select("doc_id", (dot / (l2(e) * l2(F.col("qv")))).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max("s").alias("best"))
+        .orderBy(F.col("best").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    ]
+    assert [(i, round(s, 6)) for i, s in zip(ids, scores)] == recomputed

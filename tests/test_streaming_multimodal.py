@@ -983,3 +983,80 @@ def test_avi_through_transform_media_and_features(spark):
     assert abs(f1["feature"][2] - 120.0) < 1e-6
     # corrupt RIFF still featurized via histogram fallback, not dropped
     assert feats[2]["width"] is None and len(feats[2]["feature"]) == 8
+
+
+def test_avi_top_down_frames_decode_unflipped():
+    """BI_RGB permits negative biHeight = top-down row order; the decoder
+    and the BMP splice must un-flip it, not mirror the image."""
+    import struct
+
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_metadata,
+        encode_avi,
+        sample_avi_frames,
+    )
+    from vector_search_databricks_poc_spark.functions.multimodal import decode_bmp
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (5, 4, 3), dtype=np.uint8) for _ in range(2)]
+    payload = bytearray(encode_avi(frames, fps=5.0))
+    # declare top-down in strf: negative biHeight.  The encoder wrote rows
+    # bottom-up, so a correct top-down decode yields the VERTICAL MIRROR.
+    strf_body = bytes(payload).index(b"strf") + 8
+    payload[strf_body + 8 : strf_body + 12] = struct.pack("<i", -5)
+    payload = bytes(payload)
+
+    m = avi_metadata(payload)
+    assert m["top_down"] is True and m["height"] == 5
+    got = decode_bmp(sample_avi_frames(payload, every_n=1, max_frames=1)[0])
+    assert np.array_equal(got, frames[0][::-1])
+
+
+def test_avi_audio_stream_strf_does_not_clobber_video_metadata():
+    """A second (audio) strl whose strf is >= 40 bytes must not overwrite
+    the video stream's width/height/compression (review finding: audio
+    WAVEFORMATEXTENSIBLE is exactly 40 bytes and parsed fine as a bogus
+    BITMAPINFOHEADER)."""
+    import struct
+
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_metadata,
+        encode_avi,
+        sample_avi_frames,
+    )
+    from vector_search_databricks_poc_spark.functions.multimodal import decode_bmp
+
+    frames = [np.full((4, 6, 3), 90, dtype=np.uint8)]
+    payload = encode_avi(frames, fps=5.0)
+
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    audio_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 8000, 0, 0, 1,
+        0, 0, 0, 0,
+    )
+    audio_strf = b"\xff" * 40  # opaque WAVEFORMATEXTENSIBLE-sized blob
+    audio_strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", audio_strh) + chunk(b"strf", audio_strf)
+    )
+    # splice the audio strl into hdrl (after the video strl), fixing the
+    # hdrl LIST and RIFF sizes
+    hdrl_pos = payload.index(b"hdrl") - 8
+    hdrl_len = struct.unpack_from("<I", payload, hdrl_pos + 4)[0]
+    insert_at = hdrl_pos + 8 + hdrl_len
+    patched = bytearray(payload[:insert_at] + audio_strl + payload[insert_at:])
+    struct.pack_into("<I", patched, hdrl_pos + 4, hdrl_len + len(audio_strl))
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    patched = bytes(patched)
+
+    m = avi_metadata(patched)
+    assert (m["width"], m["height"]) == (6, 4)
+    assert m["compression"] == 0 and m["bit_count"] == 24 and m["codec"] == "DIB"
+    got = decode_bmp(sample_avi_frames(patched, every_n=1)[0])
+    assert np.array_equal(got, frames[0])

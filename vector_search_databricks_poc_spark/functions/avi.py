@@ -67,15 +67,19 @@ def avi_metadata(payload: bytes) -> dict:
     meta = {
         "width": None, "height": None, "n_frames": None, "fps": None,
         "duration_s": None, "codec": None, "bit_count": None,
-        "compression": None,
+        "compression": None, "top_down": False,
     }
     usec_per_frame = None
 
     def parse_strl(s: int, e: int) -> None:
+        # one strl = one stream; only the VIDEO stream's strf may set the
+        # bitmap fields (an audio strf is >= 40 bytes too — parsing it as
+        # BITMAPINFOHEADER would clobber width/height/compression)
+        is_vids = False
         for cc, b, ln in _walk_chunks(payload, s, e):
             if cc == b"strh" and ln >= 40:
-                fcc_type = payload[b : b + 4]
-                if fcc_type != b"vids":
+                is_vids = payload[b : b + 4] == b"vids"
+                if not is_vids:
                     continue
                 meta["codec"] = payload[b + 4 : b + 8].decode("latin-1").strip()
                 scale, rate = struct.unpack_from("<II", payload, b + 20)
@@ -84,9 +88,11 @@ def avi_metadata(payload: bytes) -> dict:
                     meta["fps"] = round(rate / scale, 6)
                 if meta["n_frames"] is None:
                     meta["n_frames"] = length
-            elif cc == b"strf" and ln >= 40:
+            elif cc == b"strf" and ln >= 40 and is_vids:
                 _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, b)
                 meta["width"], meta["height"] = w, abs(h)
+                # BI_RGB permits negative biHeight = top-down row order
+                meta["top_down"] = h < 0
                 meta["bit_count"], meta["compression"] = bpp, comp
 
     def parse_hdrl(s: int, e: int) -> None:
@@ -166,13 +172,23 @@ def avi_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
     return offs
 
 
-def frame_to_bmp(frame: bytes, width: int, height: int) -> bytes:
+def frame_to_bmp(
+    frame: bytes, width: int, height: int, top_down: bool = False
+) -> bytes:
     """Wrap one uncompressed DIB frame as a standalone 24-bit BMP by
-    prepending the 54-byte header — pixel bytes are NOT touched (an AVI
-    ``00db`` body already has BMP's exact row layout)."""
+    prepending the 54-byte header — for the usual bottom-up layout the
+    pixel bytes are NOT touched (an AVI ``00db`` body already has BMP's
+    exact row layout); a top-down frame (negative biHeight) gets its row
+    ORDER reversed at the byte level (row slices, still no pixel
+    decode)."""
     stride = (width * 3 + 3) // 4 * 4
     if len(frame) < stride * height:
         raise ValueError("DIB frame shorter than width*height demands")
+    if top_down:
+        frame = b"".join(
+            frame[y * stride : (y + 1) * stride]
+            for y in range(height - 1, -1, -1)
+        )
     off = _AVI_HEADER_BYTES
     header = struct.pack("<2sIHHI", b"BM", off + len(frame), 0, 0, off)
     info = struct.pack(
@@ -181,16 +197,21 @@ def frame_to_bmp(frame: bytes, width: int, height: int) -> bytes:
     return header + info + frame
 
 
-def decode_avi_frame(frame: bytes, width: int, height: int):
-    """Decode one uncompressed DIB frame (bottom-up, BGR, padded rows)
-    into an (h, w, 3) uint8 RGB array."""
+def decode_avi_frame(
+    frame: bytes, width: int, height: int, top_down: bool = False
+):
+    """Decode one uncompressed DIB frame (BGR, padded rows; bottom-up
+    unless ``top_down``) into an (h, w, 3) uint8 RGB array."""
     import numpy as np
 
     stride = (width * 3 + 3) // 4 * 4
     if len(frame) < stride * height:
         raise ValueError("DIB frame shorter than width*height demands")
     rows = np.frombuffer(frame, dtype=np.uint8, count=stride * height)
-    rows = rows.reshape(height, stride)[::-1, : width * 3]
+    rows = rows.reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    rows = rows[:, : width * 3]
     return rows.reshape(height, width, 3)[:, :, ::-1].copy()
 
 
@@ -216,7 +237,10 @@ def sample_avi_frames(
     if max_frames is not None:
         offs = offs[:max_frames]
     return [
-        frame_to_bmp(payload[o : o + ln], meta["width"], meta["height"])
+        frame_to_bmp(
+            payload[o : o + ln], meta["width"], meta["height"],
+            top_down=meta["top_down"],
+        )
         for o, ln in offs
     ]
 

@@ -409,6 +409,19 @@ def sample_frames(payload: bytes, every_n: int = 2, max_frames: int | None = Non
     return [payload[o : o + ln] for o, ln in offs]
 
 
+def _pixel_features(px) -> list[float]:
+    """The image feature vector: [meanR, meanG, meanB, luma_std] over an
+    (h, w, 3) float array — ONE definition shared by every decoded-pixel
+    path (BMP/PNG/JPEG images and DIB AVI first frames)."""
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return [
+        round(float(px[..., 0].mean()), 6),
+        round(float(px[..., 1].mean()), 6),
+        round(float(px[..., 2].mean()), 6),
+        round(float(luma.std()), 6),
+    ]
+
+
 def media_features(payload: bytes | None, modality: str, dim: int = 8):
     """Decode-and-featurize one asset.  Returns (n_bytes, width, height,
     sample_rate, duration_s, feature list[float]).
@@ -435,14 +448,7 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
             px = decode_image(payload).astype(np.float64)
             if px.ndim == 2:  # grayscale JPEG -> replicate channels
                 px = np.stack([px, px, px], axis=-1)
-            luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-            feat = [
-                float(px[..., 0].mean()),
-                float(px[..., 1].mean()),
-                float(px[..., 2].mean()),
-                float(luma.std()),
-            ]
-            return n, int(px.shape[1]), int(px.shape[0]), None, None, [round(f, 6) for f in feat]
+            return n, int(px.shape[1]), int(px.shape[0]), None, None, _pixel_features(px)
         except (ValueError, struct.error, zlib.error):
             pass  # truncated / non-BMP/PNG image bytes -> histogram fallback
     if payload is not None and modality == "audio":
@@ -486,17 +492,7 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
                     # uncompressed DIB: REAL pixel features from the first
                     # frame (header-spliced to BMP, then the image path)
                     first = sample_avi_frames(payload, every_n=1, max_frames=1)
-                    px = decode_bmp(first[0]).astype(np.float64)
-                    luma = (
-                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                    )
-                    feat = [
-                        float(px[..., 0].mean()),
-                        float(px[..., 1].mean()),
-                        float(px[..., 2].mean()),
-                        float(luma.std()),
-                    ]
-                    feat = [round(f, 6) for f in feat]
+                    feat = _pixel_features(decode_bmp(first[0]).astype(np.float64))
                 except (ValueError, struct.error, IndexError):
                     # compressed codec (MJPG/...) — metadata still real
                     feat = fake_feature(payload, dim)

@@ -36,20 +36,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_hashes(frame: DataFrame, text_col: str, n: int, extra: list[str]):
-    """Explode lowercased word n-grams to xxhash64 longs (shared shape
-    with operators/text.py::contaminated_ids — longs, not strings)."""
-    from .dedup import shingles
-
-    lowered = F.lower(F.col(text_col))
-    return frame.select(
-        *[F.col(c) for c in extra],
-        F.explode(
-            F.transform(shingles(lowered, n), lambda s: F.xxhash64(s))
-        ).alias("_g"),
-    )
-
-
 def _probe_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     """(len(h), k) bit positions via double hashing — h1 + i*h2 mod m,
     all uint64 numpy, no Python loop over rows."""
@@ -118,12 +104,19 @@ def bloom_contaminated_ids(
     differs: corpus n-grams are filtered in place by the broadcast
     bitmap, and the (rare) survivors are exact-verified by the semi-join
     the naive plan would have run over everything."""
+    from .text import gram_hashes  # ONE hash definition with the exact route
+
     spark = df.sparkSession
-    bench = _gram_hashes(benchmark, bench_text_col, n, []).distinct()
+    # checkpoint: the distinct-ed benchmark grams feed BOTH the bitmap
+    # build (an action) and the verify semi-join — without the cut the
+    # most expensive benchmark-side job would run twice
+    bench = gram_hashes(benchmark, bench_text_col, n).distinct().localCheckpoint(
+        eager=False
+    )
     bitmap = build_hash_bloom(bench, m_bits=m_bits, k=k)  # eager: index build
     probe = bloom_might_contain(bitmap, spark, m_bits, k)
 
-    corpus = _gram_hashes(df, text_col, n, [id_col])
+    corpus = gram_hashes(df, text_col, n, extra_cols=(id_col,))
     candidates = corpus.where(probe(F.col("_g")))
     # exact verification of survivors only: false positives die here, and
     # Bloom filters have no false negatives -> result is exact

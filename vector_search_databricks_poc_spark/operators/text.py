@@ -373,6 +373,25 @@ def remove_boilerplate_lines(
     )
 
 
+def gram_hashes(
+    frame: DataFrame, text_col: str, n: int, extra_cols: tuple = ()
+) -> DataFrame:
+    """Explode lowercased word n-grams to xxhash64 longs (column ``_g``,
+    plus any ``extra_cols`` carried through) — THE canonical n-gram key
+    for decontamination.  The exact route here and the Bloom-guarded
+    route (operators/bloom.py) must hash identically or the bloom path's
+    exactness guarantee silently breaks; both import this one helper."""
+    from .dedup import shingles
+
+    lowered = F.lower(F.col(text_col))
+    return frame.select(
+        *[F.col(c) for c in extra_cols],
+        F.explode(
+            F.transform(shingles(lowered, n), lambda s: F.xxhash64(s))
+        ).alias("_g"),
+    )
+
+
 def contaminated_ids(
     df: DataFrame,
     benchmark: DataFrame,
@@ -391,19 +410,8 @@ def contaminated_ids(
     left-semi equi-join keeps matching corpus rows.  One scan per side,
     no shuffle of the corpus (broadcast join), distinct only over ids.
     """
-    from .dedup import shingles
-
-    def gram_hashes(frame, col):
-        lowered = F.lower(F.col(col))
-        return frame.select(
-            *([F.col(id_col)] if frame is df else []),
-            F.explode(
-                F.transform(shingles(lowered, n), lambda s: F.xxhash64(s))
-            ).alias("_g"),
-        )
-
-    bench = gram_hashes(benchmark, bench_text_col).distinct()
-    corpus = gram_hashes(df, text_col)
+    bench = gram_hashes(benchmark, bench_text_col, n).distinct()
+    corpus = gram_hashes(df, text_col, n, extra_cols=(id_col,))
     return (
         corpus.join(F.broadcast(bench), "_g", "left_semi")
         .select(id_col)
