@@ -6,9 +6,14 @@ BOTH as a DataFrame-API plan (the way every registry query is built) and as
 the equivalent ANSI SQL, then executed on Spark and DuckDB over the same
 parquet fixture and compared cell-by-cell with numeric tolerance.  A
 divergence here means a semantics bug in how we express group-bys, HAVING,
-conditional aggregation, window frames, or order/limit — the exact failure
-class a fixed query set can miss (hypothesis-randomized *join* semantics
-live in tests/test_properties.py; this file covers the agg/window axis).
+conditional aggregation, ROLLUP/CUBE, window frames, order/limit, joins
+(inner/left/semi/anti vs ANSI JOIN/EXISTS), set operations, or scalar
+expressions — the exact failure class a fixed query set can miss
+(hypothesis-randomized as-of/interval join semantics vs Python references
+live in tests/test_properties.py).  The set-op axis already earned its
+keep: it caught `exceptAll().distinct()` being used where SQL EXCEPT
+means `subtract()` — visible only because the fixture contains duplicate
+rows.
 
 Specs are generated from fixed seeds so failures reproduce; constants come
 from the fixture's real value domains (TESTDATA.md) so predicates hit
@@ -372,6 +377,162 @@ def test_random_filter_topn_match_duckdb(spark, seed):
     try:
         assert_equivalent(
             df, con, sql, meta["key"], f"topn seed={seed} {table}"
+        )
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------
+# join axis: DataFrame-API joins (inner/left/semi/anti, with pushable
+# side filters) vs ANSI joins / EXISTS in DuckDB
+# --------------------------------------------------------------------------
+
+JOIN_PAIRS = [
+    # (left, right, left_key, right_key, left_cols, right_cols)
+    ("orders", "customer", "o_custkey", "c_custkey",
+     ["o_orderkey", "o_custkey", "o_orderstatus"], ["c_name", "c_nationkey"]),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey",
+     ["l_orderkey", "l_linenumber", "l_quantity"], ["o_orderstatus", "o_orderpriority"]),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_joins_match_duckdb(spark, seed):
+    rng = random.Random(5000 + seed)
+    lt, rt, lk, rk, lcols, rcols = rng.choice(JOIN_PAIRS)
+    how = rng.choice(["inner", "left", "left_semi", "left_anti"])
+    lpred = rng.choice([None, *TABLES[lt]["preds"]])
+    rpred = rng.choice([None, *TABLES[rt]["preds"]]) if rt in TABLES else None
+
+    ldf = _load(spark, lt)
+    rdf = _load(spark, rt)
+    if lpred:
+        ldf = ldf.where(lpred[1]())
+    if rpred:
+        rdf = rdf.where(rpred[1]())
+    joined = ldf.join(rdf, ldf[lk] == rdf[rk], how)
+    proj = lcols if how in ("left_semi", "left_anti") else [*lcols, *rcols]
+    out = joined.select(*proj)
+
+    lw = f" WHERE {lpred[0]}" if lpred else ""
+    rw = f" WHERE {rpred[0]}" if rpred else ""
+    lsub = f"(SELECT * FROM {lt}{lw}) l"
+    rsub = f"(SELECT * FROM {rt}{rw}) r"
+    cols = ", ".join(proj)
+    if how == "inner":
+        sql = f"SELECT {cols} FROM {lsub} JOIN {rsub} ON l.{lk} = r.{rk}"
+    elif how == "left":
+        sql = f"SELECT {cols} FROM {lsub} LEFT JOIN {rsub} ON l.{lk} = r.{rk}"
+    elif how == "left_semi":
+        sql = (
+            f"SELECT {cols} FROM {lsub} WHERE EXISTS "
+            f"(SELECT 1 FROM {rsub} WHERE r.{rk} = l.{lk})"
+        )
+    else:
+        sql = (
+            f"SELECT {cols} FROM {lsub} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {rsub} WHERE r.{rk} = l.{lk})"
+        )
+
+    con = duck_connection(SF_DIR)
+    try:
+        # no unique key in the projection: align by full-row multiset
+        assert_equivalent(out, con, sql, [], f"join seed={seed} {lt} {how}")
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------
+# set-operation axis: union all / intersect / except over two filtered
+# projections of one table
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_set_ops_match_duckdb(spark, seed):
+    rng = random.Random(6000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    proj = [*meta["key"], meta["group"][0]]
+    p1, c1 = rng.choice(meta["preds"])
+    p2, c2 = rng.choice(meta["preds"])
+    op = rng.choice(["union_all", "intersect", "except"])
+
+    a = _load(spark, table).where(c1()).select(*proj)
+    b = _load(spark, table).where(c2()).select(*proj)
+    if op == "union_all":
+        out = a.unionAll(b)
+        kw = "UNION ALL"
+    elif op == "intersect":
+        out = a.intersect(b)  # set semantics: distinct, like SQL INTERSECT
+        kw = "INTERSECT"
+    else:
+        # SQL EXCEPT = distinct rows of A not present in B at all — that is
+        # subtract(), NOT exceptAll().distinct() (a row with 3 copies in A
+        # and 1 in B survives the latter but must not appear: the fixture's
+        # duplicate rows caught exactly this divergence)
+        out = a.subtract(b)
+        kw = "EXCEPT"
+
+    cols = ", ".join(proj)
+    sql = (
+        f"SELECT {cols} FROM {table} WHERE {p1} {kw} "
+        f"SELECT {cols} FROM {table} WHERE {p2}"
+    )
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(out, con, sql, [], f"setop seed={seed} {table} {op}")
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------
+# scalar-expression axis (SQLancer-style engine parity): random expression
+# trees from a portable pool, built with F.expr on the DataFrame side and
+# the identical text on DuckDB's side
+# --------------------------------------------------------------------------
+
+SCALAR_EXPRS = [
+    "abs(o_totalprice - 150000.0)",
+    "least(o_orderkey % 97, 50)",
+    "greatest(length(o_orderpriority), 8)",
+    "length(o_orderstatus || o_orderpriority)",
+    "upper(substr(o_orderpriority, 1, 3))",
+    "coalesce(nullif(o_orderstatus, 'O'), 'opened')",
+    "case when o_totalprice > 200000 then 'hi' when o_totalprice > 100000 "
+    "then 'mid' else 'lo' end",
+    "round(o_totalprice / 7.0, 2)",
+    "extract(year from o_orderdate)",
+    "lower(o_orderstatus) || '-' || cast(o_orderkey % 10 as string)",
+]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_scalar_exprs_match_duckdb(spark, seed):
+    rng = random.Random(7000 + seed)
+    picked = rng.sample(SCALAR_EXPRS, 3)
+    pred = rng.choice([None, *TABLES["orders"]["preds"]])
+
+    df = _load(spark, "orders")
+    if pred:
+        df = df.where(pred[1]())
+    out = df.select(
+        "o_orderkey",
+        *[F.expr(e).alias(f"e{i}") for i, e in enumerate(picked)],
+    )
+
+    # DuckDB spells string casts VARCHAR; everything else is shared text
+    sel = ", ".join(
+        f"{e.replace('as string', 'as varchar')} AS e{i}"
+        for i, e in enumerate(picked)
+    )
+    sql = f"SELECT o_orderkey, {sel} FROM orders"
+    if pred:
+        sql += f" WHERE {pred[0]}"
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(
+            out, con, sql, ["o_orderkey"], f"scalar seed={seed}"
         )
     finally:
         con.close()
