@@ -663,14 +663,18 @@ def test_chunked_doc_search_ranking_contract(spark):
     l2 = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # round INSIDE Spark before ordering, exactly like the pipeline does
+    # (F.round is HALF_UP; Python round() is half-even — and ordering by
+    # the unrounded double would tie-break differently than the pipeline's
+    # rounded-score-then-doc_id order)
     recomputed = [
-        (r["doc_id"], round(r["best"], 6))
+        (r["doc_id"], r["best"])
         for r in emb.crossJoin(F.broadcast(qv))
         .select("doc_id", (dot / (l2(e) * l2(F.col("qv")))).alias("s"))
         .groupBy("doc_id")
-        .agg(F.max("s").alias("best"))
+        .agg(F.round(F.max("s"), 6).alias("best"))
         .orderBy(F.col("best").desc(), "doc_id")
         .limit(5)
         .collect()
     ]
-    assert [(i, round(s, 6)) for i, s in zip(ids, scores)] == recomputed
+    assert list(zip(ids, scores)) == recomputed
