@@ -536,3 +536,43 @@ def test_random_scalar_exprs_match_duckdb(spark, seed):
         )
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# SQL-frontend axis: the SAME generated SQL text through spark.sql() and
+# DuckDB — parser/analyzer parity on top of the DataFrame-API axes above
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_sql_text_matches_duckdb(spark, seed):
+    """Re-render an aggregate spec as ONE SQL string and run that exact
+    text on both engines (tables exposed as temp views).  The DataFrame
+    axes pin the API translation; this pins the SQL frontend itself."""
+    rng = random.Random(8000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    keys = rng.sample(meta["group"], rng.randint(1, min(2, len(meta["group"]))))
+    pool = _agg_pool(meta, rng)
+    picked, seen = [], set()
+    for a in rng.sample(pool, 3):
+        if a[0] not in seen:
+            seen.add(a[0])
+            picked.append(a)
+    psql, _ = rng.choice(meta["preds"])
+
+    sel = ", ".join([*[str(k) for k in keys], *[frag for _, _, frag in picked]])
+    sql = (
+        f"SELECT {sel} FROM {table} WHERE {psql} "
+        f"GROUP BY {', '.join(str(k) for k in keys)}"
+    )
+
+    _load(spark, table).createOrReplaceTempView(table)
+    out = spark.sql(sql)
+    con = duck_connection(SF_DIR)
+    try:
+        assert_equivalent(
+            out, con, sql, [str(k) for k in keys], f"sqltext seed={seed} {table}"
+        )
+    finally:
+        con.close()
