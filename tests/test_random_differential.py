@@ -576,3 +576,36 @@ def test_random_sql_text_matches_duckdb(spark, seed):
         )
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# scale smoke: the same spec machinery at sf0.01 (10x rows) — translation
+# rules that only hold at one scale (e.g. an alignment that survives
+# because no duplicate rows happened to exist) get caught here
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_specs_hold_at_sf001(spark, seed):
+    from tests.conftest import SF_DIR_MID
+
+    rng = random.Random(9000 + seed)
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    keys = rng.sample(meta["group"], 1)
+    pool = _agg_pool(meta, rng)
+    picked = pool[: 3]
+    psql, pcol = rng.choice(meta["preds"])
+
+    df = spark.read.parquet(f"{SF_DIR_MID}/{table}.parquet").where(pcol())
+    out = df.groupBy(*keys).agg(*[c for _, c, _ in picked])
+    sel = ", ".join([*keys, *[frag for _, _, frag in picked]])
+    sql = (
+        f"SELECT {sel} FROM {table} WHERE {psql} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+    con = duck_connection(SF_DIR_MID)
+    try:
+        assert_equivalent(out, con, sql, keys, f"sf001 seed={seed} {table}")
+    finally:
+        con.close()
