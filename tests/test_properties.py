@@ -389,3 +389,39 @@ def test_interval_join_matches_python_reference(spark, left, right, how):
         elif how == "left":
             exp.append((k, lts, a, None))
     assert got == sorted(exp)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),   # height (odd widths pad rows)
+    st.integers(min_value=1, max_value=9),   # width
+    st.integers(min_value=1, max_value=5),   # frames
+    st.sampled_from([1.0, 5.0, 24.0]),       # fps
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_avi_construct_parse_roundtrip(h, w, n, fps, seed):
+    """Property: encode_avi -> avi_metadata/decode roundtrips exactly for
+    ANY frame geometry (row padding included), frame count, and fps —
+    construct-then-parse like the MP3/MP4 properties above."""
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_frame_offsets,
+        avi_metadata,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    payload = encode_avi(frames, fps=fps)
+    m = avi_metadata(payload)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+    assert m["fps"] == pytest.approx(fps, rel=1e-3)
+    assert m["duration_s"] == pytest.approx(n / fps, rel=1e-3)
+    offs = avi_frame_offsets(payload)
+    assert len(offs) == n
+    for i, (o, ln) in enumerate(offs):
+        assert np.array_equal(
+            decode_avi_frame(payload[o : o + ln], w, h), frames[i]
+        )
