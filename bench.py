@@ -165,7 +165,8 @@ def main() -> None:
     drift_note = None
     if len(drift_flags) >= max(3, len(times) // 3):
         drift_note = (
-            f"{len(drift_flags)}/{len(times)} queries >20% above floor "
+            f"{len(drift_flags)}/{len(times)} queries above the "
+            f"host-adjusted drift threshold (+{(1.2 * max(speed, 1.0) - 1) * 100:.0f}%) "
             "simultaneously - global host slowdown, not per-query regressions"
         )
 

@@ -324,9 +324,11 @@ def test_random_window_functions_match_duckdb(spark, seed):
         *meta["key"], fcol(n).over(w).alias("wval")
     )
 
+    # Spark's asc() is NULLS FIRST; DuckDB defaults to NULLS LAST — pin it
+    # explicitly so a future fixture with NULLs can't diverge silently
     over = (
         f"PARTITION BY {part} ORDER BY "
-        + ", ".join(f"{c} ASC" for c in order_cols)
+        + ", ".join(f"{c} ASC NULLS FIRST" for c in order_cols)
         + frame_sql
     )
     sql = (
@@ -367,7 +369,11 @@ def test_random_filter_topn_match_duckdb(spark, seed):
         .limit(limit)
     )
 
-    order = f"{n} DESC, " + ", ".join(f"{c} ASC" for c in ties)
+    # pin NULL ordering to Spark's semantics (desc = NULLS LAST, asc =
+    # NULLS FIRST); DuckDB's defaults are the opposite for ASC
+    order = f"{n} DESC NULLS LAST, " + ", ".join(
+        f"{c} ASC NULLS FIRST" for c in ties
+    )
     sql = f"SELECT {', '.join(proj)} FROM {table}"
     if use_pred:
         sql += f" WHERE {psql}"

@@ -484,15 +484,22 @@ def media_features(payload: bytes | None, modality: str, dim: int = 8):
         from .media_meta import mp4_metadata
 
         if payload[:4] == b"RIFF":
-            from .avi import avi_metadata, sample_avi_frames
+            from .avi import avi_frame_offsets, avi_metadata, decode_avi_frame
 
             try:
                 m = avi_metadata(payload)
                 try:
                     # uncompressed DIB: REAL pixel features from the first
-                    # frame (header-spliced to BMP, then the image path)
-                    first = sample_avi_frames(payload, every_n=1, max_frames=1)
-                    feat = _pixel_features(decode_bmp(first[0]).astype(np.float64))
+                    # frame — decode it directly from the already-parsed
+                    # offsets (no second container walk, no BMP round-trip)
+                    if m["compression"] not in (0, None) or m["bit_count"] != 24:
+                        raise ValueError("compressed AVI codec")
+                    o, ln = avi_frame_offsets(payload)[0]
+                    px = decode_avi_frame(
+                        payload[o : o + ln], m["width"], m["height"],
+                        top_down=m["top_down"],
+                    )
+                    feat = _pixel_features(px.astype(np.float64))
                 except (ValueError, struct.error, IndexError):
                     # compressed codec (MJPG/...) — metadata still real
                     feat = fake_feature(payload, dim)
