@@ -254,3 +254,160 @@ def test_change_log_replay_reaches_batch_state(spark, tmp_path):
     import os as _os
 
     assert not _os.path.exists(changes_path(idx_b.path))
+
+
+def test_high_watermark_schema_error_propagates(spark, tmp_path):
+    """Only a MISSING table reads as 'no watermark'; an unresolved id
+    column (schema drift / wrong id_col) must raise, not silently reset
+    the sync and re-append the whole corpus (review finding r4)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        high_watermark,
+    )
+
+    assert high_watermark(spark, str(tmp_path / "nope"), "vec_id") is None
+    spark.range(5).selectExpr("id AS vec_id").write.parquet(str(tmp_path / "t"))
+    with pytest.raises(AnalysisException):
+        high_watermark(spark, str(tmp_path / "t"), "doc_id")
+
+
+def test_upsert_skips_invalid_vectors_like_build(spark, tmp_path):
+    """A null or wrong-dimension vector in the change set must be SKIPPED
+    (the build-time guard), never written into the Hive default
+    partition where pruned probes cannot see it."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        incremental_upsert,
+    )
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(8)]
+    )
+    idx = build_ivf_index(base, str(tmp_path / "idx"), k_centroids=2)
+    changed = spark.createDataFrame(
+        [
+            Row(vec_id=3, embedding=[9.0, 9.0]),      # valid update
+            Row(vec_id=4, embedding=None),             # null vector
+            Row(vec_id=5, embedding=[1.0, 2.0, 3.0]),  # wrong dim
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    n = incremental_upsert(spark, idx, changed)
+    assert n == 1
+    table = spark.read.parquet(idx.path)
+    assert table.where(F.col("centroid_id").isNull()).count() == 0
+    assert table.count() == 8  # 3 replaced; 4 and 5 keep their old entries
+    assert not os.path.exists(
+        f"{idx.path}/centroid_id=__HIVE_DEFAULT_PARTITION__"
+    )
+
+
+def test_upsert_preserves_payload_columns(spark, tmp_path):
+    """extra_cols payload must survive partition rewrites — and a change
+    set missing the payload column fails loudly instead of silently
+    stripping it from survivors (review finding r4)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        incremental_upsert,
+    )
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0], lang="en" if i % 2 else "de")
+         for i in range(8)]
+    )
+    idx = build_ivf_index(
+        base, str(tmp_path / "idx"), k_centroids=2, extra_cols=("lang",)
+    )
+    changed = spark.createDataFrame(
+        [Row(vec_id=3, embedding=[9.0, 9.0], lang="fr")]
+    )
+    assert incremental_upsert(spark, idx, changed) == 1
+    table = spark.read.parquet(idx.path)
+    langs = {r["vec_id"]: r["lang"] for r in table.collect()}
+    assert langs[3] == "fr" and langs[2] in ("en", "de")
+    assert None not in langs.values()
+    with pytest.raises(ValueError, match="payload columns"):
+        incremental_upsert(
+            spark, idx,
+            spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 1.0])]),
+        )
+
+
+def test_stream_sync_batch_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch body must dedupe a replayed batch_id via the
+    marker parquet — a crash between checkpoint commits otherwise appends
+    the same micro-batch twice (review finding r4)."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+    from vector_search_databricks_poc_spark.streaming.index_sync import _sync_batch
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(4)]
+    )
+    idx = build_ivf_index(base, str(tmp_path / "idx"), k_centroids=2)
+    batch = spark.createDataFrame([Row(vec_id=100, embedding=[0.5, 0.5])])
+    _sync_batch(batch, 7, idx)
+    _sync_batch(batch, 7, idx)  # replay of the SAME micro-batch
+    assert spark.read.parquet(idx.path).where("vec_id = 100").count() == 1
+    _sync_batch(batch.selectExpr("vec_id + 1 AS vec_id", "embedding"), 8, idx)
+    assert spark.read.parquet(idx.path).count() == 6
+
+
+def test_stream_index_sync_rejects_dim_mismatch(spark, tmp_path):
+    """dim != the index's centroid dim would NULL every assignment and
+    dump the stream into the default partition — fail loudly instead."""
+    import pytest
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_index_sync,
+    )
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 32) for i in range(4)]
+    )
+    idx = build_ivf_index(base, str(tmp_path / "idx"), k_centroids=2)
+    stage = tmp_path / "incoming"
+    spark.createDataFrame([Row(doc_id=1, text="hello")]).write.parquet(str(stage))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(stage))
+    with pytest.raises(ValueError, match="centroid dim"):
+        stream_index_sync(stream, idx, dim=64)
+
+
+def test_jsonl_quarantine_counts_both_legs(spark, tmp_path):
+    """bad.count()/good.count() must work (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    is avoided by caching the parsed result — review finding r4) and the
+    two legs must partition the file exactly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from vector_search_databricks_poc_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "text": "fine"}\n'
+        '{"id": broken\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    try:
+        assert good.count() == 2
+        assert bad.count() == 2
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        assert all(r["raw_line"] for r in bad.collect())
+    finally:
+        good.sparkSession.catalog.clearCache()

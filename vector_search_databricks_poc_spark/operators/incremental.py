@@ -23,6 +23,26 @@ from .. import vectors as V
 from .index import IvfIndex, assign_centroid
 
 
+def _is_missing_path(exc) -> bool:
+    """True ONLY for the missing-table error condition.  Anything else an
+    AnalysisException can carry (unresolved column from schema drift, a
+    corrupt footer, permissions) must propagate — swallowing it would
+    silently reset a watermark or batch sequence."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):  # 4.x name, then legacy
+        fn = getattr(exc, attr, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    if cond:
+        return cond.startswith("PATH_NOT_FOUND")
+    return "PATH_NOT_FOUND" in str(exc)
+
+
 def high_watermark(spark: SparkSession, index_path: str, id_col: str = "vec_id"):
     """Current max indexed id (one aggregate over index metadata columns;
     at scale, store this in a manifest instead of scanning).
@@ -35,29 +55,78 @@ def high_watermark(spark: SparkSession, index_path: str, id_col: str = "vec_id")
     try:
         row = spark.read.parquet(index_path).agg(F.max(id_col)).first()
         return row[0]
-    except AnalysisException:
-        return None  # PATH_NOT_FOUND: first sync, nothing indexed yet
+    except AnalysisException as e:
+        if _is_missing_path(e):
+            return None  # first sync, nothing indexed yet
+        raise
+
+
+def _index_payload_cols(
+    spark: SparkSession, index_path: str, id_col: str, vec_col: str
+) -> list[str]:
+    """Extra payload columns the index table carries beyond (id, vector,
+    centroid_id) — ``build_ivf_index(..., extra_cols=...)``.  Incremental
+    writes must keep carrying them or a partition rewrite would strip the
+    payload from every surviving row."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cols = spark.read.parquet(index_path).columns
+    except AnalysisException as e:
+        if _is_missing_path(e):
+            return []
+        raise
+    return [c for c in cols if c not in (id_col, vec_col, "centroid_id")]
+
+
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The same guard build_ivf_index applies at build time: a NULL or
+    wrong-dimension vector would assign a NULL centroid_id and land in the
+    Hive default partition — present in the table yet invisible to every
+    partition-pruned probe, and poisonous to emptied-partition cleanup."""
+    return df.where(V.vec_dim_ok(vec_col, dim))
 
 
 def incremental_refresh(
     spark: SparkSession,
     index: IvfIndex,
     source: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> int:
     """Append rows with id beyond the watermark into the index table.
 
     Returns the number of newly indexed rows.  Uses dynamic partition
     overwrite semantics on append so only the touched centroid partitions
     change (the batch analog of CDF's changed-rows-only sync).
+
+    ``id_col``/``vec_col`` default to the INDEX's own columns — passing
+    mismatched names was a silent foot-gun (wrong-column watermark probe +
+    mixed-schema appends).  Null / wrong-dimension vectors are skipped,
+    matching the build-time guard.  Payload columns the index carries
+    (``extra_cols`` at build) are carried through and must be present in
+    ``source``.
     """
+    id_col = id_col or index.id_col
+    vec_col = vec_col or index.vec_col
+    payload = _index_payload_cols(spark, index.path, id_col, vec_col)
+    missing = [c for c in payload if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"index carries payload columns {missing} that source lacks"
+        )
     wm = high_watermark(spark, index.path, id_col)
     fresh = source if wm is None else source.where(F.col(id_col) > wm)
-    fresh = fresh.select(
-        F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
+    fresh = _valid_vectors(fresh, vec_col, len(index.centroids[0])).select(
+        F.col(id_col),
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
+        *payload,
     )
-    assigned = assign_centroid(fresh, index.centroids, vec_col=vec_col)
+    # one execution for both the count and the write (uncached, the full
+    # scan-normalize-assign pipeline would run twice)
+    assigned = assign_centroid(
+        fresh, index.centroids, vec_col=vec_col
+    ).localCheckpoint()
     n = assigned.count()
     if n:
         assigned.write.mode("append").partitionBy("centroid_id").parquet(index.path)
@@ -83,16 +152,18 @@ def _next_batch_seq(spark: SparkSession, log_path: str) -> int:
     try:
         row = spark.read.parquet(log_path).agg(F.max("batch_seq")).first()
         return (row[0] if row[0] is not None else -1) + 1
-    except AnalysisException:
-        return 0  # PATH_NOT_FOUND: log doesn't exist yet
+    except AnalysisException as e:
+        if _is_missing_path(e):
+            return 0  # log doesn't exist yet
+        raise
 
 
 def incremental_upsert(
     spark: SparkSession,
     index: IvfIndex,
     changed: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
     deleted: DataFrame | None = None,
     log_path: str | None = None,
 ) -> int:
@@ -130,13 +201,26 @@ def incremental_upsert(
 
     Returns the number of upserted rows (deletes not counted).
     """
-    fresh = changed.select(
-        F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
+    id_col = id_col or index.id_col
+    vec_col = vec_col or index.vec_col
+    payload = _index_payload_cols(spark, index.path, id_col, vec_col)
+    missing = [c for c in payload if c not in changed.columns]
+    if missing:
+        raise ValueError(
+            f"index carries payload columns {missing} that changed lacks"
+        )
+    # build-time guard mirrored: a null/mis-sized vector would land in the
+    # Hive default partition (invisible to pruned probes); its id keeps the
+    # OLD index entry instead of silently corrupting the table
+    fresh = _valid_vectors(changed, vec_col, len(index.centroids[0])).select(
+        F.col(id_col),
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
+        *payload,
     )
     # materialize assignments once: reused for touched-partition discovery
     # and the final write (and keeps the write independent of `changed`)
     assigned = assign_centroid(fresh, index.centroids, vec_col=vec_col).select(
-        id_col, vec_col, "centroid_id"
+        id_col, vec_col, *payload, "centroid_id"
     ).localCheckpoint()
     n = assigned.count()
     del_ids = deleted.select(id_col).distinct() if deleted is not None else None
@@ -179,7 +263,7 @@ def incremental_upsert(
     survivors = (
         old.join(F.broadcast(touched), "centroid_id", "left_semi")
         .join(ids, id_col, "left_anti")
-        .select(id_col, vec_col, "centroid_id")
+        .select(id_col, vec_col, *payload, "centroid_id")
     )
     # eager checkpoint breaks lineage to index.path — required: the write
     # below overwrites partitions of the very table `survivors` reads

@@ -45,11 +45,13 @@ def read_jsonl_quarantine(
     million landing files must not abort ingestion.  ``good`` drops the
     marker column; ``bad`` carries the raw line for a quarantine sink.
 
-    Note Spark's documented caveat: a query referencing ONLY the corrupt
-    column is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
-    would short-circuit).  ``bad`` therefore keeps the parsed columns
-    (null for malformed lines) alongside ``raw_line``; quarantine sinks
-    write the full row, which also preserves any partially-parsed fields.
+    Note Spark's documented caveat: a query whose pruned column set is
+    ONLY the corrupt column is disallowed
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser would short-circuit),
+    and ``bad.count()`` prunes to exactly that.  Spark's documented fix is
+    to cache the parsed result, applied here — which is also what makes
+    the "one source scan" claim true: both legs read the materialized
+    parse instead of re-parsing the files.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
@@ -63,7 +65,7 @@ def read_jsonl_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", marker)
         .json(path)
-    )
+    ).cache()
     good = raw.where(F.col(marker).isNull()).drop(marker)
     bad = raw.where(F.col(marker).isNotNull()).withColumnRenamed(
         marker, "raw_line"

@@ -31,20 +31,34 @@ def stream_index_sync(
     ``doc_stream`` is any streaming DataFrame with (id, text).  Embedding
     uses the engine's deterministic hashing encoder here; swap
     ``hashing_embedding`` for the transformer pandas_udf in model serving.
-    Exactly-once via the checkpointed foreachBatch sink (batch id dedupe is
-    the caller's concern if the sink is replayed into a non-idempotent
-    store; parquet append + batch id logging is the simple default).
+
+    Guards: ``dim`` must match the index's centroid dimension (a mismatch
+    would NULL every centroid assignment and dump the whole stream into
+    the Hive default partition — "succeeding" while indexing nothing
+    findable), and rows whose embedding comes back null (null text) are
+    dropped like the batch paths drop invalid vectors.
+
+    Replay safety: committed micro-batches never re-run (checkpointed
+    foreachBatch), and the one batch that CAN replay after a crash is
+    deduped via a tiny ``_stream_batches`` marker parquet written after
+    each data append — the residual double-write window is a crash
+    BETWEEN the data append and the marker append, stated here rather
+    than papered over (a transactional sink like Delta closes even that).
     """
+    cdim = len(index.centroids[0])
+    if dim != cdim:
+        raise ValueError(
+            f"dim={dim} does not match the index's centroid dim {cdim}"
+        )
 
     # hashing_embedding L2-normalizes by default — no second normalize fold
     embedded = doc_stream.select(
         F.col(id_col).alias(index.id_col),
         hashing_embedding(text_col, dim=dim).cast("array<float>").alias(index.vec_col),
-    )
+    ).where(F.col(index.vec_col).isNotNull())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = assign_centroid(batch_df, index.centroids, vec_col=index.vec_col)
-        assigned.write.mode("append").partitionBy("centroid_id").parquet(index.path)
+        _sync_batch(batch_df, batch_id, index)
 
     writer = embedded.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:
@@ -52,13 +66,39 @@ def stream_index_sync(
     return writer.start()
 
 
+def _sync_batch(batch_df: DataFrame, batch_id: int, index: IvfIndex) -> None:
+    """One micro-batch append with marker-based replay dedupe (module-level
+    so the idempotency contract is testable without running a stream)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.incremental import _is_missing_path
+
+    spark = batch_df.sparkSession
+    marker_path = index.path.rstrip("/") + "_stream_batches"
+    try:
+        done = {
+            r[0] for r in spark.read.parquet(marker_path).select("batch_id").collect()
+        }
+    except AnalysisException as e:
+        if not _is_missing_path(e):
+            raise
+        done = set()
+    if batch_id in done:
+        return  # replayed batch: data already appended
+    assigned = assign_centroid(batch_df, index.centroids, vec_col=index.vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(index.path)
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(marker_path)
+
+
 def stream_change_log_sync(
     index: IvfIndex,
     source: DataFrame,
     log_path: str,
     checkpoint_dir: str | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ):
     """Replay a self-written change log (``incremental_upsert(...,
     log_path=...)``) into an index — the engine's rendition of the
@@ -79,6 +119,8 @@ def stream_change_log_sync(
     """
     from ..operators.incremental import incremental_upsert
 
+    id_col = id_col or index.id_col
+    vec_col = vec_col or index.vec_col
     spark = source.sparkSession
     # the log's id column has whatever type the source id has (string doc
     # ids are legal) — hardcoding 'long' would break the parquet read for
