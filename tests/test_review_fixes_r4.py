@@ -414,3 +414,51 @@ def test_has_pushed_filters_multi_scan(spark, sf_dir):
     dim = load_table(spark, sf_dir, "customer")
     joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
     assert A.has_pushed_filters(joined), A.plan_string(joined)
+
+
+def test_event_ts_floor_division_pre_epoch(spark):
+    """Nanos->micros normalization must FLOOR like DuckDB's TIMESTAMP_NS
+    cast; `div` truncation diverges by 1us on pre-epoch timestamps."""
+    from vector_search_databricks_poc_spark.catalog import _normalize_event_ts
+
+    df = spark.createDataFrame(
+        [(-876543211,), (1700000000123456789,)], "ts long"
+    )
+    out = {r["us"] for r in _normalize_event_ts(df).select(
+        F.unix_micros("ts").alias("us")).collect()}
+    assert out == {-876544, 1700000000123456}
+
+
+def test_mixture_without_domain_col_raises(spark):
+    from vector_search_databricks_poc_spark.pipelines import (
+        assemble_training_corpus,
+    )
+
+    docs = spark.createDataFrame([(1, "text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="domain_col"):
+        assemble_training_corpus(docs, mixture={"web": 1.0})
+
+
+def test_rrf_fuse_validates_inputs(spark):
+    from vector_search_databricks_poc_spark.operators.hybrid import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "r"])
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="rank_cols"):
+        rrf_fuse([df, df, df], rank_cols=["r", "r"])
+
+
+def test_chunked_search_empty_query_returns_no_hits(spark):
+    """A whitespace-only query embeds to the zero vector; NULL cosines
+    must yield an EMPTY result, not k arbitrary docs with NULL scores."""
+    from vector_search_databricks_poc_spark.pipelines import (
+        chunked_search_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some real document text " * 10), (2, "another document " * 10)],
+        ["doc_id", "text"],
+    )
+    out = chunked_search_pipeline(spark, docs, "   ", k=5)
+    assert out.count() == 0

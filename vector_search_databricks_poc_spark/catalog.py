@@ -156,7 +156,14 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division, not `ts div 1000`: div truncates toward zero,
+        # which diverges from DuckDB's TIMESTAMP_NS -> TIMESTAMP floor by
+        # 1 us on pre-epoch (negative) nanos.  pmod makes the numerator
+        # exactly divisible, keeping the arithmetic integer-exact (a
+        # double division would lose precision at 2e18 ns).
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     return df
 
 

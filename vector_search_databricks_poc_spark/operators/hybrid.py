@@ -41,10 +41,13 @@ def bm25_scores(
     """
     terms = [t.lower() for t in query_terms]
     # size > 0 mirrors explode semantics: empty/null token arrays produce
-    # no doc_len row, so N and avgdl are unchanged from the explode form
+    # no doc_len row, so N and avgdl are unchanged from the explode form.
+    # Lazy checkpoint: doc_len feeds BOTH the stats aggregate and the
+    # per_term join — uncut, Catalyst duplicates the subtree and the
+    # corpus would be scanned+tokenized twice for it
     doc_len = docs.select(
         F.col(id_col), F.size(tokens(F.lower(F.col(text_col)))).alias("dl")
-    ).where(F.col("dl") > 0)
+    ).where(F.col("dl") > 0).localCheckpoint(eager=False)
     stats = doc_len.agg(
         F.count("*").cast("double").alias("_N"), F.avg("dl").alias("_avgdl")
     )
@@ -89,7 +92,14 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion of pre-ranked result sets.  Each input must
     have (id_col, <rank_col>); missing ids in one system contribute 0."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     rank_cols = rank_cols or [f"rank_{i}" for i in range(len(rankings))]
+    if len(rank_cols) != len(rankings):
+        # zip() would silently drop the unmatched systems from the fusion
+        raise ValueError(
+            f"{len(rankings)} rankings but {len(rank_cols)} rank_cols"
+        )
     fused = None
     for df, rc in zip(rankings, rank_cols):
         part = df.select(
@@ -139,13 +149,15 @@ def hybrid_search(
     else:
         src = vectors
         q = V.lit_vector(query_vector)
-    vec = src.select(
-        F.col(vec_id_col).alias(id_col),
-        F.round(V.cosine("embedding", q), 6).alias("cos"),
-    ).where(F.col("cos").isNotNull() & ~F.isnan("cos"))
+    # the vector leg IS top_k_similar (same score expression, null/NaN
+    # guard, ordering, and limit — one definition, not a copy)
+    from .topk import top_k_similar
+
     w_vec = Window.orderBy(F.desc("cos"), F.col(id_col))
-    vec_ranked = vec.orderBy(F.desc("cos"), F.col(id_col)).limit(pool).withColumn(
-        "rank_vec", F.row_number().over(w_vec)
+    vec_ranked = (
+        top_k_similar(src, q, k=pool, id_col=vec_id_col)
+        .select(F.col(vec_id_col).alias(id_col), F.col("score").alias("cos"))
+        .withColumn("rank_vec", F.row_number().over(w_vec))
     )
 
     return rrf_fuse(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import vectors as V
+from ..catalog import save_table
 from .topk import top_k_similar
 
 
@@ -53,7 +54,7 @@ def build_ivf_index(
     )
     centroids = fit_centroids(normalized, vec_col, k_centroids, seed, sample_fraction)
     assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    save_table(assigned, index_path, partition_by=["centroid_id"])
     _write_meta(
         df.sparkSession, index_path,
         {"kind": "ivf", "centroids": centroids, "id_col": id_col, "vec_col": vec_col},
@@ -169,7 +170,7 @@ def build_ivf_pq_index(
     encoded = codebook.encode(with_res, vec_col="_res").select(
         id_col, "centroid_id", "pq_code"
     )
-    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    save_table(encoded, index_path, partition_by=["centroid_id"])
     _write_meta(
         df.sparkSession, index_path,
         {

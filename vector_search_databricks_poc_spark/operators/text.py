@@ -29,6 +29,14 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def collapse_whitespace(text: Column | str) -> Column:
+    """Trim + collapse whitespace runs to one space — THE cleaning
+    expression every pipeline entry uses (one definition; it was
+    copy-pasted into three call sites before r4)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
@@ -88,7 +96,7 @@ def strip_html(text: Column | str) -> Column:
         ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return collapse_whitespace(c)
 
 
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:

@@ -85,6 +85,7 @@ def search_with_text(
     documents: DataFrame,
     id_col: str = "vec_id",
     doc_id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Join scores back to document text (reference returns [text, id, score]
     rows, main.py:56-70).  The k-row result side is broadcast."""
@@ -92,6 +93,6 @@ def search_with_text(
         documents.join(
             F.broadcast(result), on=documents[doc_id_col] == result[id_col], how="inner"
         )
-        .select(result[id_col], documents["text"], result["score"])
+        .select(result[id_col], documents[text_col].alias("text"), result["score"])
         .orderBy(F.desc("score"), F.col(id_col))
     )

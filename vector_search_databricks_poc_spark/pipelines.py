@@ -38,9 +38,10 @@ def build_index_pipeline(
     except the final partitioned index write.  ``kind`` picks the index
     layout: ``"ivf"`` (float vectors, exact in-partition rescoring) or
     ``"ivf_pq"`` (residual PQ codes — the smaller-at-rest scale path)."""
+    from .operators.text import collapse_whitespace
+
     cleaned = docs.select(
-        F.col(id_col),
-        F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")).alias(text_col),
+        F.col(id_col), collapse_whitespace(text_col).alias(text_col)
     ).where(F.col(text_col) != "")
     embedded = embed_text(cleaned, text_col=text_col, out_col="embedding",
                           encoder=encoder, dim=dim)
@@ -88,10 +89,15 @@ def prepare_training_data(
     """
     from .operators.dedup import exact_dedup, minhash_near_dup_pairs
     from .operators.sampling import train_test_split
-    from .operators.text import lang_id_heuristic, language_filter, quality_score
+    from .operators.text import (
+        collapse_whitespace,
+        lang_id_heuristic,
+        language_filter,
+        quality_score,
+    )
 
     cleaned = docs.withColumn(
-        text_col, F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+        text_col, collapse_whitespace(text_col)
     ).where(F.col(text_col) != "")
     if lang_col is not None and lang_col in docs.columns:
         kept = language_filter(cleaned, list(langs), lang_col)
@@ -145,6 +151,11 @@ def assemble_training_corpus(
     )
     from .operators.text import redact_pii, token_count
 
+    if mixture and not domain_col:
+        raise ValueError(
+            "mixture given without domain_col - the resample would be "
+            "silently skipped and a misconfigured training mix would ship"
+        )
     out = docs
     if redact:
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
@@ -206,7 +217,10 @@ def chunked_search_pipeline(
         "chunk_seq",
         "chunk_text",
         F.round(V.cosine("embedding", F.col("_qv")), 6).alias("_s"),
-    )
+    ).where(F.col("_s").isNotNull() & ~F.isnan("_s"))
+    # NULL cosine (zero query vector / empty chunk) must not fill the
+    # top-k: an all-whitespace query now returns an EMPTY result instead
+    # of the k lowest doc_ids dressed up as hits
     rolled = (
         scored.groupBy(doc_id_col)
         .agg(
@@ -262,9 +276,11 @@ def search_pipeline(
         hits = index.batch_search(
             spark, queries, k=k, nprobe=nprobe, score_decimals=None
         ).drop("query_id", "rank")
-    with_text = docs.join(
-        F.broadcast(hits), on=docs[doc_id_col] == hits[index.id_col], how="inner"
-    ).select(hits[index.id_col].alias("vec_id"), docs[text_col].alias("text"), hits["score"])
+    from .operators.topk import search_with_text
+
+    with_text = search_with_text(
+        hits, docs, id_col=index.id_col, doc_id_col=doc_id_col, text_col=text_col
+    ).withColumnRenamed(index.id_col, "vec_id")
     # most-relevant-first, as the reference formats its prompt context
     return assemble_context(
         clean_hits(with_text, score_col="score"),

@@ -2372,7 +2372,8 @@ def profile_columns(spark, sf_dir):
       FROM embeddings e CROSS JOIN q
     ),
     vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS r
-             FROM (SELECT * FROM cosd ORDER BY cos DESC, doc_id LIMIT 50))
+             FROM (SELECT * FROM cosd WHERE cos IS NOT NULL
+                   ORDER BY cos DESC, doc_id LIMIT 50))
     SELECT doc_id, ROUND(SUM(c), 6) AS rrf
     FROM (
       SELECT doc_id, 1.0 / (60 + r) AS c FROM lexr
