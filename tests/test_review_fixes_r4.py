@@ -462,3 +462,76 @@ def test_chunked_search_empty_query_returns_no_hits(spark):
     )
     out = chunked_search_pipeline(spark, docs, "   ", k=5)
     assert out.count() == 0
+
+
+def test_pq_fit_and_encode_survive_bad_vectors(spark):
+    """PqCodebook.fit filters null/ragged vectors from the training
+    sample (previously IndexError on an object array); encode() emits
+    NULL codes for null / wrong-dim / null-element vectors instead of
+    killing the task."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.functions.quantization import (
+        PqCodebook,
+    )
+
+    rows = [Row(vec_id=i, embedding=[float(i), float(-i), 1.0, 2.0]) for i in range(12)]
+    bad = [
+        Row(vec_id=100, embedding=None),
+        Row(vec_id=101, embedding=[1.0, 2.0]),            # wrong dim
+        Row(vec_id=102, embedding=[1.0, None, 3.0, 4.0]),  # null element
+    ]
+    df = spark.createDataFrame(
+        rows + bad, "vec_id long, embedding array<double>"
+    )
+    cb = PqCodebook.fit(df, m=2, k=4)
+    out = {r["vec_id"]: r["pq_code"] for r in cb.encode(df).collect()}
+    assert all(out[i] is not None and len(out[i]) == 2 for i in range(12))
+    assert out[100] is None and out[101] is None and out[102] is None
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        PqCodebook.fit(empty, m=2, k=4)
+
+
+def test_train_test_split_guards(spark):
+    """Fraction validation, no-empty-test floor, and NULL ids landing in
+    train (they previously satisfied neither bucket predicate and
+    vanished from BOTH sides)."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(50)] + [Row(doc_id=None)],
+        "doc_id long",
+    )
+    train, test = train_test_split(df, "doc_id", test_fraction=0.005)
+    assert test.count() > 0  # rounded-to-zero cut keeps one test bucket
+    assert train.count() + test.count() == 51  # NULL id kept (in train)
+    assert train.where(F.col("doc_id").isNull()).count() == 1
+    with pytest.raises(ValueError, match="test_fraction"):
+        train_test_split(df, "doc_id", test_fraction=1.5)
+
+
+def test_session_windows_batch_custom_tiebreak_col(spark):
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.streaming.windows import (
+        session_windows_batch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(uid=1, t=_ts("2024-01-01 10:00:00"), seq=1),
+            Row(uid=1, t=_ts("2024-01-01 12:00:00"), seq=2),
+        ]
+    )
+    out = session_windows_batch(
+        df, gap_minutes=30, ts_col="t", key_col="uid", tiebreak_col="seq"
+    )
+    assert out.count() == 2  # two sessions, no event_id column required

@@ -26,9 +26,15 @@ def quantize(vec: Column | str) -> tuple[Column, Column]:
     materializes the scale as a column first."""
     v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(absmax != 0, absmax / 127.0).otherwise(F.lit(1.0))
-    qvec = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
-    return scale.cast("float").alias("q_scale"), qvec.alias("q_vec")
+    # divide by the float32-ROUNDED scale (the one actually stored) so
+    # this path and quantize_table produce identical codes — dividing by
+    # the double scale could flip F.round at a .5 boundary vs the stored
+    # divisor, inflating reconstruction error asymmetrically
+    scale = (
+        F.when(absmax != 0, absmax / 127.0).otherwise(F.lit(1.0)).cast("float")
+    )
+    qvec = F.transform(v, lambda x: F.round(x / scale.cast("double")).cast("tinyint"))
+    return scale.alias("q_scale"), qvec.alias("q_vec")
 
 
 def dequantize(scale: Column | str, qvec: Column | str) -> Column:
@@ -93,18 +99,39 @@ class PqCodebook:
         k-means per subspace.  One Spark job total, versus one distributed
         KMeans fit per subspace; only the ENCODE pass is corpus-sized and
         that stays distributed."""
+        import math
+
         import numpy as np
 
-        dim = len(df.select(vec_col).first()[0])
-        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-        sub = dim // m
         src = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=seed)
+        # ONE evaluation per row (a single collect), with all validity
+        # filtering driver-side on the bounded sample: filtering with
+        # size()/exists() expressions here would re-evaluate the vector
+        # expression per element when ``vec_col`` is an unmaterialized
+        # embedding (interpreted HOFs share no CSE) — observed as an
+        # hours-long single task on a 200-row fixture
         rows = (
             src.select(F.col(vec_col).cast("array<double>").alias("_v"))
             .limit(max_train_rows)
             .collect()
         )
-        X = np.asarray([r["_v"] for r in rows], dtype="float64")
+        # null / ragged / null-element vectors must not crash the fit —
+        # the same contract encode() honors row-wise
+        vecs = []
+        dim = None
+        for r in rows:
+            v = r["_v"]
+            if v is None or any(x is None for x in v):
+                continue
+            if dim is None:
+                dim = len(v)
+            if len(v) == dim and not any(math.isnan(x) for x in v):
+                vecs.append(v)
+        if dim is None or not vecs:
+            raise ValueError("PqCodebook.fit: no valid vectors to train on")
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        sub = dim // m
+        X = np.asarray(vecs, dtype="float64")
         centroids = [
             cls._lloyd(X[:, j * sub : (j + 1) * sub], k, seed + j).tolist()
             for j in range(m)
@@ -163,20 +190,43 @@ class PqCodebook:
 
         cb = np.asarray(self.centroids, dtype="float64")  # [m, k, sub]
         m, _k, sub = cb.shape
+        dim = m * sub
+        # per-subspace ||c||^2, precomputed once for the matmul expansion
+        cb_norm = (cb * cb).sum(-1)  # [m, k]
+
+        def _row(v):
+            # NULL, wrong-dimension, or null-element vectors encode to
+            # NULL codes instead of killing the task (one bad row must
+            # not kill a 100 TB encode)
+            if v is None or len(v) != dim:
+                return None
+            try:
+                a = np.asarray(v, dtype="float64")
+            except (TypeError, ValueError):
+                return None  # a NULL element (plain-Python path)
+            # Arrow hands a NULL element over as NaN — same bad row,
+            # different spelling; NaN distances would argmin to code 0
+            return None if np.isnan(a).any() else a
 
         def _enc(s):
-            # NULL vectors encode to NULL codes instead of TypeError-ing
-            # the whole task (one bad row must not kill a 100 TB encode)
-            mask = [v is not None for v in s]
-            vals = [np.asarray(v, dtype="float64") for v, ok in zip(s, mask) if ok]
+            arrs = [_row(v) for v in s]
+            vals = [a for a in arrs if a is not None]
             out: list = [None] * len(s)
             if vals:
-                X = np.asarray(vals)
-                Xs = X.reshape(len(X), m, 1, sub)
-                d2 = ((Xs - cb[None, :, :, :]) ** 2).sum(-1)  # [n, m, k]
-                codes = d2.argmin(-1).astype("int32")
+                X = np.asarray(vals)  # [n, dim]
+                codes = np.empty((len(X), m), dtype="int32")
+                # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c): the
+                # matmul expansion keeps memory at O(n*k) per subspace —
+                # the broadcast (X - cb)**2 form allocated n*m*k*sub
+                # doubles per batch (~150 GB at batch 10k, dim 768, k 256)
+                for j in range(m):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    d = cb_norm[j][None, :] - 2.0 * (Xj @ cb[j].T)
+                    codes[:, j] = d.argmin(1)
                 it = iter(codes)
-                out = [next(it).tolist() if ok else None for ok in mask]
+                out = [
+                    next(it).tolist() if a is not None else None for a in arrs
+                ]
             return pd.Series(out, dtype=object)
 
         enc = F.pandas_udf(_enc, "array<int>")

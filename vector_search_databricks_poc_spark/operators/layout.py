@@ -166,7 +166,11 @@ def skew_stats(
             "key_rows",
             F.round(F.col("key_rows") / F.col("_total"), 6).alias("share"),
             F.round(
-                F.col("key_rows") * F.col("_n_keys") / F.col("_total"), 3
+                # double BEFORE the multiply: long*long overflows int64 at
+                # ~1e10 rows x 1e9 keys — precisely the scale this
+                # diagnostic exists for
+                F.col("key_rows").cast("double") * F.col("_n_keys") / F.col("_total"),
+                3,
             ).alias("vs_uniform"),
         )
     )

@@ -54,10 +54,19 @@ def train_test_split(
     df: DataFrame, id_col: str, test_fraction: float = 0.2, buckets: int = 100
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic split: same row lands in the same side on every run,
-    any cluster size, any engine."""
-    cut = int(round(test_fraction * buckets))
+    any cluster size, any engine.
+
+    Guards (review r4): a fraction outside (0, 1) raises instead of
+    silently emptying a side; a fraction that rounds to zero buckets
+    keeps ONE test bucket rather than an empty test set; rows whose id is
+    NULL land in TRAIN (matching the oracle's CASE ... ELSE 'train') —
+    previously they satisfied neither bucket predicate and vanished from
+    both sides."""
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError(f"test_fraction must be in (0, 1), got {test_fraction}")
+    cut = max(1, int(round(test_fraction * buckets)))
     b = split_bucket(id_col, buckets)
-    return df.where(b >= cut), df.where(b < cut)
+    return df.where((b >= cut) | b.isNull()), df.where(b < cut)
 
 
 def stratified_sample(

@@ -51,11 +51,13 @@ def stream_index_sync(
             f"dim={dim} does not match the index's centroid dim {cdim}"
         )
 
-    # hashing_embedding L2-normalizes by default — no second normalize fold
-    embedded = doc_stream.select(
+    # drop null-text rows BEFORE embedding: hashing_embedding is NULL iff
+    # its input is, and filtering on the embedded column would re-evaluate
+    # the whole embedding expression in the predicate (no CSE)
+    embedded = doc_stream.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias(index.id_col),
         hashing_embedding(text_col, dim=dim).cast("array<float>").alias(index.vec_col),
-    ).where(F.col(index.vec_col).isNotNull())
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _sync_batch(batch_df, batch_id, index)

@@ -44,7 +44,8 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
 
 
 def session_windows_batch(events: DataFrame, gap_minutes: int = 30,
-                          ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
+                          ts_col: str = "ts", key_col: str = "user_id",
+                          tiebreak_col: str = "event_id") -> DataFrame:
     """Batch sessionization: a new session starts when the gap from the
     previous event EXCEEDS ``gap_minutes`` (strict >: two events exactly
     gap apart stay in one session, which is what Spark's native
@@ -55,7 +56,7 @@ def session_windows_batch(events: DataFrame, gap_minutes: int = 30,
     SQL-expressible so the oracle can check it)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     # microsecond precision: cast("long") truncates to whole seconds, so a
     # gap of 1800.4s read as 1800 would NOT split while native
     # session_window (exact timestamps) does — and the DuckDB oracle's
