@@ -385,8 +385,10 @@ def test_stream_index_sync_rejects_dim_mismatch(spark, tmp_path):
 
 def test_jsonl_quarantine_counts_both_legs(spark, tmp_path):
     """bad.count()/good.count() must work (QUERY_ONLY_CORRUPT_RECORD_COLUMN
-    is avoided by caching the parsed result — review finding r4) and the
-    two legs must partition the file exactly."""
+    is avoided by the lazy localCheckpoint — review findings r4) and the
+    two legs must partition the file exactly, WITHOUT pinning anything in
+    the catalog cache (review finding r4 follow-up: the earlier .cache()
+    leaked a cached frame per call)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from vector_search_databricks_poc_spark.sources.files import (
@@ -403,11 +405,13 @@ def test_jsonl_quarantine_counts_both_legs(spark, tmp_path):
     schema = StructType(
         [StructField("id", LongType()), StructField("text", StringType())]
     )
+    spark.catalog.clearCache()  # clean slate for the residency assert below
     good, bad = read_jsonl_quarantine(spark, str(p), schema)
-    try:
-        assert good.count() == 2
-        assert bad.count() == 2
-        assert {r["id"] for r in good.collect()} == {1, 2}
-        assert all(r["raw_line"] for r in bad.collect())
-    finally:
-        good.sparkSession.catalog.clearCache()
+    assert good.count() == 2
+    assert bad.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert all(r["raw_line"] for r in bad.collect())
+    # no catalog-cache residency: the checkpoint must not register a cached
+    # query (storage blocks are ContextCleaner-managed instead)
+    jcat = spark._jsparkSession.sharedState().cacheManager()
+    assert jcat.isEmpty(), "read_jsonl_quarantine must not pin catalog cache"

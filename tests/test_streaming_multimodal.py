@@ -916,6 +916,43 @@ def test_avi_without_idx1_falls_back_to_movi_walk():
     assert len(offs) == 3
 
 
+def test_avi_empty_or_audio_only_idx1_falls_back_to_movi_walk():
+    """Review finding r4: an idx1 chunk that lists NO video entries (empty
+    index, or audio-only — both produced by real writers) must fall back to
+    the movi walk instead of reporting a frameless video."""
+    import struct
+
+    import numpy as np
+
+    from vector_search_databricks_poc_spark.functions.avi import (
+        avi_frame_offsets,
+        encode_avi,
+        sample_avi_frames,
+    )
+
+    frames = [np.full((4, 4, 3), i * 40, dtype=np.uint8) for i in range(3)]
+    base = encode_avi(frames, fps=10.0)
+
+    # empty idx1: keep the chunk, zero its body
+    cut = base.rindex(b"idx1")
+    empty = bytearray(base[: cut + 4])
+    empty += struct.pack("<I", 0)  # zero-length idx1 body
+    empty[4:8] = struct.pack("<I", len(empty) - 8)  # fix RIFF size
+    offs = avi_frame_offsets(bytes(empty))
+    assert len(offs) == 3
+
+    # audio-only idx1: relabel every index entry's fourcc as 01wb
+    audio = bytearray(base)
+    body = cut + 8
+    n_entries = struct.unpack_from("<I", base, cut + 4)[0] // 16
+    for i in range(n_entries):
+        audio[body + i * 16 : body + i * 16 + 4] = b"01wb"
+    offs = avi_frame_offsets(bytes(audio))
+    assert len(offs) == 3
+    # and the whole sampling path still yields real frames
+    assert len(sample_avi_frames(bytes(audio), every_n=1)) == 3
+
+
 def test_avi_compressed_codec_metadata_real_decode_refused():
     """A compressed-codec AVI still yields REAL container metadata, but
     frame sampling raises ValueError (codec needs external libs) — the

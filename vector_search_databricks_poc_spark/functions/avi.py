@@ -123,7 +123,8 @@ def avi_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
     """[(absolute_offset, length)] per video frame chunk (``??db``/``??dc``).
 
     Prefers the ``idx1`` index (O(index), frame bytes untouched); falls
-    back to walking the ``movi`` list when the index is absent.  Offsets
+    back to walking the ``movi`` list when the index is absent or lists
+    no video chunks (empty / audio-only idx1).  Offsets
     in idx1 are accepted in both common conventions — relative to the
     ``movi`` fourcc (spec) or absolute file offsets (several writers).
     """
@@ -163,7 +164,11 @@ def avi_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
                 if payload[cand : cand + 4] != cc:
                     raise ValueError("idx1 entry matches no movi chunk")
             offs.append((cand + 8, size))
-        return offs
+        if offs:
+            return offs
+        # idx1 exists but indexes no video chunks (empty or audio-only
+        # index — both produced by real writers): fall through to the
+        # movi walk rather than reporting a frameless video.
 
     s, e = movi_span
     for cc, b, ln in _walk_chunks(payload, s, e):

@@ -49,9 +49,13 @@ def read_jsonl_quarantine(
     ONLY the corrupt column is disallowed
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser would short-circuit),
     and ``bad.count()`` prunes to exactly that.  Spark's documented fix is
-    to cache the parsed result, applied here — which is also what makes
-    the "one source scan" claim true: both legs read the materialized
-    parse instead of re-parsing the files.
+    caching; here a LAZY ``localCheckpoint`` serves both purposes without
+    catalog-level cache residency (a ``.cache()`` would pin the parsed
+    corpus in the catalog until someone explicitly unpersists): the
+    checkpoint hides the JSON scan behind a LogicalRDD (so the
+    corrupt-column-only restriction can't trigger), makes both legs read
+    one materialized parse, and its blocks are released by the
+    ContextCleaner once the returned frames are garbage-collected.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
@@ -65,7 +69,7 @@ def read_jsonl_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", marker)
         .json(path)
-    ).cache()
+    ).localCheckpoint(eager=False)
     good = raw.where(F.col(marker).isNull()).drop(marker)
     bad = raw.where(F.col(marker).isNotNull()).withColumnRenamed(
         marker, "raw_line"
