@@ -47,6 +47,31 @@ def test_minhash_finds_planted_near_dups(docs_with_dups):
     assert (3, 9003) in pairs
 
 
+def test_minhash_numpy_and_expr_signatures_bit_identical(docs_with_dups):
+    """The vectorized-numpy signature stage (engine default) and the
+    pure-Catalyst-expression twin are independent implementations of the
+    same hash family — every signature must match bit-for-bit, including
+    short-doc sentinel padding and rot-by-0 slots."""
+    a = {r[0]: list(r[1]) for r in D.minhash_signatures_df(docs_with_dups).collect()}
+    b = {r[0]: list(r[1]) for r in D.minhash_signatures_expr_df(docs_with_dups).collect()}
+    assert a.keys() == b.keys()
+    assert a == b
+
+
+def test_minhash_numpy_expr_identity_short_docs(spark):
+    """Docs shorter than the shingle width n exercise the sentinel-padding
+    branch; 1-token and 2-token docs must still agree across both paths."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one"), Row(doc_id=2, text="two words"),
+         Row(doc_id=3, text="exactly three tokens here no"),
+         Row(doc_id=4, text="")]
+    )
+    a = {r[0]: list(r[1]) for r in D.minhash_signatures_df(df).collect()}
+    b = {r[0]: list(r[1]) for r in D.minhash_signatures_expr_df(df).collect()}
+    assert a == b
+    assert 4 not in a  # empty-token doc yields no signature row on BOTH paths
+
+
 def test_incremental_near_dup_matches_one_shot(spark, sf_dir, tmp_path):
     """The incremental path (persisted signature store + new batch) returns
     EXACTLY the pairs the one-shot run over (historical ∪ new) returns,

@@ -122,10 +122,10 @@ def test_zorder_layout_single_agg_shuffle(spark, sf_dir):
 
 
 def test_minhash_signatures_shuffle_free(spark, sf_dir):
-    """The r4 signature formulation is a pure map: the ONLY exchange in
+    """The signature formulation is a pure map: the ONLY exchange in
     the plan is the parallelism-guard round-robin repartition — no hash
-    exchange, no aggregate (the per-doc mins run inside the row via
-    array_min/zip_with)."""
+    exchange, no aggregate (the per-doc mins run inside the row, in the
+    vectorized-numpy mapInPandas stage since r5)."""
     from vector_search_databricks_poc_spark.catalog import load_table
     from vector_search_databricks_poc_spark.operators.dedup import (
         minhash_signatures_df,

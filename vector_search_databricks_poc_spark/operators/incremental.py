@@ -146,16 +146,19 @@ def _next_batch_seq(spark: SparkSession, log_path: str) -> int:
     Only a missing log maps to seq 0.  Any other read failure (corrupt
     file from an interrupted append, permissions) must propagate: writing
     a duplicate batch_seq=0 would make ``max_by(op, batch_seq)`` replay
-    ordering nondeterministic — e.g. a delete could resurrect."""
-    from pyspark.errors import AnalysisException
+    ordering nondeterministic — e.g. a delete could resurrect.
 
-    try:
-        row = spark.read.parquet(log_path).agg(F.max("batch_seq")).first()
-        return (row[0] if row[0] is not None else -1) + 1
-    except AnalysisException as e:
-        if _is_missing_path(e):
-            return 0  # log doesn't exist yet
-        raise
+    Existence is probed through the Hadoop FileSystem API rather than by
+    catching the reader's AnalysisException — the analyzer logs that
+    exception at ERROR with a full stack trace before we could swallow
+    it, which reads as a failure in any log a human (or driver) scans."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(log_path)
+    if not hpath.getFileSystem(hconf).exists(hpath):
+        return 0  # log doesn't exist yet
+    row = spark.read.parquet(log_path).agg(F.max("batch_seq")).first()
+    return (row[0] if row[0] is not None else -1) + 1
 
 
 def incremental_upsert(

@@ -47,8 +47,17 @@ def top_k_similar(
     is a Python sequence or a Column.  ``score_decimals`` rounds the score for
     oracle hash-stability; pass None for full precision.
     """
-    q = query_vector if isinstance(query_vector, Column) else V.lit_vector(query_vector)
-    score = score_expr(vec_col, q, metric)
+    if metric == "cosine" and not isinstance(query_vector, Column):
+        # literal query: its norm folds ONCE on the driver (bit-identical
+        # to the in-plan fold, see python_l2_norm) instead of per corpus
+        # row — cuts the interpreted per-row HOF work from 3 folds to 2
+        # (measured 0.50s -> 0.31s on the sf0.1 flagship scan)
+        q = V.lit_vector(query_vector)
+        denom = V.l2_norm(vec_col) * F.lit(V.python_l2_norm(query_vector))
+        score = F.when(denom != 0, V.dot(vec_col, q) / denom)
+    else:
+        q = query_vector if isinstance(query_vector, Column) else V.lit_vector(query_vector)
+        score = score_expr(vec_col, q, metric)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (

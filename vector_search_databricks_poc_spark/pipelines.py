@@ -209,14 +209,19 @@ def chunked_search_pipeline(
     qdf = spark.createDataFrame([(query_text,)], [text_col])
     qemb = F.broadcast(
         embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
-            F.col("embedding").alias("_qv")
+            F.col("embedding").cast("array<double>").alias("_qv"),
+            V.l2_norm("embedding").alias("_qn"),
         )
     )
+    # norms fold once per side before the join (same fold, bit-identical)
+    denom = V.l2_norm("embedding") * F.col("_qn")
     scored = emb.crossJoin(qemb).select(
         F.col(doc_id_col),
         "chunk_seq",
         "chunk_text",
-        F.round(V.cosine("embedding", F.col("_qv")), 6).alias("_s"),
+        F.round(
+            F.when(denom != 0, V.dot("embedding", F.col("_qv")) / denom), 6
+        ).alias("_s"),
     ).where(F.col("_s").isNotNull() & ~F.isnan("_s"))
     # NULL cosine (zero query vector / empty chunk) must not fill the
     # top-k: an all-whitespace query now returns an EMPTY result instead

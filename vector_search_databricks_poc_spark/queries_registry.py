@@ -864,12 +864,21 @@ def knn_label_agreement(spark, sf_dir):
     """Sanity semantics check (FIXTURES.md): nearest neighbor of a vector
     should usually share its cluster label.  Output: agreement count."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms fold ONCE per side before the cross join (|q|+|corpus| folds,
+    # not 2x|pairs|) — same left-to-right fold, bit-identical scores
     q = e.where(F.col("vec_id") < 32).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("label").alias("q_label")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("q_label"),
+        V.l2_norm("embedding").alias("_qn"),
     )
-    score = F.round(V.cosine("embedding", F.col("qv").cast("array<double>")), 6)
+    corpus = e.select("vec_id", "embedding", "label", V.l2_norm("embedding").alias("_cn"))
+    denom = F.col("_cn") * F.col("_qn")
+    score = F.round(
+        F.when(denom != 0, V.dot("embedding", F.col("qv")) / denom), 6
+    )
     pairs = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "q_label", F.col("label").alias("n_label"), score.alias("score"), "vec_id")
     )

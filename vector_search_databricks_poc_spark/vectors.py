@@ -2,11 +2,16 @@
 
 The reference's scoring kernel is delegated to the Databricks Vector Search
 service (query_endpoint.py:136-150); here it is rebuilt as pure Catalyst
-expressions — ``zip_with`` + ``aggregate`` — so similarity math runs JVM-side
-inside whole-stage codegen, never in Python.  All accumulation is done in
-DOUBLE regardless of the stored element type (fixtures store float32;
-computing in double keeps Spark and the DuckDB oracle bit-identical because
-both fold left-to-right over the array after an exact float->double widen).
+expressions — ``zip_with`` + ``aggregate`` — so similarity math runs JVM-side,
+never in Python.  (Precisely: higher-order-function lambdas are evaluated
+interpreted, not inside whole-stage codegen — still JVM, no Arrow boundary;
+callers on hot paths cut the number of folds instead: norms precomputed once
+per side in ``similarity_join.brute_force_topk_join``, driver-side literal
+query norms via ``python_l2_norm`` in ``topk.top_k_similar``.)  All
+accumulation is done in DOUBLE regardless of the stored element type
+(fixtures store float32; computing in double keeps Spark and the DuckDB
+oracle bit-identical because both fold left-to-right over the array after an
+exact float->double widen).
 
 Every function takes/returns ``pyspark.sql.Column`` so it composes with any
 DataFrame plan.
@@ -40,6 +45,21 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def python_l2_norm(values) -> float:
+    """Driver-side L2 norm of a literal query vector, bit-identical to
+    ``l2_norm``'s Spark fold: exact float32->double widen, then the same
+    left-to-right sequence of IEEE double multiply-adds.  Lets a literal
+    query's norm be computed once on the driver instead of once per corpus
+    row (the norm fold costs |dim| interpreted lambda steps per row)."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        d = float(x)
+        acc = acc + d * d
+    return math.sqrt(acc)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
