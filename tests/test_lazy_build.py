@@ -35,6 +35,7 @@ EAGER_BY_CONTRACT = {
     "bloom_decontamination",  # Bloom bitmap build over the benchmark side
     #   (CREATE INDEX analog, like the IVF KMeans fit)
     "change_log_replay",  # CDC round trip: index builds + log replay stream
+    "index_rebalance",  # index builds + imbalance probe + rebalance rewrite
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

@@ -1,0 +1,128 @@
+"""Index rebalance: the lifecycle end the delta-sync contract leaves open.
+
+Incremental sync assigns new rows to the EXISTING centroids (reference
+syntetic_data.py:69-78 — the service never refits the ANN structure on
+sync), so a drifting corpus piles rows onto a few centroids.
+index_balance_report / index_imbalance expose that; rebalance_ivf_index
+refits and rewrites when it crosses a threshold.  Exactness contract:
+IVF-Flat with a full probe is brute force, so a rebalance must never
+change full-probe search results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.operators.incremental import (
+    incremental_refresh,
+    index_balance_report,
+    index_imbalance,
+    rebalance_ivf_index,
+)
+from vector_search_databricks_poc_spark.operators.index import (
+    build_ivf_index,
+    build_ivf_pq_index,
+    load_index,
+)
+
+
+def _two_cluster_corpus(spark, n_a=24, n_b=140, dim=8):
+    """Deterministic two-cluster corpus: cluster A (ids 0..n_a-1) near e0,
+    cluster B (ids n_a..) near e1 — B ids are HIGHER so the high-watermark
+    append picks up exactly cluster B."""
+    rows = []
+    for i in range(n_a):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1 + (i % 3)] = 0.05 + 0.01 * (i % 5)
+        rows.append((i, v))
+    for i in range(n_b):
+        v = [0.0] * dim
+        v[1] = 1.0
+        v[2 + (i % 3)] = 0.05 + 0.01 * (i % 7)
+        rows.append((n_a + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _skewed_index(spark, tmp_path, k=4):
+    """Fit on cluster A only, then append cluster B with the frozen
+    centroids — every B row lands on A-region centroids => heavy skew."""
+    corpus = _two_cluster_corpus(spark)
+    a_only = corpus.where(F.col("vec_id") < 24)
+    idx = build_ivf_index(a_only, str(tmp_path / "ivf"), k_centroids=k)
+    n_new = incremental_refresh(spark, idx, corpus)
+    assert n_new == 140
+    return idx, corpus
+
+
+def test_balance_report_shows_incremental_skew(spark, tmp_path):
+    idx, corpus = _skewed_index(spark, tmp_path)
+    rep = index_balance_report(spark, idx).collect()
+    assert len(rep) == 4  # one row per centroid, empties included
+    assert sum(r["n_rows"] for r in rep) == corpus.count()
+    assert abs(sum(r["frac_rows"] for r in rep) - 1.0) < 1e-4
+    # the 140 drifted rows all sit on centroids fit from cluster A
+    assert max(r["n_rows"] for r in rep) >= 140
+    assert index_imbalance(spark, idx) > 2.0
+
+
+def test_rebalance_restores_balance_and_preserves_search(spark, tmp_path):
+    idx, corpus = _skewed_index(spark, tmp_path)
+    imb_before = index_imbalance(spark, idx)
+
+    q = [0.0] * 8
+    q[1] = 1.0  # a cluster-B query
+    before = sorted(
+        (r["vec_id"], r["score"])
+        for r in idx.search(spark, q, k=8, nprobe=4).collect()
+    )
+
+    new_idx, did = rebalance_ivf_index(spark, idx, threshold=2.0)
+    assert did
+    assert index_imbalance(spark, new_idx) < imb_before
+    assert spark.read.parquet(new_idx.path).count() == corpus.count()
+
+    # full probe == brute force: rebalance must not change results
+    after = sorted(
+        (r["vec_id"], r["score"])
+        for r in new_idx.search(spark, q, k=8, nprobe=4).collect()
+    )
+    assert after == before
+
+    # the persisted _meta carries the NEW centroids: a fresh handle from
+    # disk probes the rebalanced layout, not the stale quantizer
+    reloaded = load_index(spark, new_idx.path)
+    assert reloaded.centroids == new_idx.centroids
+    assert reloaded.centroids != idx.centroids
+
+
+def test_rebalance_below_threshold_is_noop(spark, tmp_path):
+    corpus = _two_cluster_corpus(spark)
+    idx = build_ivf_index(corpus, str(tmp_path / "ivf"), k_centroids=4)
+    imb = index_imbalance(spark, idx)
+    same, did = rebalance_ivf_index(spark, idx, threshold=imb + 1.0)
+    assert not did
+    assert same is idx  # untouched handle, no rewrite
+
+
+def test_rebalance_refuses_pq_index(spark, tmp_path):
+    corpus = _two_cluster_corpus(spark)
+    pq = build_ivf_pq_index(
+        corpus, str(tmp_path / "ivfpq"), k_centroids=4, pq_m=4, pq_k=16
+    )
+    with pytest.raises(ValueError, match="codebook"):
+        rebalance_ivf_index(spark, pq, threshold=0.0)
+
+
+def test_rebalance_preserves_payload_columns(spark, tmp_path):
+    corpus = _two_cluster_corpus(spark).withColumn(
+        "title", F.concat(F.lit("doc-"), F.col("vec_id"))
+    )
+    a_only = corpus.where(F.col("vec_id") < 24)
+    idx = build_ivf_index(
+        a_only, str(tmp_path / "ivf"), k_centroids=4, extra_cols=("title",)
+    )
+    incremental_refresh(spark, idx, corpus)
+    new_idx, did = rebalance_ivf_index(spark, idx, threshold=2.0)
+    assert did
+    out = spark.read.parquet(new_idx.path)
+    assert "title" in out.columns
+    assert out.where(F.col("title") == F.concat(F.lit("doc-"), F.col("vec_id"))).count() == corpus.count()

@@ -305,3 +305,128 @@ def _delete_partition_dirs(spark: SparkSession, index_path: str, parts) -> None:
     for p in sorted(parts):
         hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/centroid_id={p}")
         hpath.getFileSystem(hconf).delete(hpath, True)
+
+
+def index_balance_report(spark: SparkSession, index: IvfIndex) -> DataFrame:
+    """Per-centroid occupancy of an IVF index table — the monitoring view
+    that says WHEN a rebalance is worth its full-rewrite cost.
+
+    Incremental sync assigns new rows to the EXISTING centroids (the
+    delta-sync contract, reference syntetic_data.py:69-78 — the service
+    never refits the ANN structure on sync), so a corpus whose
+    distribution drifts piles rows onto a few centroids: probes of those
+    partitions scan far more than corpus_size/k rows and nprobe recall
+    budgets silently skew.  One lazy plan: centroid range left-joined to
+    the per-partition counts, so EMPTY centroids show as 0 rather than
+    vanishing.  Columns: (centroid_id, n_rows, frac_rows).
+    """
+    k = len(index.centroids)
+    cents = spark.range(k).select(F.col("id").cast("int").alias("centroid_id"))
+    counts = (
+        spark.read.parquet(index.path)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = counts.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("_tot"))
+    return (
+        cents.join(counts, "centroid_id", "left")
+        .na.fill({"n_rows": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_rows",
+            F.when(
+                F.col("_tot") > 0, F.round(F.col("n_rows") / F.col("_tot"), 6)
+            ).otherwise(F.lit(0.0)).alias("frac_rows"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def index_imbalance(spark: SparkSession, index: IvfIndex) -> float:
+    """max/mean of per-centroid row counts, EMPTY centroids included (a
+    dead centroid is itself imbalance: its share of every probe budget is
+    wasted).  1.0 = perfectly uniform; k = everything in one partition.
+    Driver-side result is bounded by k_centroids rows."""
+    counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(index.path).groupBy("centroid_id").count().collect()
+    }
+    k = len(index.centroids)
+    full = [counts.get(i, 0) for i in range(k)]
+    mean = sum(full) / k if k else 0
+    return (max(full) / mean) if mean else 1.0
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    index: IvfIndex,
+    threshold: float = 2.0,
+    k_centroids: int | None = None,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> tuple[IvfIndex, bool]:
+    """Re-fit the coarse quantizer and rewrite the index table iff the
+    partition imbalance exceeds ``threshold`` (max/mean row count, see
+    :func:`index_imbalance`) — the missing end of the index lifecycle:
+    build -> incremental sync (existing centroids) -> REBALANCE when drift
+    has made those centroids a bad quantizer.
+
+    Below threshold this is a no-op returning ``(index, False)`` — the
+    report/threshold split means the expensive decision is explicit, never
+    ambient.  Above it: KMeans re-fits on a (seeded) sample of the CURRENT
+    stored vectors (already L2-normalized at build/sync time, so no second
+    normalize pass), every row re-assigns, and the table rewrites via a
+    STAGING directory + filesystem move — one full pass over the data with
+    no executor-storage pinning (a localCheckpoint of the whole corpus,
+    the pattern the partial-rewrite paths use, does not scale to a full
+    rebuild).  The swap is not transactional for concurrent readers — at
+    100 TB run it like any table rebuild, behind the same scheduling fence
+    as a schema migration; on object stores the rename is O(files) copies,
+    so prefer a filesystem with atomic rename for big indexes.
+
+    PQ indexes are refused: their codebooks are trained on RESIDUALS
+    against the old centroids, so re-fitting centroids under an old
+    codebook silently degrades ADC quality — rebuild from the float source
+    with ``build_ivf_pq_index`` instead.
+
+    Returns ``(new_index, True)`` / ``(index, False)``.
+    """
+    from .index import IvfPqIndex, _write_meta, fit_centroids
+
+    if isinstance(index, IvfPqIndex):
+        raise ValueError(
+            "rebalance_ivf_index cannot rebalance an IVF-PQ index: the PQ "
+            "codebook encodes residuals against the OLD centroids; rebuild "
+            "from the float source with build_ivf_pq_index"
+        )
+    if index_imbalance(spark, index) <= threshold:
+        return index, False
+
+    cur = spark.read.parquet(index.path)
+    data = cur.select(*[c for c in cur.columns if c != "centroid_id"])
+    k = k_centroids or len(index.centroids)
+    cents = fit_centroids(data, index.vec_col, k, seed, sample_fraction)
+    assigned = assign_centroid(data, cents, vec_col=index.vec_col)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    stage = index.path.rstrip("/") + "_rebuild_stage"
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+
+    src = jvm.org.apache.hadoop.fs.Path(stage)
+    dst = jvm.org.apache.hadoop.fs.Path(index.path)
+    fs = dst.getFileSystem(hconf)
+    if not fs.delete(dst, True):
+        raise ValueError(f"could not remove old index table at {index.path}")
+    if not fs.rename(src, dst):
+        raise ValueError(
+            f"index rebuild staged at {stage} but the swap to {index.path} "
+            "failed; old table is gone — recover by renaming the stage dir"
+        )
+    _write_meta(
+        spark, index.path,
+        {"kind": "ivf", "centroids": cents, "id_col": index.id_col,
+         "vec_col": index.vec_col},
+    )
+    return IvfIndex(index.path, cents, id_col=index.id_col, vec_col=index.vec_col), True

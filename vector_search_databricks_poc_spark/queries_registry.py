@@ -3161,6 +3161,50 @@ def change_log_replay_q(spark, sf_dir):
     )
 
 
+@register("index_rebalance")
+def index_rebalance_q(spark, sf_dir):
+    """A9/B21 lifecycle end: centroid REBALANCE after incremental drift.
+    Builds an IVF index whose quantizer was fit on a biased slice of the
+    corpus (vectors with label 0 only), CDC-upserts every other row under
+    the frozen centroids (the delta-sync contract — sync never refits,
+    reference syntetic_data.py:69-78), then reports the imbalance factor
+    before/after ``rebalance_ivf_index`` plus a full-probe top-10 overlap
+    between the skewed and rebalanced layouts (IVF-Flat with a full probe
+    is brute force, so overlap must be 10).  Rows-only (eager index
+    builds); exactness + payload preservation asserted in
+    tests/test_rebalance.py."""
+    from .operators.incremental import (
+        incremental_upsert,
+        index_imbalance,
+        rebalance_ivf_index,
+    )
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    tmp = _scratch_dir("rebalance_")
+    biased = e.where(F.col("label") == 0).select("vec_id", "embedding")
+    idx = build_ivf_index(biased, f"{tmp}/ivf", k_centroids=8)
+    n_new = incremental_upsert(
+        spark, idx, e.where(F.col("label") != 0).select("vec_id", "embedding")
+    )
+    imb_before = index_imbalance(spark, idx)
+
+    qv = _query_vector(spark, sf_dir, 0)
+    before = {r["vec_id"] for r in idx.search(spark, qv, k=10, nprobe=8).collect()}
+    new_idx, did = rebalance_ivf_index(spark, idx, threshold=1.5)
+    imb_after = index_imbalance(spark, new_idx)
+    after = {r["vec_id"] for r in new_idx.search(spark, qv, k=10, nprobe=8).collect()}
+
+    return spark.createDataFrame(
+        [(
+            int(n_new), bool(did), round(imb_before, 4), round(imb_after, 4),
+            len(before & after),
+        )],
+        "n_appended long, rebalanced boolean, imbalance_before double, "
+        "imbalance_after double, topk_overlap long",
+    )
+
+
 @register("chunked_doc_search")
 def chunked_doc_search_q(spark, sf_dir):
     """A10/B7/B12 composition: chunk-level retrieval with exact MaxSim
