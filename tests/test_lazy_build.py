@@ -36,6 +36,7 @@ EAGER_BY_CONTRACT = {
     #   (CREATE INDEX analog, like the IVF KMeans fit)
     "change_log_replay",  # CDC round trip: index builds + log replay stream
     "index_rebalance",  # index builds + imbalance probe + rebalance rewrite
+    "index_compaction",  # index build + appends + file-count probe + compaction
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

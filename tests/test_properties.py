@@ -425,3 +425,33 @@ def test_avi_construct_parse_roundtrip(h, w, n, fps, seed):
         assert np.array_equal(
             decode_avi_frame(payload[o : o + ln], w, h), frames[i]
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\né中 -"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_numpy_matches_expr_on_random_text(spark, texts):
+    """Property: the vectorized-numpy signature stage and the
+    pure-expression twin are bit-identical on arbitrary text — unicode,
+    whitespace runs, empty strings, and docs shorter than the shingle
+    width all hit the sentinel/rot-0 branches."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        minhash_signatures_df,
+        minhash_signatures_expr_df,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r[0]: list(r[1]) for r in minhash_signatures_df(df).collect()}
+    b = {r[0]: list(r[1]) for r in minhash_signatures_expr_df(df).collect()}
+    assert a == b

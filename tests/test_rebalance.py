@@ -112,6 +112,64 @@ def test_rebalance_refuses_pq_index(spark, tmp_path):
         rebalance_ivf_index(spark, pq, threshold=0.0)
 
 
+def test_compact_index_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Repeated incremental appends fragment the touched partitions;
+    compact_index must merge exactly those above the file threshold,
+    preserve every row and the partition layout, and leave untouched
+    partitions' files alone."""
+    import os
+
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        compact_index,
+        index_file_counts,
+    )
+
+    corpus = _two_cluster_corpus(spark)
+    a_only = corpus.where(F.col("vec_id") < 24)
+    idx = build_ivf_index(a_only, str(tmp_path / "ivf"), k_centroids=4)
+    # six appends, 1-file batches each -> the B-heavy partitions fragment
+    for lo in range(24, 164, 24):
+        batch = corpus.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 24)
+        ).coalesce(1)
+        incremental_refresh(spark, idx, batch)
+
+    before = index_file_counts(spark, idx)
+    assert max(before.values()) > 3
+    frozen = [cid for cid, n in before.items() if n <= 3]
+    frozen_files = {
+        cid: sorted(os.listdir(f"{idx.path}/centroid_id={cid}"))
+        for cid in frozen
+    }
+    rows_before = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(idx.path).select("vec_id", "centroid_id").collect()
+    )
+
+    done = compact_index(spark, idx, max_files_per_partition=3)
+    assert done and set(done) == {c for c, n in before.items() if n > 3}
+
+    after = index_file_counts(spark, idx)
+    assert set(after) == set(before)  # partition layout preserved
+    for cid in done:
+        assert after[cid] < before[cid]
+        assert after[cid] == done[cid]
+    for cid in frozen:  # untouched partitions keep their exact files
+        assert sorted(os.listdir(f"{idx.path}/centroid_id={cid}")) == frozen_files[cid]
+
+    rows_after = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(idx.path).select("vec_id", "centroid_id").collect()
+    )
+    assert rows_after == rows_before
+
+    # the handle still probes correctly after the rewrite
+    q = [0.0] * 8
+    q[1] = 1.0
+    hits = idx.search(spark, q, k=5, nprobe=4).collect()
+    assert len(hits) == 5
+
+
 def test_rebalance_preserves_payload_columns(spark, tmp_path):
     corpus = _two_cluster_corpus(spark).withColumn(
         "title", F.concat(F.lit("doc-"), F.col("vec_id"))

@@ -307,6 +307,66 @@ def _delete_partition_dirs(spark: SparkSession, index_path: str, parts) -> None:
         hpath.getFileSystem(hconf).delete(hpath, True)
 
 
+def index_file_counts(spark: SparkSession, index: IvfIndex) -> dict[int, int]:
+    """centroid_id -> data-file count, via the Hadoop FileSystem API
+    (bounded by k_centroids listings; underscore/dot entries — _meta,
+    _SUCCESS, staging dirs — are ignored, matching Spark's file index)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(index.path)
+    fs = root.getFileSystem(hconf)
+    out: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("centroid_id=")):
+            continue
+        cid = int(name.split("=", 1)[1])
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            leaf = f.getPath().getName()
+            if f.isFile() and not leaf.startswith(("_", ".")):
+                n += 1
+        out[cid] = n
+    return out
+
+
+def compact_index(
+    spark: SparkSession,
+    index: IvfIndex,
+    max_files_per_partition: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, int]:
+    """Compact FRAGMENTED centroid partitions of an IVF index table.
+
+    Every incremental batch (``incremental_refresh`` append,
+    ``incremental_upsert`` partial rewrite, streaming sync micro-batch)
+    adds files to the centroid partitions it touches; after thousands of
+    syncs a probe of one partition opens thousands of footers and the
+    scheduler pays per-file task overhead — the classic small-file decay
+    of any incrementally-maintained table.  This walks the per-partition
+    file counts (driver-side, bounded by k_centroids) and rewrites ONLY
+    partitions above ``max_files_per_partition``, each through
+    ``layout.compact_files``'s stage-and-swap on the PARTITION DIRECTORY
+    — the partition value lives in the directory name, not the files, so
+    compacting a subdirectory in place preserves the partition layout and
+    partition pruning; untouched partitions keep their files byte-for-
+    byte.  Centroids, ``_meta``, and search results are unaffected.
+
+    Returns {centroid_id: files_written} for the partitions rewritten.
+    """
+    from .layout import compact_files
+
+    done: dict[int, int] = {}
+    for cid, n_files in sorted(index_file_counts(spark, index).items()):
+        if n_files <= max_files_per_partition:
+            continue
+        done[cid] = compact_files(
+            spark, f"{index.path}/centroid_id={cid}",
+            target_file_bytes=target_file_bytes,
+        )
+    return done
+
+
 def index_balance_report(spark: SparkSession, index: IvfIndex) -> DataFrame:
     """Per-centroid occupancy of an IVF index table — the monitoring view
     that says WHEN a rebalance is worth its full-rewrite cost.

@@ -3205,6 +3205,52 @@ def index_rebalance_q(spark, sf_dir):
     )
 
 
+@register("index_compaction")
+def index_compaction_q(spark, sf_dir):
+    """A9/B21 maintenance: small-file compaction of an incrementally-grown
+    IVF index.  Builds on a quarter of the corpus, appends the rest in
+    four single-file batches (every sync fragments the partitions it
+    touches — the small-file decay of any incrementally-maintained
+    table), then compacts partitions above a 3-file threshold via
+    per-partition-directory stage-and-swap (layout preserved, untouched
+    partitions byte-identical).  Reports file/row counts before and
+    after; rows must be conserved.  Rows-only (eager index builds);
+    exact file-level behavior asserted in tests/test_rebalance.py."""
+    from .operators.incremental import (
+        compact_index,
+        incremental_refresh,
+        index_file_counts,
+    )
+    from .operators.index import build_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_src = _table_rows(sf_dir, "embeddings")
+    tmp = _scratch_dir("compact_")
+    idx = build_ivf_index(
+        e.where(F.col("vec_id") < n_src // 4), f"{tmp}/ivf", k_centroids=4
+    )
+    step = max(n_src // 4, 1)
+    for lo in range(n_src // 4, n_src, step):
+        batch = e.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + step)
+        ).coalesce(1)
+        incremental_refresh(spark, idx, batch)
+
+    files_before = index_file_counts(spark, idx)
+    rows_before = spark.read.parquet(idx.path).count()
+    done = compact_index(spark, idx, max_files_per_partition=3)
+    files_after = index_file_counts(spark, idx)
+    rows_after = spark.read.parquet(idx.path).count()
+    return spark.createDataFrame(
+        [(
+            int(max(files_before.values())), int(len(done)),
+            int(max(files_after.values())), int(rows_before), int(rows_after),
+        )],
+        "max_files_before long, n_compacted long, max_files_after long, "
+        "n_rows_before long, n_rows_after long",
+    )
+
+
 @register("chunked_doc_search")
 def chunked_doc_search_q(spark, sf_dir):
     """A10/B7/B12 composition: chunk-level retrieval with exact MaxSim
