@@ -678,3 +678,32 @@ def test_chunked_doc_search_ranking_contract(spark):
         .collect()
     ]
     assert list(zip(ids, scores)) == recomputed
+
+
+def test_index_rebalance_invariants_vs_duckdb(spark):
+    """The rebalance summary's derivable column (append count) is
+    DuckDB-checked; the lifecycle invariants — skew detected, rebalance
+    triggered, imbalance reduced, full-probe top-10 identical across the
+    rewrite — hold by construction on the seeded fixture."""
+    row = R.QUERIES["index_rebalance"](spark, SF_DIR).first()
+    n_drift = duck_connection(SF_DIR).execute(
+        "SELECT COUNT(*) FROM embeddings WHERE label != 0"
+    ).fetchone()[0]
+    assert row["n_appended"] == n_drift
+    assert row["rebalanced"] is True
+    assert row["imbalance_after"] < row["imbalance_before"]
+    assert row["topk_overlap"] == 10  # full probe == brute force, unchanged
+
+
+def test_index_compaction_invariants_vs_duckdb(spark):
+    """Compaction must conserve every row (count == the DuckDB source
+    count on both sides of the rewrite) while bringing the fragmented
+    partitions under the file threshold."""
+    row = R.QUERIES["index_compaction"](spark, SF_DIR).first()
+    n_src = duck_connection(SF_DIR).execute(
+        "SELECT COUNT(*) FROM embeddings"
+    ).fetchone()[0]
+    assert row["n_rows_before"] == n_src == row["n_rows_after"]
+    assert row["max_files_before"] > 3
+    assert row["max_files_after"] <= 3
+    assert row["n_compacted"] >= 1
