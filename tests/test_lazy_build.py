@@ -37,6 +37,7 @@ EAGER_BY_CONTRACT = {
     "change_log_replay",  # CDC round trip: index builds + log replay stream
     "index_rebalance",  # index builds + imbalance probe + rebalance rewrite
     "index_compaction",  # index build + appends + file-count probe + compaction
+    "indexed_chunk_search",  # chunk-index build (CREATE INDEX analog)
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

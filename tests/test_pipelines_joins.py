@@ -244,3 +244,83 @@ def test_chunked_search_rollup_equals_max_over_chunks(spark, sf_dir):
     }
     for r in out:
         assert r["score"] == expected[r["doc_id"]], (r["doc_id"], r["score"])
+
+
+def test_indexed_chunked_search_full_probe_matches_brute_force(spark, sf_dir, tmp_path):
+    """nprobe = k_centroids makes the indexed chunk probe exhaustive, so
+    the MaxSim rollup must return the same docs in the same order as the
+    brute-force chunked_search_pipeline, with scores equal to float32-
+    normalization precision (the index stores unit float32 vectors; the
+    brute path divides double dot products)."""
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_chunk_index,
+        chunked_search_pipeline,
+        indexed_chunked_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    query = "vector search embedding index"
+    idx = build_chunk_index(
+        spark, docs, str(tmp_path / "chunks"),
+        chunk_tokens=16, overlap=4, dim=32, k_centroids=4,
+    )
+    brute = chunked_search_pipeline(
+        spark, docs, query, k=5, chunk_tokens=16, overlap=4, dim=32
+    ).collect()
+    indexed = indexed_chunked_search(
+        spark, idx, query, k=5, nprobe=4, dim=32
+    ).collect()
+    assert [r["doc_id"] for r in indexed] == [r["doc_id"] for r in brute]
+    for a, b in zip(indexed, brute):
+        assert a["score"] == pytest.approx(b["score"], abs=5e-4)
+        assert a["best_chunk_seq"] == b["best_chunk_seq"]
+        assert a["best_chunk_text"] == b["best_chunk_text"]
+
+
+def test_indexed_chunked_search_planted_passage_small_probe(spark, tmp_path):
+    """The planted-passage contract survives the indexed path with a
+    PARTIAL probe: the needle doc's best chunk is so much closer to the
+    query than anything else that its partition is always probed first."""
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_chunk_index,
+        indexed_chunked_search,
+    )
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 20
+    needle = "quantum flux capacitor calibration manual"
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + needle + " " + filler),
+            (2, filler),
+            (3, "short unrelated document about cooking"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_chunk_index(
+        spark, docs, str(tmp_path / "chunks"),
+        chunk_tokens=8, overlap=2, dim=64, k_centroids=4,
+    )
+    out = indexed_chunked_search(spark, idx, needle, k=3, nprobe=2, dim=64).collect()
+    assert out and out[0]["doc_id"] == 1
+    assert needle.split()[0] in out[0]["best_chunk_text"]
+    assert out[0]["score"] > 0.5
+
+
+def test_chunk_index_is_maintainable(spark, sf_dir, tmp_path):
+    """The chunk index is an ordinary IVF table: balance report and
+    compaction apply unchanged (the maintenance surface composes with the
+    passage-granularity layout)."""
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        index_balance_report,
+    )
+    from vector_search_databricks_poc_spark.pipelines import build_chunk_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    idx = build_chunk_index(
+        spark, docs, str(tmp_path / "chunks"),
+        chunk_tokens=16, overlap=4, dim=32, k_centroids=4,
+    )
+    rep = index_balance_report(spark, idx).collect()
+    assert len(rep) == 4
+    n_chunks = spark.read.parquet(idx.path).count()
+    assert sum(r["n_rows"] for r in rep) == n_chunks > 40  # > one chunk per doc

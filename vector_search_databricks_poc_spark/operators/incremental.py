@@ -437,10 +437,12 @@ def rebalance_ivf_index(
     ambient.  Above it: KMeans re-fits on a (seeded) sample of the CURRENT
     stored vectors (already L2-normalized at build/sync time, so no second
     normalize pass), every row re-assigns, and the table rewrites via a
-    STAGING directory + filesystem move — one full pass over the data with
-    no executor-storage pinning (a localCheckpoint of the whole corpus,
-    the pattern the partial-rewrite paths use, does not scale to a full
-    rebuild).  The swap is not transactional for concurrent readers — at
+    STAGING directory + aside-rename swap (the ``layout.compact_files``
+    protocol: at every step a complete copy of the index exists on disk)
+    — one full pass over the data with no executor-storage pinning (a
+    localCheckpoint of the whole corpus, the pattern the partial-rewrite
+    paths use, does not scale to a full rebuild).  The swap is not
+    transactional for concurrent readers — at
     100 TB run it like any table rebuild, behind the same scheduling fence
     as a schema migration; on object stores the rename is O(files) copies,
     so prefer a filesystem with atomic rename for big indexes.
@@ -474,16 +476,21 @@ def rebalance_ivf_index(
     stage = index.path.rstrip("/") + "_rebuild_stage"
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
 
-    src = jvm.org.apache.hadoop.fs.Path(stage)
-    dst = jvm.org.apache.hadoop.fs.Path(index.path)
+    # layout.compact_files' swap protocol: move the original ASIDE before
+    # moving the staged copy in, so every step leaves at least one
+    # complete copy of the index on disk (delete-then-rename has a window
+    # where a crash loses both)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    src, dst, old = hpath(stage), hpath(index.path), hpath(index.path.rstrip("/") + "_rebuild_old")
     fs = dst.getFileSystem(hconf)
-    if not fs.delete(dst, True):
-        raise ValueError(f"could not remove old index table at {index.path}")
+    if fs.exists(old):  # leftover from an interrupted previous rebalance
+        fs.delete(old, True)
+    if not fs.rename(dst, old):
+        raise IOError(f"rebalance: could not move {index.path} aside")
     if not fs.rename(src, dst):
-        raise ValueError(
-            f"index rebuild staged at {stage} but the swap to {index.path} "
-            "failed; old table is gone — recover by renaming the stage dir"
-        )
+        fs.rename(old, dst)  # roll back: original back in place
+        raise IOError(f"rebalance: could not move staged copy into {index.path}")
+    fs.delete(old, True)
     _write_meta(
         spark, index.path,
         {"kind": "ivf", "centroids": cents, "id_col": index.id_col,

@@ -372,11 +372,12 @@ class IvfIndex:
         self,
         spark: SparkSession,
         queries: DataFrame,
-        k: int = 10,
+        k: int | None = 10,
         nprobe: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         score_decimals: int | None = 6,
+        payload_cols: tuple = (),
     ) -> DataFrame:
         """Many queries against the index in ONE job.
 
@@ -386,6 +387,13 @@ class IvfIndex:
         centroid_id — so the scan only touches partitions some query probes,
         and each query is scored only against its own probed partitions.
         Top-k per query via window rank.  Returns (query_id, id, score, rank).
+
+        ``k=None`` returns EVERY scored (query, chunk/row) pair in the
+        probed partitions with no window at all — the shape aggregation
+        consumers need (e.g. exact MaxSim rollup over an indexed chunk
+        table), where a top-k cut before the group-by would change the
+        result.  ``payload_cols`` forwards index payload columns (build's
+        ``extra_cols``) into the output alongside the id.
 
         Probe assignment (normalize + nearest-nprobe centroids per query)
         runs in one vectorized pandas UDF over the small query side — the
@@ -435,7 +443,12 @@ class IvfIndex:
         score = V.dot(self.vec_col, F.col("_qv"))  # both sides unit-norm -> cosine
         if score_decimals is not None:
             score = F.round(score, score_decimals)
-        scored = pairs.select("query_id", F.col(self.id_col), score.alias("score"))
+        scored = pairs.select(
+            "query_id", F.col(self.id_col),
+            *[F.col(c) for c in payload_cols], score.alias("score"),
+        )
+        if k is None:
+            return scored
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(self.id_col))
         return (
             scored.withColumn("rank", F.row_number().over(w))

@@ -226,6 +226,15 @@ def chunked_search_pipeline(
     # NULL cosine (zero query vector / empty chunk) must not fill the
     # top-k: an all-whitespace query now returns an EMPTY result instead
     # of the k lowest doc_ids dressed up as hits
+    return _maxsim_rollup(scored, doc_id_col, k)
+
+
+def _maxsim_rollup(scored: DataFrame, doc_id_col: str, k: int) -> DataFrame:
+    """Exact MaxSim document rollup over chunk scores ``_s``: max chunk
+    score per doc with the best chunk kept for provenance (lowest
+    chunk_seq breaks score ties), then top-k docs.  Shared by the
+    brute-force and the indexed chunk-retrieval paths — one partial-agg
+    shuffle on doc_id either way."""
     rolled = (
         scored.groupBy(doc_id_col)
         .agg(
@@ -239,6 +248,86 @@ def chunked_search_pipeline(
         )
     )
     return rolled.orderBy(F.col("score").desc(), F.col(doc_id_col)).limit(k)
+
+
+def build_chunk_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    encoder: str = "hashing",
+    dim: int = 64,
+    k_centroids: int = 16,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """§3.1 at PASSAGE granularity: chunk -> embed each chunk -> IVF index
+    over the chunk vectors, carrying (doc_id, chunk_seq, chunk_text) as
+    payload so retrieval needs no join back to the corpus.  This is the
+    scale path :func:`chunked_search_pipeline` points at — when the chunk
+    count outgrows a per-query scan, probes read ``nprobe/k_centroids`` of
+    the chunk table (partition pruning) instead of scoring every chunk.
+
+    The chunk primary key is ``doc_id#chunk_seq`` (deterministic, unique
+    because chunk_seq is per-doc) — index maintenance (incremental sync,
+    rebalance, compaction) applies to the chunk table unchanged.
+    """
+    from .operators.index import build_ivf_index
+    from .operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs, id_col=doc_id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    emb = embed_text(chunks, text_col="chunk_text", encoder=encoder, dim=dim)
+    keyed = emb.select(
+        F.concat_ws(
+            "#", F.col(doc_id_col).cast("string"), F.col("chunk_seq").cast("string")
+        ).alias("chunk_id"),
+        F.col(doc_id_col), F.col("chunk_seq"), F.col("chunk_text"), F.col("embedding"),
+    )
+    return build_ivf_index(
+        keyed, index_path, id_col="chunk_id", vec_col="embedding",
+        k_centroids=k_centroids,
+        extra_cols=(doc_id_col, "chunk_seq", "chunk_text"),
+    )
+
+
+def indexed_chunked_search(
+    spark: SparkSession,
+    index,
+    query_text: str,
+    k: int = 5,
+    nprobe: int = 4,
+    encoder: str = "hashing",
+    dim: int = 64,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """§3.2 at passage granularity: probe a :func:`build_chunk_index` table
+    and roll up exact MaxSim per document — same output schema as
+    :func:`chunked_search_pipeline` (doc_id, score, best_chunk_seq,
+    best_chunk_text), sub-linear chunk scoring.
+
+    The MaxSim is exact OVER THE PROBED PARTITIONS: ``batch_search`` with
+    ``k=None`` returns every scored chunk there (a top-k cut before the
+    rollup would silently change doc scores), and the rollup groups on the
+    doc_id payload column carried by the index.  Recall < 1 exactly as for
+    any IVF probe — raise nprobe (nprobe = k_centroids is brute force).
+    Fully lazy: the query embedding, probe set, and scores live in one
+    plan.
+    """
+    qdf = spark.createDataFrame([(0, query_text)], ["query_id", "text"])
+    queries = embed_text(qdf, text_col="text", encoder=encoder, dim=dim).select(
+        "query_id", F.col("embedding").alias("query_vec")
+    )
+    scored = index.batch_search(
+        spark, queries, k=None, nprobe=nprobe, score_decimals=6,
+        payload_cols=(doc_id_col, "chunk_seq", "chunk_text"),
+    ).select(
+        F.col(doc_id_col), "chunk_seq", "chunk_text", F.col("score").alias("_s")
+    ).where(F.col("_s").isNotNull() & ~F.isnan("_s"))
+    return _maxsim_rollup(scored, doc_id_col, k)
 
 
 def search_pipeline(

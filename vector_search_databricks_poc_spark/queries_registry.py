@@ -3205,6 +3205,31 @@ def index_rebalance_q(spark, sf_dir):
     )
 
 
+@register("indexed_chunk_search")
+def indexed_chunk_search_q(spark, sf_dir):
+    """A10/B7/B12 scale path: passage-granularity retrieval against a
+    PERSISTED chunk-level IVF index (pipelines.build_chunk_index) with
+    exact MaxSim rollup per document — the indexed counterpart of
+    chunked_doc_search for chunk counts that outgrow a per-query scan.
+    Probes half the centroid partitions (partition pruning on the chunk
+    table).  Rows-only (eager index build); full-probe equivalence to the
+    brute-force pipeline and planted-passage ranking asserted in
+    tests/test_pipelines_joins.py."""
+    from .pipelines import build_chunk_index, indexed_chunked_search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _cached_index(
+        "chunk", sf_dir,
+        lambda: build_chunk_index(
+            spark, docs, f"{_scratch_dir('chunk_idx_')}/chunks",
+            chunk_tokens=32, overlap=8, dim=64, k_centroids=8,
+        ),
+    )
+    return indexed_chunked_search(
+        spark, idx, "vector search embedding index", k=5, nprobe=4, dim=64
+    )
+
+
 @register("index_compaction")
 def index_compaction_q(spark, sf_dir):
     """A9/B21 maintenance: small-file compaction of an incrementally-grown
