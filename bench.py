@@ -63,6 +63,9 @@ HEADLINE = [
     "heavy_hitters",            # r3 sketch family: MG candidates + exact recount
     "funnel_conversions",       # r3 event analytics: ordered funnel
     "media_metadata_probe",     # r4 B13: header-only media probe via mapInPandas
+    "indexed_chunk_search",     # r5 B7/B12: chunk-index probe + MaxSim rollup
+    #   (first call builds+caches the chunk index; timed reps measure the
+    #   probe + rollup, same treatment as ivf_pq_batch_search)
 ]
 
 

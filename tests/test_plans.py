@@ -84,6 +84,30 @@ def test_ivf_pq_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan[:3000]
 
 
+def test_indexed_chunk_search_probe_plan(spark, sf_dir, tmp_path):
+    """The chunk-index probe joins the one-row query against the chunk
+    table with a BROADCAST (the corpus side never shuffles for the probe),
+    and the MaxSim tail is one partial-agg shuffle on doc_id + the top-k —
+    no extra exchange of the chunk table."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_chunk_index,
+        indexed_chunked_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    idx = build_chunk_index(
+        spark, docs, str(tmp_path / "chunks"),
+        chunk_tokens=16, overlap=4, dim=32, k_centroids=4,
+    )
+    df = indexed_chunked_search(spark, idx, "vector search", k=5, nprobe=2, dim=32)
+    assert A.uses_broadcast_join(df), A.plan_string(df)
+    assert not A.plan_string(df).count("SortMergeJoin"), A.plan_string(df)
+    # broadcast of the probe rows + the rollup agg + final sort; the chunk
+    # table itself is never hash-exchanged
+    assert A.count_exchanges(df) <= 3, A.plan_string(df)
+
+
 def test_sequence_packing_two_shuffles_pruned_scan(spark, sf_dir):
     """Packing = one window shuffle on pack_group (reused by the agg) + the
     final order; the scan reads only (doc_id, text)."""
