@@ -707,3 +707,138 @@ def test_index_compaction_invariants_vs_duckdb(spark):
     assert row["max_files_before"] > 3
     assert row["max_files_after"] <= 3
     assert row["n_compacted"] >= 1
+
+
+def _planted_hygiene_docs(limit_id: int) -> list[tuple[int, str]]:
+    """The planted corpora the r5 hygiene queries build, re-derived here
+    from the raw parquet via DuckDB (never through the Spark builders)."""
+    rows = duck_connection(SF_DIR).execute(
+        f"SELECT doc_id, text FROM documents WHERE doc_id < {limit_id} ORDER BY doc_id"
+    ).fetchall()
+    return rows
+
+
+def test_repetition_signals_matches_python_reference(spark):
+    """Full value-compare of the repetition_signals corpus summary against
+    an independent pure-Python reimplementation of the Gopher/RefinedWeb
+    definitions over the same planted corpus."""
+    import re
+    from collections import Counter
+
+    def dup_fracs(parts):
+        n = len(parts)
+        if n == 0:
+            return 0.0, 0.0
+        c = Counter(parts)
+        occ = sum(v for v in c.values() if v > 1)
+        tot = sum(len(p) for p in parts)
+        dch = sum(len(p) * v for p, v in c.items() if v > 1)
+        return occ / n, (dch / tot if tot else 0.0)
+
+    def top_frac(toks, n, tc):
+        if len(toks) < n or tc == 0:
+            return 0.0
+        g = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        k, v = max(g.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+        return v * len(k) / tc
+
+    def cov_frac(toks, n):
+        tot = sum(len(t) for t in toks)
+        if len(toks) < n or tot == 0:
+            return 0.0
+        g = Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        mark = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if g[tuple(toks[i : i + n])] > 1:
+                mark[i : i + n] = [True] * n
+        return sum(len(t) for t, m in zip(toks, mark) if m) / tot
+
+    sigs = []
+    for doc_id, text in _planted_hygiene_docs(400):
+        t = text
+        if doc_id % 4 == 0:
+            t += "\n\nbuy now limited offer\n\nbuy now limited offer\n\nbuy now limited offer"
+        if doc_id % 7 == 0:
+            t += "\nclick here to subscribe\nclick here to subscribe"
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        paras = [p.strip() for p in re.split(r"\n{2,}", t) if p.strip()]
+        toks = t.split()
+        tc = len(" ".join(toks))
+        dlf, _ = dup_fracs(lines)
+        dpf, _ = dup_fracs(paras)
+        alpha = sum(1 for w in toks if re.search("[A-Za-z]", w)) / len(toks) if toks else 0.0
+        hashes = t.count("#")
+        ell = len(re.findall(r"\.\.\.|…", t))
+        sigs.append(
+            dict(
+                dlf=dlf,
+                dpf=dpf,
+                t2=top_frac(toks, 2, tc),
+                c5=cov_frac(toks, 5),
+                c10=cov_frac(toks, 10),
+                alpha=alpha,
+                sym=(hashes + ell) / len(toks) if toks else 0.0,
+                drop=(
+                    dlf > 0.30
+                    or dpf > 0.30
+                    or top_frac(toks, 2, tc) > 0.20
+                    or cov_frac(toks, 5) > 0.15
+                    or alpha < 0.80
+                ),
+            )
+        )
+    n = len(sigs)
+    row = R.QUERIES["repetition_signals"](spark, SF_DIR).first()
+    assert row["n_docs"] == n
+    assert row["n_would_drop"] == sum(1 for s in sigs if s["drop"])
+    assert abs(row["avg_dup_line_frac"] - sum(s["dlf"] for s in sigs) / n) < 1e-4
+    assert abs(row["avg_dup_para_frac"] - sum(s["dpf"] for s in sigs) / n) < 1e-4
+    assert abs(row["avg_top_2gram_char_frac"] - sum(s["t2"] for s in sigs) / n) < 1e-4
+    assert abs(row["avg_dup_5gram_char_frac"] - sum(s["c5"] for s in sigs) / n) < 1e-4
+    assert abs(row["avg_dup_10gram_char_frac"] - sum(s["c10"] for s in sigs) / n) < 1e-4
+    assert abs(row["avg_alpha_word_frac"] - sum(s["alpha"] for s in sigs) / n) < 1e-4
+    assert abs(row["max_symbol_word_ratio"] - max(s["sym"] for s in sigs)) < 1e-4
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Full value-compare of the paragraph_dedup summary against a
+    pure-Python first-occurrence-keeper over the same planted corpus."""
+    import re
+
+    docs = []
+    for doc_id, text in _planted_hygiene_docs(300):
+        t = "shared legal disclaimer: all rights reserved\n\n" + text
+        if doc_id % 3 == 0:
+            t += "\n\npromo block " + str(doc_id % 2)
+        docs.append((doc_id, t))
+
+    seen: set[str] = set()
+    kept = dropped = nonempty = 0
+    disclaimer = promo = 0
+    for doc_id, t in docs:  # ordered by doc_id = keeper order
+        out = []
+        for p in re.split(r"\n{2,}", t):
+            p = p.strip()
+            if not p:
+                continue
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                out.append(p)
+                kept += 1
+        joined = "\n\n".join(out)
+        if joined:
+            nonempty += 1
+        if "shared legal disclaimer" in joined:
+            disclaimer += 1
+        if "promo block" in joined:
+            promo += 1
+
+    row = R.QUERIES["paragraph_dedup"](spark, SF_DIR).first()
+    assert row["n_docs"] == len(docs)
+    assert row["disclaimer_survivors"] == disclaimer == 1
+    assert row["promo_survivors"] == promo == 2
+    assert row["paras_kept"] == kept
+    assert row["paras_dropped"] == dropped
+    assert row["nonempty_docs"] == nonempty

@@ -209,3 +209,115 @@ def test_bloom_registry_query_matches_exact_query(spark):
     a = QUERIES["benchmark_decontamination"](spark, SF_DIR).collect()[0]
     b = QUERIES["bloom_decontamination"](spark, SF_DIR).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+# ---------------------------------------------------------------------------
+# Gopher/RefinedWeb repetition signals + corpus paragraph dedup (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Exact values on tiny docs worked out by hand (independent of the
+    implementation's own arithmetic)."""
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 2-grams: "a b" x3, "b a" x2 -> top = 3*len("a b")/len("a b a b a b")
+            (1, "a b a b a b"),
+            # duplicate lines: "x" twice of 3 lines -> dup_line_frac=2/3,
+            # chars: 1+1 of 1+1+8 -> 2/10
+            (2, "x\nx\nlongline"),
+            (3, ""),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert abs(r1["top_2gram_char_frac"] - 3 * 3 / 11) < 1e-9
+    # every 2-gram occurs >1 time -> full coverage at n=2 is not measured
+    # (we measure n=5): 6 tokens, 5-grams "a b a b a" and "b a b a b" each
+    # once -> no duplicated 5-gram
+    assert r1["dup_5gram_char_frac"] == 0.0
+    r2 = out[2]
+    assert r2["n_lines"] == 3
+    assert abs(r2["dup_line_frac"] - 2 / 3) < 1e-9
+    assert abs(r2["dup_line_char_frac"] - 2 / 10) < 1e-9
+    for empty_id in (3, 4):
+        r = out[empty_id]
+        assert r["n_lines"] == 0 and r["dup_line_frac"] == 0.0
+        assert r["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_signals_loop_detection(spark):
+    """A degenerate looping doc saturates the duplicate fractions; a clean
+    doc stays at zero."""
+    loop = ("spam please buy now " * 10).strip()
+    clean = "every word in this sentence appears exactly once here"
+    df = spark.createDataFrame([(1, loop), (2, clean)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in X.repetition_signals(df).collect()}
+    assert out[1]["dup_5gram_char_frac"] == 1.0  # every 5-gram repeats
+    assert out[1]["top_2gram_char_frac"] > 0.15
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+
+
+def test_repetition_signals_shape_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "- item one\n- item two\nplain line"),
+            (2, "read more... and then more…\nplain"),
+            (3, "# tag # tag"),
+            (4, "1 2 3 four"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.repetition_signals(df).collect()}
+    assert abs(out[1]["bullet_line_frac"] - 2 / 3) < 1e-6
+    # line 1 of doc 2 ends with '...'? no: it ends 'more…' -> yes ellipsis;
+    # the first line ends with the ASCII '...' only if trailing - it is
+    # 'read more... and then more…' ONE line ending with the unicode
+    # ellipsis -> 1 of 2 lines
+    assert abs(out[2]["ellipsis_line_frac"] - 1 / 2) < 1e-6
+    assert abs(out[3]["symbol_word_ratio"] - 2 / 4) < 1e-6
+    assert abs(out[4]["alpha_word_frac"] - 1 / 4) < 1e-6
+
+
+def test_repetition_signals_duplicate_paragraphs(spark):
+    text = "intro paragraph\n\nrepeated block\n\nrepeated block\n\nconclusion"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = X.repetition_signals(df).collect()[0]
+    assert r["n_paras"] == 4
+    assert abs(r["dup_para_frac"] - 2 / 4) < 1e-9
+    chars = [len("intro paragraph"), len("repeated block"), len("repeated block"), len("conclusion")]
+    assert abs(r["dup_para_char_frac"] - 2 * len("repeated block") / sum(chars)) < 1e-9
+
+
+def test_paragraph_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared\n\nbody one"),
+            (2, "shared\n\nbody two\n\nshared"),
+            (3, "only unique"),
+            (4, "shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "shared\n\nbody one"
+    assert out[1]["n_paras_kept"] == 2 and out[1]["n_paras_dropped"] == 0
+    assert out[2]["text"] == "body two"
+    assert out[2]["n_paras_kept"] == 1 and out[2]["n_paras_dropped"] == 2
+    assert out[3]["text"] == "only unique"
+    assert out[4]["text"] == ""
+    assert out[4]["n_paras_kept"] == 0 and out[4]["n_paras_dropped"] == 1
+
+
+def test_paragraph_dedup_null_and_empty_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "real paragraph"), (2, None), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in X.paragraph_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text"] == "" and out[3]["text"] == ""
+    assert out[1]["text"] == "real paragraph"

@@ -14,8 +14,16 @@ casefold has no Catalyst builtin, so it is an Arrow-vectorized pandas_udf
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Paragraph boundary: a run of 2+ newlines.  ONE definition shared by the
+# Python-side repetition signals and the Catalyst-side paragraph_dedup
+# split so the two operators agree on what a "paragraph" is.
+_BLANK_LINE_RUN = re.compile(r"\n{2,}")
+PARA_SPLIT_REGEX = r"\n{2,}"
 
 # Tiny multilingual stopword list used by the quality score; deliberately
 # deterministic and engine-local (no external model).
@@ -480,6 +488,233 @@ def canonicalize_text_udf(form: str = "NFC", casefold: bool = True, strip_accent
         return out
 
     return canonicalize
+
+
+_REPETITION_SIGNAL_SCHEMA = (
+    "n_lines int, dup_line_frac double, dup_line_char_frac double, "
+    "n_paras int, dup_para_frac double, dup_para_char_frac double, "
+    "top_2gram_char_frac double, top_3gram_char_frac double, "
+    "top_4gram_char_frac double, "
+    "dup_5gram_char_frac double, dup_10gram_char_frac double"
+)
+
+
+def repetition_signals_udf():
+    """Arrow-vectorized pandas_udf computing the Gopher/RefinedWeb
+    repetition signal family per document (Rae et al. 2021 §A1.1, Penedo
+    et al. 2023 — both public papers).  Degenerate machine text repeats
+    itself; these fractions are THE published keep/drop features for it.
+
+    Definitions (documented here because the golden tests re-derive them
+    independently in pure Python):
+
+    - lines / paragraphs: split on '\\n' / blank-line runs, trimmed,
+      empties dropped.
+    - dup_line_frac: occurrences of lines whose text occurs >1 time in the
+      doc, over all line occurrences (Gopher counts every occurrence, not
+      occurrences-beyond-first).  dup_line_char_frac weights by character
+      length.  Same pair for paragraphs.
+    - top_{n}gram_char_frac (n=2,3,4): occurrences of the single most
+      frequent word n-gram x its character length, over the character
+      length of the whitespace-collapsed text.  Ties break by (count,
+      gram char length, lexicographic) so the value is deterministic.
+    - dup_{n}gram_char_frac (n=5,10): POSITION-MARKING coverage — mark
+      every token position covered by any n-gram occurring >1 time, then
+      chars of marked tokens over chars of all tokens.  Overlapping
+      duplicated n-grams count each character once (the RefinedWeb
+      definition; the naive sum overcounts overlap).
+
+    Scale shape: a narrow per-row map over Arrow batches — NO shuffle, no
+    explode; each doc costs O(tokens).  At 100 TB this is the cheapest
+    possible plan (embarrassingly parallel scan), which is why the
+    counting work lives here and not in an explode->groupBy pipeline that
+    would shuffle every n-gram of the corpus.
+    """
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+
+    def _dup_fracs(parts: list[str]) -> tuple[int, float, float]:
+        n = len(parts)
+        if n == 0:
+            return 0, 0.0, 0.0
+        counts = Counter(parts)
+        dup_occ = sum(c for c in counts.values() if c > 1)
+        total_chars = sum(len(p) for p in parts)
+        dup_chars = sum(len(p) * c for p, c in counts.items() if c > 1)
+        return (
+            n,
+            dup_occ / n,
+            (dup_chars / total_chars) if total_chars else 0.0,
+        )
+
+    def _top_gram_frac(toks: list[str], n: int, text_chars: int) -> float:
+        if len(toks) < n or text_chars == 0:
+            return 0.0
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        best = max(grams.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+        return best[1] * len(best[0]) / text_chars
+
+    def _dup_gram_coverage(toks: list[str], n: int) -> float:
+        total_chars = sum(len(t) for t in toks)
+        if len(toks) < n or total_chars == 0:
+            return 0.0
+        grams = Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        covered = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i : i + n])] > 1:
+                for j in range(i, i + n):
+                    covered[j] = True
+        dup_chars = sum(len(t) for t, c in zip(toks, covered) if c)
+        return dup_chars / total_chars
+
+    def _signals(text) -> dict:
+        if text is None:
+            text = ""
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        paras = [p.strip() for p in _BLANK_LINE_RUN.split(text)]
+        paras = [p for p in paras if p]
+        toks = text.split()
+        text_chars = len(" ".join(toks))
+        n_lines, dlf, dlcf = _dup_fracs(lines)
+        n_paras, dpf, dpcf = _dup_fracs(paras)
+        return {
+            "n_lines": n_lines,
+            "dup_line_frac": dlf,
+            "dup_line_char_frac": dlcf,
+            "n_paras": n_paras,
+            "dup_para_frac": dpf,
+            "dup_para_char_frac": dpcf,
+            "top_2gram_char_frac": _top_gram_frac(toks, 2, text_chars),
+            "top_3gram_char_frac": _top_gram_frac(toks, 3, text_chars),
+            "top_4gram_char_frac": _top_gram_frac(toks, 4, text_chars),
+            "dup_5gram_char_frac": _dup_gram_coverage(toks, 5),
+            "dup_10gram_char_frac": _dup_gram_coverage(toks, 10),
+        }
+
+    @pandas_udf(_REPETITION_SIGNAL_SCHEMA)
+    def signals(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_signals(t) for t in s])
+
+    return signals
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher/RefinedWeb repetition + shape signals — the
+    quality-filter feature block a pretraining pipeline thresholds on.
+
+    Two layers in ONE projection over the scan (zero shuffles):
+    - the counting-heavy repetition fractions via ``repetition_signals_udf``
+      (Arrow-batched; see its docstring for definitions), and
+    - the cheap Gopher "shape" signals as pure Catalyst expressions:
+      symbol_word_ratio ('#' chars + ellipses per word), bullet_line_frac
+      (lines starting '-', '*', or a bullet), ellipsis_line_frac (lines
+      ending '...' or the Unicode ellipsis), alpha_word_frac (words
+      containing at least one ASCII letter).
+
+    Gopher's published cutoffs for reference (not applied here — this
+    operator measures, callers threshold): dup_line_frac <= 0.30,
+    dup_para_frac <= 0.30, top_2gram_char_frac <= 0.20,
+    dup_5gram_char_frac <= 0.15 (interpolated per n), symbol_word_ratio
+    <= 0.10, bullet_line_frac <= 0.90, ellipsis_line_frac <= 0.30,
+    alpha_word_frac >= 0.80.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
+    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(-|\*|•)")))
+    ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    sig = repetition_signals_udf()
+    return df.select(
+        F.col(id_col),
+        sig(text).alias("_rep"),
+        F.round(frac(hashes + ellipses, n_words), 6).alias("symbol_word_ratio"),
+        F.round(frac(bullet, n_lines), 6).alias("bullet_line_frac"),
+        F.round(frac(ell_end, n_lines), 6).alias("ellipsis_line_frac"),
+        F.round(frac(alpha, n_words), 6).alias("alpha_word_frac"),
+    ).select(F.col(id_col), "_rep.*", "symbol_word_ratio",
+             "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level EXACT paragraph dedup (the C4/RefinedWeb step below
+    document-level dedup): every paragraph that occurs anywhere else in
+    the corpus keeps only its FIRST occurrence — smallest (id, position)
+    wins — and every later occurrence is dropped from its document; the
+    surviving paragraphs rejoin in original order.
+
+    Distributed shape: posexplode paragraphs -> hash(xxhash64 of trimmed
+    text) -> groupBy hash keeps min(struct(id, pos)) [one shuffle, partial
+    agg map-side] -> equi-join keeper back on the hash [same key, AQE
+    co-partitions] -> rebuild per doc via sort_array over (pos, para)
+    structs [one shuffle on id].  Nothing is ever compared all-pairs and
+    no driver state exists, so the plan survives a 100 TB corpus; the
+    keeper table is NOT broadcast because duplicate paragraphs can be a
+    large fraction of a crawl.
+
+    Docs whose paragraphs were ALL dropped (or whose text was NULL) come
+    back with text='' rather than vanishing — same contract as
+    ``remove_boilerplate_lines``.  Returns (id_col, text_col,
+    n_paras_kept, n_paras_dropped).
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), PARA_SPLIT_REGEX)).alias("_pos", "_raw"),
+        )
+        .withColumn("_para", F.trim("_raw"))
+        .where(F.length("_para") >= min_chars)
+        .withColumn("_h", F.xxhash64("_para"))
+    )
+    keepers = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("_kid"), F.col("_pos").alias("_kpos"))).alias("_k")
+    )
+    tagged = paras.join(keepers, "_h").withColumn(
+        "_keep", (F.col("_k._kid") == F.col(id_col)) & (F.col("_k._kpos") == F.col("_pos"))
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_para"))
+                    )
+                ),
+                lambda s: s["_para"],
+            ),
+            "\n\n",
+        ).alias(text_col),
+        F.sum(F.col("_keep").cast("int")).alias("n_paras_kept"),
+        F.sum((~F.col("_keep")).cast("int")).alias("n_paras_dropped"),
+    )
+    all_ids = df.select(id_col).distinct()
+    return all_ids.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
+    )
 
 
 def canonical_dedup(

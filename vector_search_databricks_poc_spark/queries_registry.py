@@ -3355,6 +3355,101 @@ def corpus_assembly_pipeline(spark, sf_dir):
     )
 
 
+@register("repetition_signals")
+def repetition_signals_q(spark, sf_dir):
+    """Gopher/RefinedWeb repetition + shape signal profile of the corpus
+    (operators/text.py::repetition_signals).  Deterministic degenerate text
+    is planted on a doc_id-derived subset (the fixture corpus is clean):
+    every 4th doc gets a looping paragraph, every 7th a repeated line pair,
+    so the duplicate-fraction signals have non-trivial mass to measure.
+    Output: per-signal corpus means plus the count of docs a Gopher-style
+    threshold pass would drop.  Rows-only (the signal block is a pandas_udf,
+    engine-local); the corpus summary is value-compared against an
+    independent pure-Python reference in tests/test_rows_only_compares.py,
+    with hand-computed unit values in tests/test_text_hygiene.py."""
+    from .operators.text import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("\n\nbuy now limited offer\n\nbuy now limited offer"),
+                    F.lit("\n\nbuy now limited offer"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nclick here to subscribe\nclick here to subscribe"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = repetition_signals(planted)
+    dropped = (
+        (F.col("dup_line_frac") > 0.30)
+        | (F.col("dup_para_frac") > 0.30)
+        | (F.col("top_2gram_char_frac") > 0.20)
+        | (F.col("dup_5gram_char_frac") > 0.15)
+        | (F.col("alpha_word_frac") < 0.80)
+    )
+    return sig.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dropped.cast("int")).alias("n_would_drop"),
+        F.round(F.avg("dup_line_frac"), 5).alias("avg_dup_line_frac"),
+        F.round(F.avg("dup_para_frac"), 5).alias("avg_dup_para_frac"),
+        F.round(F.avg("top_2gram_char_frac"), 5).alias("avg_top_2gram_char_frac"),
+        F.round(F.avg("dup_5gram_char_frac"), 5).alias("avg_dup_5gram_char_frac"),
+        F.round(F.avg("dup_10gram_char_frac"), 5).alias("avg_dup_10gram_char_frac"),
+        F.round(F.avg("alpha_word_frac"), 5).alias("avg_alpha_word_frac"),
+        F.round(F.max("symbol_word_ratio"), 5).alias("max_symbol_word_ratio"),
+    )
+
+
+@register("paragraph_dedup")
+def paragraph_dedup_q(spark, sf_dir):
+    """Corpus-level exact paragraph dedup
+    (operators/text.py::paragraph_dedup).  A shared disclaimer paragraph is
+    planted on every doc and a rotating promo paragraph on every 3rd doc
+    (the fixture has no natural cross-doc paragraphs); after dedup exactly
+    ONE occurrence of each planted paragraph must survive corpus-wide and
+    every doc keeps its own body.  Output: survivors-per-planted-paragraph
+    plus kept/dropped totals.  Rows-only (the keeper rule is engine-local
+    xxhash64 grouping); the full summary is value-compared against an
+    independent pure-Python first-occurrence keeper in
+    tests/test_rows_only_compares.py."""
+    from .operators.text import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared legal disclaimer: all rights reserved\n\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("\n\npromo block "), (F.col("doc_id") % 2).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    deduped = paragraph_dedup(planted)
+    survivors = deduped.select(
+        F.sum(
+            F.when(F.col("text").contains("shared legal disclaimer"), 1).otherwise(0)
+        ).alias("disclaimer_survivors"),
+        F.sum(
+            F.when(F.col("text").contains("promo block"), 1).otherwise(0)
+        ).alias("promo_survivors"),
+        F.sum("n_paras_kept").alias("paras_kept"),
+        F.sum("n_paras_dropped").alias("paras_dropped"),
+        F.sum(F.when(F.length("text") > 0, 1).otherwise(0)).alias("nonempty_docs"),
+        F.count("*").alias("n_docs"),
+    )
+    return survivors
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
