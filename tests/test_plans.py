@@ -200,3 +200,27 @@ def test_bloom_decontamination_probe_filters_in_place(spark, sf_dir):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = sorted(p.split(":")[0] for p in m.group(1).split(",") if p)
         assert cols == ["doc_id", "text"], plan
+
+
+def test_repetition_signals_shuffle_free_pruned(spark, sf_dir):
+    """The signal block is a per-row map: ZERO exchanges, and the scan
+    reads only (doc_id, text)."""
+    from vector_search_databricks_poc_spark.operators.text import repetition_signals
+
+    df = repetition_signals(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    assert A.count_exchanges(df) == 0
+    assert set(A.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_paragraph_dedup_shuffle_budget(spark, sf_dir):
+    """Keeper agg + keeper join + per-doc rebuild + id-survival join: the
+    hash-key exchanges must stay bounded (<= 5 with AQE reuse) and nothing
+    may broadcast the corpus-sized keeper table."""
+    from vector_search_databricks_poc_spark.operators.text import paragraph_dedup
+
+    df = paragraph_dedup(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    assert A.count_exchanges(df) <= 5
