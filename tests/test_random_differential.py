@@ -615,3 +615,165 @@ def test_random_specs_hold_at_sf001(spark, seed):
         assert_equivalent(out, con, sql, keys, f"sf001 seed={seed} {table}")
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# text-hygiene axis (r5): repetition signals + paragraph dedup vs a pure
+# Python reference on adversarial random documents
+# ---------------------------------------------------------------------------
+
+_HYGIENE_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "the", "42", "#", "x...", "…",
+    "-", "*", "•", "buy", "now", "tab\tsep",
+]
+
+
+def _random_hygiene_doc(rng: random.Random) -> str:
+    """Random doc mixing words, symbols, bullets, ellipses, newline runs,
+    tabs, and injected repetition — the shapes that broke naive
+    tokenization during development."""
+    roll = rng.random()
+    if roll < 0.04:
+        return ""
+    if roll < 0.08:
+        return rng.choice([" ", "\n", "\n\n", " \n ", "\t"])
+    parts = []
+    for _ in range(rng.randint(1, 50)):
+        parts.append(rng.choice(_HYGIENE_VOCAB))
+        r = rng.random()
+        if r < 0.10:
+            parts.append("\n")
+        elif r < 0.16:
+            parts.append("\n\n")
+        elif r < 0.18:
+            parts.append("\n\n\n")
+    if rng.random() < 0.5 and parts:
+        seg = parts[: rng.randint(1, min(14, len(parts)))]
+        parts = parts + ["\n"] + seg * rng.randint(1, 3)
+    return " ".join(parts)
+
+
+def _ref_repetition_signals(t: str) -> dict:
+    """Independent reference for operators/text.py::repetition_signals —
+    same published definitions, separately coded."""
+    import re as _re
+    from collections import Counter
+
+    lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+    paras = [p.strip() for p in _re.split(r"\n{2,}", t) if p.strip()]
+    toks = t.split()
+    tc = len(" ".join(toks))
+
+    def dup(parts):
+        if not parts:
+            return 0, 0.0, 0.0
+        c = Counter(parts)
+        occ = sum(v for v in c.values() if v > 1)
+        tot = sum(len(p) for p in parts)
+        dch = sum(len(p) * v for p, v in c.items() if v > 1)
+        return len(parts), occ / len(parts), (dch / tot if tot else 0.0)
+
+    def top(n):
+        if len(toks) < n or tc == 0:
+            return 0.0
+        g = Counter(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        k, v = max(g.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+        return v * len(k) / tc
+
+    def cov(n):
+        tot = sum(len(w) for w in toks)
+        if len(toks) < n or tot == 0:
+            return 0.0
+        g = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        mark = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if g[tuple(toks[i:i + n])] > 1:
+                mark[i:i + n] = [True] * n
+        return sum(len(w) for w, m in zip(toks, mark) if m) / tot
+
+    n_lines, dlf, dlcf = dup(lines)
+    n_paras, dpf, dpcf = dup(paras)
+    n_w = len(toks)
+    hashes = t.count("#")
+    ell = len(_re.findall(r"\.\.\.|…", t))
+    bullets = sum(1 for ln in lines if _re.match(r"(-|\*|•)", ln))
+    ell_end = sum(1 for ln in lines if _re.search(r"(\.\.\.|…)$", ln))
+    alpha = sum(1 for w in toks if _re.search("[A-Za-z]", w))
+    return {
+        "n_lines": n_lines, "dup_line_frac": dlf, "dup_line_char_frac": dlcf,
+        "n_paras": n_paras, "dup_para_frac": dpf, "dup_para_char_frac": dpcf,
+        "top_2gram_char_frac": top(2), "top_3gram_char_frac": top(3),
+        "top_4gram_char_frac": top(4),
+        "dup_5gram_char_frac": cov(5), "dup_10gram_char_frac": cov(10),
+        "symbol_word_ratio": (hashes + ell) / n_w if n_w else 0.0,
+        "bullet_line_frac": bullets / n_lines if n_lines else 0.0,
+        "ellipsis_line_frac": ell_end / n_lines if n_lines else 0.0,
+        "alpha_word_frac": alpha / n_w if n_w else 0.0,
+    }
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_repetition_signals_match_reference(spark, seed):
+    from vector_search_databricks_poc_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rng = random.Random(11000 + seed)
+    docs = [(i, _random_hygiene_doc(rng)) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    for doc_id, text in docs:
+        want = _ref_repetition_signals(text)
+        have = got[doc_id]
+        for k, v in want.items():
+            # shape ratios are rounded to 6 decimals Spark-side
+            tol = 5e-6 if k.endswith(("_ratio", "_line_frac", "alpha_word_frac")) else 1e-9
+            assert abs(have[k] - v) <= tol, (seed, doc_id, k, have[k], v, text[:80])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_paragraph_dedup_matches_reference(spark, seed):
+    """Per-document equality of rebuilt text + kept/dropped counts against
+    a first-occurrence keeper, on corpora with cross-document shared
+    paragraphs."""
+    import re as _re
+
+    from vector_search_databricks_poc_spark.operators.text import (
+        paragraph_dedup,
+    )
+
+    rng = random.Random(12000 + seed)
+    shared_pool = [f"shared paragraph number {i}" for i in range(6)]
+    docs = []
+    for i in range(30):
+        body = _random_hygiene_doc(rng)
+        blocks = [body] if body else []
+        for s in rng.sample(shared_pool, rng.randint(0, 3)):
+            if rng.random() < 0.5:
+                blocks.insert(0, s)
+            else:
+                blocks.append(s)
+        docs.append((i, "\n\n".join(blocks)))
+
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int, int]] = {}
+    for doc_id, t in docs:
+        out, kept, dropped = [], 0, 0
+        for p in _re.split(r"\n{2,}", t):
+            p = p.strip()
+            if not p:
+                continue
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                out.append(p)
+                kept += 1
+        want[doc_id] = ("\n\n".join(out), kept, dropped)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras_kept"], r["n_paras_dropped"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == want, (seed,)

@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 _BLANK_LINE_RUN = re.compile(r"\n{2,}")
 PARA_SPLIT_REGEX = r"\n{2,}"
 
+
+def _ws_trim(c: Column) -> Column:
+    """Trim ALL leading/trailing whitespace (tabs, stray newlines), not
+    just spaces — ``F.trim`` strips only ' ', but the Python-side signal
+    udf uses str.strip(); the two layers must agree on what an empty
+    line/paragraph is."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
 # Tiny multilingual stopword list used by the quality score; deliberately
 # deterministic and engine-local (no external model).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -628,10 +636,13 @@ def repetition_signals(
     alpha_word_frac >= 0.80.
     """
     text = F.col(text_col)
-    toks = tokens(text)
+    # whitespace tokenization (\s+, not ' ') so the expression-side word
+    # counts agree EXACTLY with the udf's str.split() — a token spanning a
+    # newline must not count differently between the two layers
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_words = F.size(toks)
     lines = F.filter(
-        F.transform(F.split(text, "\n"), F.trim), lambda ln: ln != ""
+        F.transform(F.split(text, "\n"), _ws_trim), lambda ln: ln != ""
     )
     n_lines = F.size(lines)
     hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
@@ -683,7 +694,7 @@ def paragraph_dedup(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), PARA_SPLIT_REGEX)).alias("_pos", "_raw"),
         )
-        .withColumn("_para", F.trim("_raw"))
+        .withColumn("_para", _ws_trim(F.col("_raw")))
         .where(F.length("_para") >= min_chars)
         .withColumn("_h", F.xxhash64("_para"))
     )
