@@ -32,6 +32,8 @@ NAMES = [
     "join_size_preflight",
     "media_metadata_probe",
     "bloom_decontamination",
+    "repetition_signals",
+    "paragraph_dedup",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -26,6 +26,8 @@ NAMES = [
     "heavy_hitters",
     "quantile_profile",
     "media_metadata_probe",
+    "repetition_signals",
+    "paragraph_dedup",
 ]
 
 

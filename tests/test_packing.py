@@ -238,3 +238,92 @@ def test_corpus_assembly_pipeline_query(spark):
     rows = R.QUERIES["corpus_assembly_pipeline"](spark, SF_DIR).collect()
     assert rows and all(r.n_packs >= 1 and r.n_docs >= r.n_packs - 1 for r in rows)
     assert {r.shard for r in rows} <= set(range(8))
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture (r5)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_corpus(spark):
+    rows = []
+    i = 0
+    for dom, n in (("head", 64), ("mid", 24), ("tail", 8)):
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "dom"])
+
+
+def test_temperature_weights_hand_computed(spark):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_weights,
+    )
+
+    df = _skewed_corpus(spark)
+    out = {r["dom"]: r for r in temperature_mixture_weights(df, "dom", 0.5).collect()}
+    shares = {"head": 64 / 96, "mid": 24 / 96, "tail": 8 / 96}
+    z = sum(s**0.5 for s in shares.values())
+    for dom, share in shares.items():
+        assert abs(out[dom]["natural_share"] - share) < 1e-12
+        assert abs(out[dom]["weight"] - share**0.5 / z) < 1e-12
+    # weights sum to 1 and flatten the skew: head down, tail up
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+    assert out["head"]["weight"] < shares["head"]
+    assert out["tail"]["weight"] > shares["tail"]
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_weights,
+    )
+
+    df = _skewed_corpus(spark)
+    for r in temperature_mixture_weights(df, "dom", 1.0).collect():
+        assert abs(r["weight"] - r["natural_share"]) < 1e-12
+
+
+def test_temperature_alpha_validation(spark):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_weights,
+    )
+
+    df = _skewed_corpus(spark)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            temperature_mixture_weights(df, "dom", bad)
+
+
+def test_temperature_sample_counts_are_feasible_floor(spark):
+    """Sampled counts equal floor(w_d * N) with N the largest feasible
+    total — recomputed independently here."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_sample,
+        temperature_mixture_weights,
+    )
+
+    df = _skewed_corpus(spark)
+    w = {r["dom"]: (r["weight"], r["n_docs"])
+         for r in temperature_mixture_weights(df, "dom", 0.3).collect()}
+    n_feas = min(int(cnt / wt) for wt, cnt in w.values())
+    got = {
+        r["dom"]: r["n"]
+        for r in temperature_mixture_sample(df, "dom", 0.3)
+        .groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    for dom, (wt, _) in w.items():
+        assert got.get(dom, 0) == int(wt * n_feas), (dom, got, n_feas)
+    # flattening actually happened: head's sampled share < natural share
+    tot = sum(got.values())
+    assert got["head"] / tot < 64 / 96
+
+
+def test_temperature_sample_deterministic(spark):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_sample,
+    )
+
+    df = _skewed_corpus(spark)
+    a = sorted(r["doc_id"] for r in temperature_mixture_sample(df, "dom", 0.3).collect())
+    b = sorted(r["doc_id"] for r in temperature_mixture_sample(df, "dom", 0.3).collect())
+    assert a == b and len(a) > 0

@@ -842,3 +842,27 @@ def test_paragraph_dedup_matches_python_reference(spark):
     assert row["paras_kept"] == kept
     assert row["paras_dropped"] == dropped
     assert row["nonempty_docs"] == nonempty
+
+
+def test_temperature_mixture_matches_duckdb(spark):
+    """Closed-form check of the whole temperature_mixture output: DuckDB
+    recomputes the alpha-power weights, the largest feasible N, and the
+    per-language floor(w*N) sample counts from the raw parquet."""
+    out = R.QUERIES["temperature_mixture"](spark, SF_DIR)
+    sql = """
+    WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    p AS (SELECT lang, n, n / tot AS share, pow(n / tot, 0.3) AS pw FROM c, t),
+    z AS (SELECT SUM(pw) AS zz FROM p),
+    w AS (SELECT lang, n, share, pw / zz AS wt FROM p, z),
+    nf AS (SELECT MIN(FLOOR(n / wt)) AS nfeas FROM w)
+    SELECT lang,
+           n::BIGINT AS n_docs,
+           ROUND(share, 6) AS natural_share,
+           ROUND(wt, 6) AS weight,
+           FLOOR(wt * nfeas)::BIGINT AS n_sampled
+    FROM w, nf
+    ORDER BY lang
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

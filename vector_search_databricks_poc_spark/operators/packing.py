@@ -107,6 +107,15 @@ def domain_mixture_sample(
     wdf = spark.createDataFrame(
         [(d, float(w)) for d, w in sorted(weights.items())], ["_dom", "_w"]
     )
+    return _mixture_sample_by_weights(df, domain_col, wdf, id_col)
+
+
+def _mixture_sample_by_weights(
+    df: DataFrame, domain_col: str, wdf: DataFrame, id_col: str
+) -> DataFrame:
+    """Largest-feasible-mixture core shared by the literal-weight and the
+    temperature-weight samplers.  ``wdf`` is a tiny (_dom, _w) frame —
+    literal OR computed in-plan — that stays broadcast throughout."""
     tagged = df.join(
         F.broadcast(wdf), F.col(domain_col) == F.col("_dom"), "inner"
     ).drop("_dom")
@@ -134,6 +143,62 @@ def domain_mixture_sample(
         .where(F.col("_rn") <= F.floor(F.col("_w") * F.col("_n")))
         .drop("_rn", "_w", "_n")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame, domain_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based domain weights (the XLM-R / mT5 multilingual
+    sampling recipe, Conneau et al. 2020 §3.1 / Xue et al. 2021): weight
+    each domain by its natural share raised to ``alpha`` and renormalize,
+
+        w_d = p_d^alpha / sum_e p_e^alpha,   p_d = n_d / n_total.
+
+    alpha=1 reproduces the natural distribution; alpha->0 approaches
+    uniform; the published sweet spot for low-resource balancing is
+    0.2-0.7.  Head domains are down-weighted, tail domains up-weighted,
+    without any hand-written weight table.
+
+    Fully lazy and all-broadcast: one groupBy over the corpus produces the
+    per-domain counts; the total and the normalizer re-enter the plan as
+    broadcast one-row frames.  Returns (domain_col, n_docs, natural_share,
+    weight) — exact closed-form values, DuckDB-comparable.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_tot"))
+    powed = counts.join(F.broadcast(total)).select(
+        domain_col,
+        "n_docs",
+        (F.col("n_docs") / F.col("_tot")).alias("natural_share"),
+        F.pow(F.col("n_docs") / F.col("_tot"), F.lit(alpha)).alias("_pw"),
+    )
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return powed.join(F.broadcast(z)).select(
+        domain_col,
+        "n_docs",
+        "natural_share",
+        (F.col("_pw") / F.col("_z")).alias("weight"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample the corpus to its own temperature-flattened mixture:
+    ``temperature_mixture_weights`` computes w_d in-plan, then the shared
+    largest-feasible-mixture core keeps floor(w_d * N) docs per domain
+    (mixed-hash choice, deterministic).  No weight ever touches the
+    driver — the weight frame is a per-domain aggregate that stays
+    broadcast, so the whole thing is ONE lazy plan."""
+    wdf = temperature_mixture_weights(df, domain_col, alpha).select(
+        F.col(domain_col).alias("_dom"), F.col("weight").alias("_w")
+    )
+    return _mixture_sample_by_weights(df, domain_col, wdf, id_col)
 
 
 def shard_assignment(

@@ -3408,6 +3408,41 @@ def repetition_signals_q(spark, sf_dir):
     )
 
 
+@register("temperature_mixture")
+def temperature_mixture_q(spark, sf_dir):
+    """Temperature-flattened language mixture (operators/packing.py::
+    temperature_mixture_weights/_sample, the XLM-R/mT5 alpha-power
+    recipe): the fixture's naturally skewed lang distribution (en ~2.7x
+    de) is re-weighted at alpha=0.3 and the corpus downsampled to the
+    largest feasible flattened mixture.  Output per lang: count, natural
+    share, temperature weight, sampled count.  Rows-only (window full);
+    closed-form weights and sampled counts are DuckDB-compared in
+    tests/test_rows_only_compares.py."""
+    from .operators.packing import (
+        temperature_mixture_sample,
+        temperature_mixture_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = temperature_mixture_weights(d, "lang", alpha=0.3)
+    sampled = (
+        temperature_mixture_sample(d, "lang", alpha=0.3)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        w.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("natural_share", 6).alias("natural_share"),
+            F.round("weight", 6).alias("weight"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("paragraph_dedup")
 def paragraph_dedup_q(spark, sf_dir):
     """Corpus-level exact paragraph dedup
