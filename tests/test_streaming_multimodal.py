@@ -1097,3 +1097,83 @@ def test_avi_audio_stream_strf_does_not_clobber_video_metadata():
     assert m["compression"] == 0 and m["bit_count"] == 24 and m["codec"] == "DIB"
     got = decode_bmp(sample_avi_frames(patched, every_n=1)[0])
     assert np.array_equal(got, frames[0])
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate (r5): stateless hygiene filter on a stream
+# ---------------------------------------------------------------------------
+
+
+def _gate_corpus(spark):
+    # long enough that no single n-gram occurrence dominates (Gopher's
+    # rules assume its length prefilter ran; see quality_gate docstring)
+    clean = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    loop = ("buy now limited offer " * 12).strip()
+    return spark.createDataFrame(
+        [
+            (1, clean),
+            (2, loop),                                # repetition rules fire
+            (3, "# # # # # tag soup"),                # symbol ratio fires
+            (4, "1 2 3 4 5 6 7 8 9 10"),              # alpha_word_frac fires
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_quality_gate_reasons(spark):
+    from vector_search_databricks_poc_spark.operators.text import quality_gate
+
+    out = {r["doc_id"]: r for r in quality_gate(_gate_corpus(spark)).collect()}
+    assert out[1]["keep"] is True and out[1]["drop_reasons"] == []
+    assert out[2]["keep"] is False
+    assert "dup_5gram_char_frac_max" in out[2]["drop_reasons"]
+    assert "top_2gram_char_frac_max" in out[2]["drop_reasons"]
+    assert out[3]["keep"] is False
+    assert "symbol_word_ratio_max" in out[3]["drop_reasons"]
+    assert out[4]["keep"] is False
+    assert out[4]["drop_reasons"] == ["alpha_word_frac_min"]
+    # NULL text: every count is zero -> no rule fires except alpha? no:
+    # n_words=0 -> all ratios 0.0, alpha rule compares 0.0 < 0.8 -> fires
+    assert out[5]["keep"] is False
+
+
+def test_quality_gate_threshold_override_and_validation(spark):
+    from vector_search_databricks_poc_spark.operators.text import quality_gate
+
+    df = _gate_corpus(spark)
+    relaxed = {r["doc_id"]: r for r in quality_gate(
+        df, thresholds={"alpha_word_frac_min": 0.0}).collect()}
+    assert relaxed[4]["keep"] is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        quality_gate(df, thresholds={"no_such_rule_max": 1.0})
+
+
+def test_quality_gate_streaming_equals_batch(spark, tmp_path):
+    """The gate is a stateless projection, so the SAME call runs on a
+    file-source stream and must emit exactly the batch rows."""
+    from vector_search_databricks_poc_spark.operators.text import quality_gate
+
+    docs = _gate_corpus(spark).where(F.col("text").isNotNull())
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    batch = quality_gate(spark.read.parquet(src)).select(
+        "doc_id", "keep", F.to_json("drop_reasons").alias("reasons")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = quality_gate(stream).select(
+        "doc_id", "keep", F.to_json("drop_reasons").alias("reasons")
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qgate_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM qgate_sink")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0

@@ -663,6 +663,98 @@ def repetition_signals(
              "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac")
 
 
+# Gopher's published keep/drop cutoffs (Rae et al. 2021 Table A1) — the
+# defaults quality_gate applies; override any subset per corpus.
+GOPHER_THRESHOLDS = {
+    "dup_line_frac_max": 0.30,
+    "dup_para_frac_max": 0.30,
+    "top_2gram_char_frac_max": 0.20,
+    "dup_5gram_char_frac_max": 0.15,
+    "symbol_word_ratio_max": 0.10,
+    "bullet_line_frac_max": 0.90,
+    "ellipsis_line_frac_max": 0.30,
+    "alpha_word_frac_min": 0.80,
+}
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep/drop gate over the Gopher repetition + shape signals: every
+    input column passes through, plus ``keep`` (bool) and ``drop_reasons``
+    (array of violated rule names, empty when keeping).
+
+    A stateless projection — NO shuffle, no state — so the SAME call runs
+    unchanged on a batch DataFrame or a ``readStream`` source: this is the
+    filter a crawl-ingest pipeline applies as documents land, before
+    anything is persisted.  Batch/streaming equivalence is asserted in
+    tests/test_streaming_multimodal.py.
+
+    ``thresholds`` overrides any subset of :data:`GOPHER_THRESHOLDS`
+    (``*_max`` rules fail above the value, ``*_min`` rules below).
+    Unknown keys raise ValueError rather than silently not filtering.
+
+    NOTE: Gopher applies these cutoffs AFTER its 50..100k-word length
+    filter; on very short documents the top-n-gram character fraction is
+    dominated by a single occurrence and over-fires.  Compose with a
+    token-count filter first (``token_count``), as the paper does.
+    """
+    th = dict(GOPHER_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown quality_gate thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), _ws_trim), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
+    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(-|\*|•)")))
+    ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    # the udf struct lands ONCE as a column, then every rule reads a field
+    # from it — referencing the udf expression per rule could re-evaluate
+    # the (Python) signal computation up to 4x
+    with_sig = df.select("*", repetition_signals_udf()(text).alias("_sig"))
+    metrics = {
+        "dup_line_frac": F.col("_sig.dup_line_frac"),
+        "dup_para_frac": F.col("_sig.dup_para_frac"),
+        "top_2gram_char_frac": F.col("_sig.top_2gram_char_frac"),
+        "dup_5gram_char_frac": F.col("_sig.dup_5gram_char_frac"),
+        "symbol_word_ratio": frac(hashes + ellipses, n_words),
+        "bullet_line_frac": frac(bullet, n_lines),
+        "ellipsis_line_frac": frac(ell_end, n_lines),
+        "alpha_word_frac": frac(alpha, n_words),
+    }
+    reasons = []
+    for rule, limit in sorted(th.items()):
+        metric, kind = rule.rsplit("_", 1)
+        violated = (
+            metrics[metric] > F.lit(limit)
+            if kind == "max"
+            else metrics[metric] < F.lit(limit)
+        )
+        reasons.append(F.when(violated, F.lit(rule)))
+    drop_reasons = F.array_compact(F.array(*reasons))
+    return with_sig.select(
+        "*",
+        (F.size(drop_reasons) == 0).alias("keep"),
+        drop_reasons.alias("drop_reasons"),
+    ).drop("_sig")
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
