@@ -26,9 +26,37 @@ NAMES = [
     "heavy_hitters",
     "quantile_profile",
     "media_metadata_probe",
-    "repetition_signals",
-    "paragraph_dedup",
+    "repetition_signals_full",
+    "paragraph_dedup_full",
 ]
+
+
+# The registry queries for these two cap their input (doc_id < 400/300) so
+# their planted-corpus compares stay deterministic — a constant-input probe
+# would show fake flatness.  Probe the OPERATOR over the full documents
+# table instead so the growth columns mean something.
+def _repetition_signals_full(spark, sf):
+    from vector_search_databricks_poc_spark.operators.text import (
+        repetition_signals,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return repetition_signals(d).agg(F.sum("n_lines").alias("n"))
+
+
+def _paragraph_dedup_full(spark, sf):
+    from vector_search_databricks_poc_spark.operators.text import (
+        paragraph_dedup,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return paragraph_dedup(d).agg(F.sum("n_paras_kept").alias("n"))
+
+
+OPERATOR_PROBES = {
+    "repetition_signals_full": _repetition_signals_full,
+    "paragraph_dedup_full": _paragraph_dedup_full,
+}
 
 
 SIZING_100TB = """
@@ -132,7 +160,7 @@ def main() -> None:
 
     rows = []
     for name in NAMES:
-        fn = QUERIES.get(name) or getattr(_R, name)
+        fn = OPERATOR_PROBES.get(name) or QUERIES.get(name) or getattr(_R, name)
         times = []
         for sf in SFS:
             t = time.time()

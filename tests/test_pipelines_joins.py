@@ -324,3 +324,34 @@ def test_chunk_index_is_maintainable(spark, sf_dir, tmp_path):
     assert len(rep) == 4
     n_chunks = spark.read.parquet(idx.path).count()
     assert sum(r["n_rows"] for r in rep) == n_chunks > 40  # > one chunk per doc
+
+
+def test_prepare_training_data_gopher_gate(spark):
+    """With gopher_gate on, a degenerate looping document is dropped
+    BEFORE cleaning flattens its line structure; with the gate off it
+    survives the heuristic quality filter (which only checks length/
+    stopword/shape) — the gate adds real filtering power."""
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    clean_body = " ".join(
+        "the quick brown fox jumps over a lazy dog near riverbank".split()
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"{clean_body} unique tail {i} with several extra words", "en")
+            for i in range(20)
+        ]
+        + [(99, "spam the offer now\n" * 30, "en")],  # dup-line degenerate
+        ["doc_id", "text", "lang"],
+    )
+    kw = dict(langs=("en",), min_quality=0.0, near_dup_threshold=0.95,
+              test_fraction=0.05)
+    train_off, test_off = prepare_training_data(docs, **kw)
+    ids_off = {r["doc_id"] for r in
+               train_off.unionByName(test_off).select("doc_id").collect()}
+    assert 99 in ids_off  # heuristic quality filter alone keeps it
+    train_on, test_on = prepare_training_data(docs, gopher_gate=True, **kw)
+    ids_on = {r["doc_id"] for r in
+              train_on.unionByName(test_on).select("doc_id").collect()}
+    assert 99 not in ids_on
+    assert ids_on == ids_off - {99}

@@ -70,12 +70,14 @@ def prepare_training_data(
     near_dup_threshold: float = 0.7,
     test_fraction: float = 0.1,
     cluster_exact: bool = False,
+    gopher_gate: bool = False,
+    gopher_thresholds: dict[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The north-star LLM-data-prep pipeline, composed from the engine's
     operators in the canonical order a 100 TB corpus runs them:
 
-      clean -> language filter -> quality filter -> exact dedup ->
-      MinHash near-dup removal -> deterministic train/test split
+      [Gopher gate] -> clean -> language filter -> quality filter ->
+      exact dedup -> MinHash near-dup removal -> train/test split
 
     Cheap row-local filters run FIRST (pushdown-friendly, shrink the
     corpus before any shuffle); exact dedup next (one shuffle); the
@@ -85,6 +87,12 @@ def prepare_training_data(
     jobs).  The split is arithmetic, so membership is stable across runs,
     partitionings, and engines.
 
+    ``gopher_gate`` prepends the repetition/shape keep-drop gate
+    (operators/text.py::quality_gate, thresholds overridable) — it MUST
+    run on the RAW text, before ``collapse_whitespace`` flattens the
+    line/paragraph structure the duplicate-line signals measure; off by
+    default so existing pipelines keep their row counts.
+
     Returns (train, test) DataFrames — both lazy (greedy path).
     """
     from .operators.dedup import exact_dedup, minhash_near_dup_pairs
@@ -93,9 +101,16 @@ def prepare_training_data(
         collapse_whitespace,
         lang_id_heuristic,
         language_filter,
+        quality_gate,
         quality_score,
     )
 
+    if gopher_gate:
+        docs = (
+            quality_gate(docs, text_col=text_col, thresholds=gopher_thresholds)
+            .where(F.col("keep"))
+            .drop("keep", "drop_reasons")
+        )
     cleaned = docs.withColumn(
         text_col, collapse_whitespace(text_col)
     ).where(F.col(text_col) != "")
