@@ -327,3 +327,25 @@ def test_temperature_sample_deterministic(spark):
     a = sorted(r["doc_id"] for r in temperature_mixture_sample(df, "dom", 0.3).collect())
     b = sorted(r["doc_id"] for r in temperature_mixture_sample(df, "dom", 0.3).collect())
     assert a == b and len(a) > 0
+
+
+def test_temperature_sample_survives_null_domains(spark):
+    """A NULL domain row must be excluded, not collapse the feasible N to
+    zero and empty the whole sampled corpus (the weight row for the NULL
+    group could never equi-join back to its rows)."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        temperature_mixture_sample,
+        temperature_mixture_weights,
+    )
+
+    base = _skewed_corpus(spark)
+    with_null = base.unionByName(
+        spark.createDataFrame([(999, None)], "doc_id bigint, dom string")
+    )
+    w = {r["dom"] for r in temperature_mixture_weights(with_null, "dom", 0.3).collect()}
+    assert None not in w and w == {"head", "mid", "tail"}
+    got = temperature_mixture_sample(with_null, "dom", 0.3)
+    clean = temperature_mixture_sample(base, "dom", 0.3)
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(r["doc_id"] for r in clean.collect())
+    assert a == b and len(a) > 0 and 999 not in a

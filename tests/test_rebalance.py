@@ -184,3 +184,39 @@ def test_rebalance_preserves_payload_columns(spark, tmp_path):
     out = spark.read.parquet(new_idx.path)
     assert "title" in out.columns
     assert out.where(F.col("title") == F.concat(F.lit("doc-"), F.col("vec_id"))).count() == corpus.count()
+
+
+def test_compaction_scratch_dirs_invisible_to_table_readers(spark, tmp_path):
+    """An interrupted compaction swap leaves underscore-prefixed scratch
+    dirs beside the partition; table reads and the file-count walk must
+    skip them instead of inferring phantom partition values (the old
+    `centroid_id=5__compact` naming crashed int() parsing and
+    double-counted rows)."""
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        index_file_counts,
+    )
+    from vector_search_databricks_poc_spark.operators.index import (
+        build_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+    from vector_search_databricks_poc_spark.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_index(e, str(tmp_path / "ivf"), k_centroids=4)
+    n = spark.read.parquet(idx.path).count()
+
+    # simulate a crash mid-swap: a stale staged copy AND a stale old copy
+    # (dot-prefixed: underscore-prefixed dirs containing '=' are NOT
+    # hidden from Spark's partition discovery)
+    part = f"{idx.path}/centroid_id=0"
+    for scratch in (
+        f"{idx.path}/.compact_stage__centroid_id=0",
+        f"{idx.path}/.compact_old__centroid_id=0",
+    ):
+        spark.read.parquet(part).write.mode("overwrite").parquet(scratch)
+
+    again = spark.read.parquet(idx.path)
+    assert again.count() == n  # no double count
+    assert dict(again.dtypes)["centroid_id"] == "int"  # no string inference
+    counts = index_file_counts(spark, idx)
+    assert set(counts) == {0, 1, 2, 3}  # no phantom partitions, no crash

@@ -475,6 +475,16 @@ def rebalance_ivf_index(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     stage = index.path.rstrip("/") + "_rebuild_stage"
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(stage)
+    # _meta goes into the STAGE directory before the swap: the staged copy
+    # must be a complete, loadable index BEFORE the original is touched.
+    # Writing it after the swap (and after deleting the old copy) left a
+    # crash window where the old _meta was destroyed and the new one not
+    # yet written — an index nothing could load again.
+    _write_meta(
+        spark, stage,
+        {"kind": "ivf", "centroids": cents, "id_col": index.id_col,
+         "vec_col": index.vec_col},
+    )
 
     # layout.compact_files' swap protocol: move the original ASIDE before
     # moving the staged copy in, so every step leaves at least one
@@ -491,9 +501,4 @@ def rebalance_ivf_index(
         fs.rename(old, dst)  # roll back: original back in place
         raise IOError(f"rebalance: could not move staged copy into {index.path}")
     fs.delete(old, True)
-    _write_meta(
-        spark, index.path,
-        {"kind": "ivf", "centroids": cents, "id_col": index.id_col,
-         "vec_col": index.vec_col},
-    )
     return IvfIndex(index.path, cents, id_col=index.id_col, vec_col=index.vec_col), True

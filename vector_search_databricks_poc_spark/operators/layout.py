@@ -104,20 +104,32 @@ def compact_files(
     statistics (no data job).
 
     Swap protocol (Hadoop FileSystem API, so it works on any filesystem
-    Spark reaches, not just local disk): stage the compacted copy at
-    ``<path>__compact``, rename the original aside to ``<path>__old``,
-    rename staged into place, then delete the old copy.  Directory rename
-    is not atomic on object stores, but at EVERY step at least one
-    complete copy of the data exists — a crash leaves the original (as
-    ``path`` or ``__old``) recoverable, never a window where the data is
-    gone (the previous rmtree-then-rename had exactly that window).
+    Spark reaches, not just local disk): stage the compacted copy beside
+    the target, rename the original aside, rename staged into place, then
+    delete the old copy.  Directory rename is not atomic on object
+    stores, but at EVERY step at least one complete copy of the data
+    exists — a crash leaves the original (in place or aside) recoverable,
+    never a window where the data is gone (the previous
+    rmtree-then-rename had exactly that window).
+
+    The scratch directories are DOT-prefixed siblings
+    (``.compact_stage__<name>``, ``.compact_old__<name>``), so when
+    ``path`` is one partition directory of a table (the compact_index
+    case: ``.../centroid_id=5``), a crash or a concurrent reader of the
+    PARENT table never sees a half-swapped partition as a phantom
+    partition value (``centroid_id=5__compact`` would corrupt partition
+    inference and double-count rows).  The prefix must be ``.``, not
+    ``_``: Spark's file index keeps underscore-prefixed names that
+    contain ``=`` (partition columns may start with ``_``), while
+    dot-prefixed entries are always hidden.
     """
     import math
 
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n = max(1, math.ceil(int(size) / target_file_bytes))
-    staged = f"{path}__compact"
+    parent, _, name = path.rstrip("/").rpartition("/")
+    staged = f"{parent}/.compact_stage__{name}"
     out = df.repartition(n)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
@@ -126,7 +138,7 @@ def compact_files(
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
-    p, s, old = hpath(path), hpath(staged), hpath(f"{path}__old")
+    p, s, old = hpath(path), hpath(staged), hpath(f"{parent}/.compact_old__{name}")
     fs = p.getFileSystem(hconf)
     if fs.exists(old):  # leftover from an interrupted previous swap
         fs.delete(old, True)

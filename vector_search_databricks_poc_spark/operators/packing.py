@@ -166,6 +166,12 @@ def temperature_mixture_weights(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # NULL domains are excluded up front (same contract as domains absent
+    # from a literal weight table).  Left in, the NULL group would earn a
+    # weight but never equi-join back to its rows in the sampler — its
+    # per-weight count reads 0, the feasible N clamps to 0, and the WHOLE
+    # sampled corpus comes back empty.
+    df = df.where(F.col(domain_col).isNotNull())
     counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("_tot"))
     powed = counts.join(F.broadcast(total)).select(

@@ -25,13 +25,25 @@ from pyspark.sql import functions as F
 _BLANK_LINE_RUN = re.compile(r"\n{2,}")
 PARA_SPLIT_REGEX = r"\n{2,}"
 
+# THE whitespace definition for the repetition-signal family, stated once
+# in both dialects.  Java's \s is ASCII-only while Python's str.split()/
+# str.strip() are Unicode-aware (U+00A0 etc.), so letting each layer use
+# its native default silently computes the expression-side shape ratios
+# and the udf-side repetition fractions over DIFFERENT token/line bases
+# on real crawled text.  Both layers use this explicit ASCII class; a
+# Unicode-space-glued token is then one token in BOTH layers.
+_WS_CHARS = " \t\n\r\f\v"  # Python strip()/split set
+_WS_CLASS = r"[ \t\n\r\f\x0B]"  # the identical Java regex class
+TOKEN_SPLIT_REGEX = _WS_CLASS + "+"
+_TOKEN_SPLIT_RE = re.compile(TOKEN_SPLIT_REGEX)
+
 
 def _ws_trim(c: Column) -> Column:
-    """Trim ALL leading/trailing whitespace (tabs, stray newlines), not
-    just spaces — ``F.trim`` strips only ' ', but the Python-side signal
-    udf uses str.strip(); the two layers must agree on what an empty
-    line/paragraph is."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Trim ALL leading/trailing ASCII whitespace (tabs, stray newlines),
+    not just spaces — ``F.trim`` strips only ' ', but the Python-side
+    signal udf strips the same ``_WS_CHARS`` set; the two layers must
+    agree on what an empty line/paragraph is."""
+    return F.regexp_replace(c, f"^{_WS_CLASS}+|{_WS_CLASS}+$", "")
 
 # Tiny multilingual stopword list used by the quality score; deliberately
 # deterministic and engine-local (no external model).
@@ -498,16 +510,17 @@ def canonicalize_text_udf(form: str = "NFC", casefold: bool = True, strip_accent
     return canonicalize
 
 
-_REPETITION_SIGNAL_SCHEMA = (
-    "n_lines int, dup_line_frac double, dup_line_char_frac double, "
-    "n_paras int, dup_para_frac double, dup_para_char_frac double, "
-    "top_2gram_char_frac double, top_3gram_char_frac double, "
-    "top_4gram_char_frac double, "
-    "dup_5gram_char_frac double, dup_10gram_char_frac double"
-)
+def _repetition_signal_schema(top_ns: tuple, dup_ns: tuple) -> str:
+    fields = [
+        "n_lines int", "dup_line_frac double", "dup_line_char_frac double",
+        "n_paras int", "dup_para_frac double", "dup_para_char_frac double",
+    ]
+    fields += [f"top_{n}gram_char_frac double" for n in top_ns]
+    fields += [f"dup_{n}gram_char_frac double" for n in dup_ns]
+    return ", ".join(fields)
 
 
-def repetition_signals_udf():
+def repetition_signals_udf(top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 10)):
     """Arrow-vectorized pandas_udf computing the Gopher/RefinedWeb
     repetition signal family per document (Rae et al. 2021 §A1.1, Penedo
     et al. 2023 — both public papers).  Degenerate machine text repeats
@@ -537,6 +550,15 @@ def repetition_signals_udf():
     possible plan (embarrassingly parallel scan), which is why the
     counting work lives here and not in an explode->groupBy pipeline that
     would shuffle every n-gram of the corpus.
+
+    ``top_ns`` / ``dup_ns`` choose which n-gram statistics are computed —
+    each extra n is a full Counter pass over the doc's tokens, so callers
+    that consume a subset (quality_gate reads only n=2 and n=5) request
+    only that subset instead of paying for all five.
+
+    Tokens split on the explicit ASCII ``_WS_CHARS`` class (not
+    str.split's Unicode set) so these fractions and the Catalyst-side
+    shape ratios in ``repetition_signals`` count the same tokens.
     """
     from collections import Counter
 
@@ -584,33 +606,65 @@ def repetition_signals_udf():
     def _signals(text) -> dict:
         if text is None:
             text = ""
-        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln.strip(_WS_CHARS) for ln in text.split("\n")]
         lines = [ln for ln in lines if ln]
-        paras = [p.strip() for p in _BLANK_LINE_RUN.split(text)]
+        paras = [p.strip(_WS_CHARS) for p in _BLANK_LINE_RUN.split(text)]
         paras = [p for p in paras if p]
-        toks = text.split()
+        toks = [t for t in _TOKEN_SPLIT_RE.split(text) if t]
         text_chars = len(" ".join(toks))
         n_lines, dlf, dlcf = _dup_fracs(lines)
         n_paras, dpf, dpcf = _dup_fracs(paras)
-        return {
+        out = {
             "n_lines": n_lines,
             "dup_line_frac": dlf,
             "dup_line_char_frac": dlcf,
             "n_paras": n_paras,
             "dup_para_frac": dpf,
             "dup_para_char_frac": dpcf,
-            "top_2gram_char_frac": _top_gram_frac(toks, 2, text_chars),
-            "top_3gram_char_frac": _top_gram_frac(toks, 3, text_chars),
-            "top_4gram_char_frac": _top_gram_frac(toks, 4, text_chars),
-            "dup_5gram_char_frac": _dup_gram_coverage(toks, 5),
-            "dup_10gram_char_frac": _dup_gram_coverage(toks, 10),
         }
+        for n in top_ns:
+            out[f"top_{n}gram_char_frac"] = _top_gram_frac(toks, n, text_chars)
+        for n in dup_ns:
+            out[f"dup_{n}gram_char_frac"] = _dup_gram_coverage(toks, n)
+        return out
 
-    @pandas_udf(_REPETITION_SIGNAL_SCHEMA)
+    @pandas_udf(_repetition_signal_schema(top_ns, dup_ns))
     def signals(s: pd.Series) -> pd.DataFrame:
         return pd.DataFrame([_signals(t) for t in s])
 
     return signals
+
+
+def _shape_metric_columns(text: Column) -> dict[str, Column]:
+    """The cheap Gopher "shape" signals as pure Catalyst expressions,
+    shared by ``repetition_signals`` (reporting) and ``quality_gate``
+    (filtering) so the two can never drift: symbol_word_ratio ('#' chars
+    + ellipses per word), bullet_line_frac (lines starting '-', '*', or a
+    bullet), ellipsis_line_frac (lines ending '...' or the Unicode
+    ellipsis), alpha_word_frac (words containing an ASCII letter).
+    Tokens/lines split and trim on the same ``_WS_CLASS`` the signal udf
+    uses."""
+    toks = F.filter(F.split(text, TOKEN_SPLIT_REGEX), lambda t: t != "")
+    n_words = F.size(toks)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), _ws_trim), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipses = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
+    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(-|\*|•)")))
+    ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    return {
+        "symbol_word_ratio": frac(hashes + ellipses, n_words),
+        "bullet_line_frac": frac(bullet, n_lines),
+        "ellipsis_line_frac": frac(ell_end, n_lines),
+        "alpha_word_frac": frac(alpha, n_words),
+    }
 
 
 def repetition_signals(
@@ -622,45 +676,21 @@ def repetition_signals(
     Two layers in ONE projection over the scan (zero shuffles):
     - the counting-heavy repetition fractions via ``repetition_signals_udf``
       (Arrow-batched; see its docstring for definitions), and
-    - the cheap Gopher "shape" signals as pure Catalyst expressions:
-      symbol_word_ratio ('#' chars + ellipses per word), bullet_line_frac
-      (lines starting '-', '*', or a bullet), ellipsis_line_frac (lines
-      ending '...' or the Unicode ellipsis), alpha_word_frac (words
-      containing at least one ASCII letter).
+    - the cheap Gopher "shape" signals via ``_shape_metric_columns``
+      (pure Catalyst expressions).
 
     Gopher's published cutoffs for reference (not applied here — this
-    operator measures, callers threshold): dup_line_frac <= 0.30,
-    dup_para_frac <= 0.30, top_2gram_char_frac <= 0.20,
-    dup_5gram_char_frac <= 0.15 (interpolated per n), symbol_word_ratio
-    <= 0.10, bullet_line_frac <= 0.90, ellipsis_line_frac <= 0.30,
-    alpha_word_frac >= 0.80.
+    operator measures, ``quality_gate`` thresholds): see
+    :data:`GOPHER_THRESHOLDS`.
     """
     text = F.col(text_col)
-    # whitespace tokenization (\s+, not ' ') so the expression-side word
-    # counts agree EXACTLY with the udf's str.split() — a token spanning a
-    # newline must not count differently between the two layers
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    n_words = F.size(toks)
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), _ws_trim), lambda ln: ln != ""
-    )
-    n_lines = F.size(lines)
-    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    ellipses = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
-    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(-|\*|•)")))
-    ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    shapes = _shape_metric_columns(text)
     sig = repetition_signals_udf()
     return df.select(
         F.col(id_col),
         sig(text).alias("_rep"),
-        F.round(frac(hashes + ellipses, n_words), 6).alias("symbol_word_ratio"),
-        F.round(frac(bullet, n_lines), 6).alias("bullet_line_frac"),
-        F.round(frac(ell_end, n_lines), 6).alias("ellipsis_line_frac"),
-        F.round(frac(alpha, n_words), 6).alias("alpha_word_frac"),
-    ).select(F.col(id_col), "_rep.*", "symbol_word_ratio",
-             "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac")
+        *[F.round(c, 6).alias(name) for name, c in shapes.items()],
+    ).select(F.col(id_col), "_rep.*", *shapes.keys())
 
 
 # Gopher's published keep/drop cutoffs (Rae et al. 2021 Table A1) — the
@@ -709,34 +739,20 @@ def quality_gate(
         th.update(thresholds)
 
     text = F.col(text_col)
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    n_words = F.size(toks)
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), _ws_trim), lambda ln: ln != ""
-    )
-    n_lines = F.size(lines)
-    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    ellipses = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
-    bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(-|\*|•)")))
-    ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-
-    def frac(num, den):
-        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
-
     # the udf struct lands ONCE as a column, then every rule reads a field
     # from it — referencing the udf expression per rule could re-evaluate
-    # the (Python) signal computation up to 4x
-    with_sig = df.select("*", repetition_signals_udf()(text).alias("_sig"))
+    # the (Python) signal computation up to 4x.  Only the n-gram stats the
+    # rules actually read (n=2 top, n=5 coverage) are computed: this gate
+    # sits on the ingest hot path and the unused n=3/4/10 Counter passes
+    # are ~40% extra Python work per document.
+    sig = repetition_signals_udf(top_ns=(2,), dup_ns=(5,))
+    with_sig = df.select("*", sig(text).alias("_sig"))
     metrics = {
         "dup_line_frac": F.col("_sig.dup_line_frac"),
         "dup_para_frac": F.col("_sig.dup_para_frac"),
         "top_2gram_char_frac": F.col("_sig.top_2gram_char_frac"),
         "dup_5gram_char_frac": F.col("_sig.dup_5gram_char_frac"),
-        "symbol_word_ratio": frac(hashes + ellipses, n_words),
-        "bullet_line_frac": frac(bullet, n_lines),
-        "ellipsis_line_frac": frac(ell_end, n_lines),
-        "alpha_word_frac": frac(alpha, n_words),
+        **_shape_metric_columns(text),
     }
     reasons = []
     for rule, limit in sorted(th.items()):
@@ -767,12 +783,16 @@ def paragraph_dedup(
     wins — and every later occurrence is dropped from its document; the
     surviving paragraphs rejoin in original order.
 
-    Distributed shape: posexplode paragraphs -> hash(xxhash64 of trimmed
-    text) -> groupBy hash keeps min(struct(id, pos)) [one shuffle, partial
-    agg map-side] -> equi-join keeper back on the hash [same key, AQE
-    co-partitions] -> rebuild per doc via sort_array over (pos, para)
-    structs [one shuffle on id].  Nothing is ever compared all-pairs and
-    no driver state exists, so the plan survives a 100 TB corpus; the
+    Distributed shape: posexplode paragraphs -> groupBy (xxhash64, text)
+    keeps min(struct(id, pos)) [one shuffle, partial agg map-side] ->
+    equi-join keeper back on the same pair [same key, AQE co-partitions]
+    -> rebuild per doc via sort_array over (pos, para) structs [one
+    shuffle on id].  The paragraph TEXT stays in the group/join key — the
+    hash alone would silently merge two distinct paragraphs on a 64-bit
+    collision (statistically expected beyond ~5e9 paragraphs) and delete
+    one of them corpus-wide; the hash rides along so the shuffle
+    partitioner works from 8 bytes.  Nothing is ever compared all-pairs
+    and no driver state exists, so the plan survives a 100 TB corpus; the
     keeper table is NOT broadcast because duplicate paragraphs can be a
     large fraction of a crawl.
 
@@ -790,10 +810,10 @@ def paragraph_dedup(
         .where(F.length("_para") >= min_chars)
         .withColumn("_h", F.xxhash64("_para"))
     )
-    keepers = paras.groupBy("_h").agg(
+    keepers = paras.groupBy("_h", "_para").agg(
         F.min(F.struct(F.col(id_col).alias("_kid"), F.col("_pos").alias("_kpos"))).alias("_k")
     )
-    tagged = paras.join(keepers, "_h").withColumn(
+    tagged = paras.join(keepers, ["_h", "_para"]).withColumn(
         "_keep", (F.col("_k._kid") == F.col(id_col)) & (F.col("_k._kpos") == F.col("_pos"))
     )
     rebuilt = tagged.groupBy(id_col).agg(

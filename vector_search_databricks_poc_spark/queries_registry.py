@@ -3451,10 +3451,9 @@ def paragraph_dedup_q(spark, sf_dir):
     (the fixture has no natural cross-doc paragraphs); after dedup exactly
     ONE occurrence of each planted paragraph must survive corpus-wide and
     every doc keeps its own body.  Output: survivors-per-planted-paragraph
-    plus kept/dropped totals.  Rows-only (the keeper rule is engine-local
-    xxhash64 grouping); the full summary is value-compared against an
-    independent pure-Python first-occurrence keeper in
-    tests/test_rows_only_compares.py."""
+    plus kept/dropped totals.  Rows-only (the oracle window is full); the
+    full summary is value-compared against an independent pure-Python
+    first-occurrence keeper in tests/test_rows_only_compares.py."""
     from .operators.text import paragraph_dedup
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
