@@ -189,43 +189,50 @@ def minhash_signatures_df(
         shifts2 = [u64((11 * j + 3) % 64) for j in range(n)]
         sent1 = [u64(1_000_003 * (j + 1)) for j in range(n)]
         sent2 = [u64(998_244_353 * (j + 1)) for j in range(n)]
-        rot_i = np.arange(num_hashes, dtype=np.uint64) % u64(64)
-        inv_i = (u64(64) - rot_i) % u64(64)
-        # rot(x, 0) must be x, not x >> 64 (undefined); mask via where
-        zero_mask = rot_i == 0
 
         def rot_arr(x, s):  # x: uint64 array, s: uint64 scalar (0 < s < 64)
             return np.left_shift(x, s) | np.right_shift(x, u64(64) - s)
 
+        # The whole Arrow batch is flattened into ONE shingle-hash array and
+        # processed with numpy segment ops (minimum.reduceat at doc
+        # boundaries) — no per-document Python loop: at a 10k-row batch the
+        # loop body itself (30k tiny numpy calls) used to dominate the
+        # stage.  Bit-identical to the per-doc formulation and to
+        # minhash_signatures_expr_df (asserted in tests).
         for pdf in iterator:
-            ids, sigs = [], []
-            for did, h1, h2 in zip(pdf[id_col], pdf["_ht1"], pdf["_ht2"]):
-                a1 = np.asarray(h1, dtype=np.int64).view(np.uint64)
-                a2 = np.asarray(h2, dtype=np.int64).view(np.uint64)
-                sz = len(a1)
-                nsh = max(sz - (n - 1), 1)
-                sh1 = np.zeros(nsh, dtype=np.uint64)
-                sh2 = np.zeros(nsh, dtype=np.uint64)
-                idx0 = np.arange(nsh)
-                for j in range(n):
-                    idx = idx0 + j
-                    in_range = idx < sz
-                    e1 = np.where(in_range, a1[np.minimum(idx, sz - 1)], sent1[j])
-                    e2 = np.where(in_range, a2[np.minimum(idx, sz - 1)], sent2[j])
-                    sh1 ^= rot_arr(e1, shifts1[j]) if shifts1[j] else e1
-                    sh2 ^= rot_arr(e2, shifts2[j]) if shifts2[j] else e2
-                # (num_hashes, nsh): sh1 XOR rot(sh2, i); min is SIGNED
-                # (Spark array_min over long), so view back to int64
-                left = np.left_shift(sh2[None, :], rot_i[:, None])
-                right = np.right_shift(
-                    sh2[None, :], np.maximum(inv_i, u64(1))[:, None]
-                )
-                rot2 = np.where(zero_mask[:, None], sh2[None, :], left | right)
-                comb = sh1[None, :] ^ rot2
-                sigs.append(comb.view(np.int64).min(axis=1))
-                ids.append(did)
-            if ids:
-                yield pd.DataFrame({id_col: ids, "_sig": [list(s) for s in sigs]})
+            if not len(pdf):
+                continue
+            rows1 = [np.asarray(x, dtype=np.int64) for x in pdf["_ht1"]]
+            rows2 = [np.asarray(x, dtype=np.int64) for x in pdf["_ht2"]]
+            sz = np.fromiter((len(x) for x in rows1), dtype=np.int64, count=len(rows1))
+            a1 = np.concatenate(rows1).view(u64)
+            a2 = np.concatenate(rows2).view(u64)
+            nsh = np.maximum(sz - (n - 1), 1)
+            seg_starts = np.zeros(len(nsh), dtype=np.int64)
+            np.cumsum(nsh[:-1], out=seg_starts[1:])
+            total = int(seg_starts[-1] + nsh[-1])
+            doc_start = np.repeat(np.cumsum(sz) - sz, nsh)  # flat offset of doc
+            sz_rep = np.repeat(sz, nsh)
+            local_k = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, nsh)
+            last_idx = doc_start + sz_rep - 1
+            sh1 = np.zeros(total, dtype=u64)
+            sh2 = np.zeros(total, dtype=u64)
+            for j in range(n):
+                in_range = (local_k + j) < sz_rep
+                idx = np.minimum(doc_start + local_k + j, last_idx)
+                e1 = np.where(in_range, a1[idx], sent1[j])
+                e2 = np.where(in_range, a2[idx], sent2[j])
+                sh1 ^= rot_arr(e1, shifts1[j]) if shifts1[j] else e1
+                sh2 ^= rot_arr(e2, shifts2[j]) if shifts2[j] else e2
+            # one hash index at a time keeps peak extra memory at O(total)
+            # instead of O(num_hashes * total); min is SIGNED (Spark
+            # array_min over long), so view back to int64 before reducing
+            sig = np.empty((len(sz), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                s = u64(i % 64)
+                comb = sh1 ^ (rot_arr(sh2, s) if s else sh2)
+                sig[:, i] = np.minimum.reduceat(comb.view(np.int64), seg_starts)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "_sig": sig.tolist()})
 
     out_schema = StructType(
         [id_field, StructField("_sig", ArrayType(LongType()), False)]
