@@ -38,6 +38,7 @@ EAGER_BY_CONTRACT = {
     "index_rebalance",  # index builds + imbalance probe + rebalance rewrite
     "index_compaction",  # index build + appends + file-count probe + compaction
     "indexed_chunk_search",  # chunk-index build (CREATE INDEX analog)
+    "wet_crawl_ingest",  # WET shard export (CREATE INDEX analog)
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

@@ -1,0 +1,206 @@
+"""WARC/WET crawl-archive source tests (sources/warc.py).
+
+Covers the byte-level parser (roundtrip, resync on corrupt gzip members
+and malformed records, truncation), the Spark readers/stats, and the
+write_wet -> read_wet export roundtrip.
+"""
+
+import gzip
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.sources.warc import (
+    build_warc_file,
+    build_warc_record,
+    build_wet_record,
+    iter_warc_records,
+    read_warc,
+    read_wet,
+    warc_file_stats,
+    write_wet,
+)
+
+
+def _sample_records(k=5):
+    return [
+        build_wet_record(f"http://example.com/{i}", f"doc body {i} é")
+        for i in range(k)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# pure parser
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_gzip_per_record():
+    payload = build_warc_file(_sample_records(), gzip_per_record=True)
+    c = {}
+    recs = list(iter_warc_records(payload, c))
+    assert len(recs) == 5
+    assert recs[2]["url"] == "http://example.com/2"
+    assert recs[2]["content"].decode("utf-8") == "doc body 2 é"
+    assert recs[2]["record_type"] == "conversion"
+    assert recs[2]["warc_date"] == "2026-01-01T00:00:00Z"
+    assert c == {"bad_members": 0, "bad_records": 0}
+
+
+def test_roundtrip_plain_and_single_member():
+    plain = build_warc_file(_sample_records(), gzip_per_record=False)
+    assert len(list(iter_warc_records(plain))) == 5
+    # one gzip member holding ALL records (non-Common-Crawl but legal)
+    single = gzip.compress(plain)
+    assert len(list(iter_warc_records(single))) == 5
+
+
+def test_response_record_with_binary_payload():
+    body = bytes(range(256)) * 3
+    rec = build_warc_record(
+        "response", body, url="http://example.com/bin",
+        content_type="application/http",
+    )
+    got = list(iter_warc_records(build_warc_file([rec])))
+    assert len(got) == 1 and got[0]["content"] == body
+    assert got[0]["record_type"] == "response"
+
+
+def test_corrupt_gzip_member_resyncs():
+    records = _sample_records(4)
+    members = []
+    for r in records:
+        c = zlib.compressobj(wbits=31)
+        members.append(c.compress(r) + c.flush())
+    # corrupt the middle of member 1 (keep its gzip magic intact so the
+    # resync must find member 2's magic, not member 1's)
+    bad = bytearray(members[1])
+    for i in range(12, min(30, len(bad))):
+        bad[i] ^= 0xFF
+    payload = members[0] + bytes(bad) + members[2] + members[3]
+    c = {}
+    recs = list(iter_warc_records(payload, c))
+    assert [r["url"] for r in recs] == [
+        "http://example.com/0", "http://example.com/2", "http://example.com/3",
+    ]
+    assert c["bad_members"] >= 1 and c["bad_records"] == 0
+
+
+def test_malformed_record_resyncs_in_plain_stream():
+    good = _sample_records(3)
+    garbage = b"HTTP/1.1 200 OK\r\nnot: warc\r\n\r\nxxxx\r\n\r\n"
+    payload = good[0] + garbage + good[1] + good[2]
+    c = {}
+    recs = list(iter_warc_records(payload, c))
+    assert [r["url"] for r in recs] == [
+        "http://example.com/0", "http://example.com/1", "http://example.com/2",
+    ]
+    assert c["bad_records"] == 1
+
+
+def test_truncated_trailing_record_quarantined():
+    full = build_warc_file(_sample_records(2), gzip_per_record=False)
+    cut = full[: len(full) - 30]  # truncate inside record 1's payload
+    c = {}
+    recs = list(iter_warc_records(cut, c))
+    assert [r["url"] for r in recs] == ["http://example.com/0"]
+    assert c["bad_records"] == 1
+
+
+def test_missing_content_length_is_bad_record():
+    broken = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://example.com/x\r\n\r\nbody\r\n\r\n"
+    )
+    payload = broken + _sample_records(1)[0]
+    c = {}
+    recs = list(iter_warc_records(payload, c))
+    assert [r["url"] for r in recs] == ["http://example.com/0"]
+    assert c["bad_records"] == 1
+
+
+def test_empty_and_garbage_inputs():
+    assert list(iter_warc_records(b"")) == []
+    c = {}
+    assert list(iter_warc_records(b"complete garbage, no markers", c)) == []
+    assert c["bad_records"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def wet_dir(tmp_path):
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "shard-0.warc.wet.gz").write_bytes(build_warc_file(_sample_records(5)))
+    extra = [
+        build_warc_record(
+            "warcinfo", b"software: test", content_type="application/warc-fields"
+        ),
+        build_wet_record("http://example.com/a", "alpha"),
+        build_wet_record("http://example.com/b", "beta"),
+    ]
+    (d / "shard-1.warc.wet.gz").write_bytes(build_warc_file(extra))
+    return str(d)
+
+
+def test_read_warc_all_records(spark, wet_dir):
+    df = read_warc(spark, wet_dir)
+    assert df.count() == 8
+    assert df.where(F.col("record_type") == "warcinfo").count() == 1
+    assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_read_wet_text_records(spark, wet_dir):
+    got = {
+        r["url"]: r["text"]
+        for r in read_wet(spark, wet_dir).collect()
+    }
+    assert len(got) == 7  # warcinfo dropped
+    assert got["http://example.com/a"] == "alpha"
+    assert got["http://example.com/2"] == "doc body 2 é"
+
+
+def test_warc_file_stats_counts_quarantine(spark, tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "good.warc.wet.gz").write_bytes(build_warc_file(_sample_records(3)))
+    members = []
+    for r in _sample_records(3):
+        c = zlib.compressobj(wbits=31)
+        members.append(c.compress(r) + c.flush())
+    bad = bytearray(members[1])
+    for i in range(12, 30):
+        bad[i] ^= 0xFF
+    (d / "partial.warc.wet.gz").write_bytes(members[0] + bytes(bad) + members[2])
+    stats = {r["path"].rsplit("/", 1)[-1]: r for r in warc_file_stats(spark, str(d)).collect()}
+    assert stats["good.warc.wet.gz"]["n_records"] == 3
+    assert stats["good.warc.wet.gz"]["bad_members"] == 0
+    assert stats["partial.warc.wet.gz"]["n_records"] == 2
+    assert stats["partial.warc.wet.gz"]["bad_members"] >= 1
+    assert stats["good.warc.wet.gz"]["n_conversion"] == 3
+
+
+def test_write_wet_read_wet_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(f"http://corpus/{i}", f"text body {i}") for i in range(40)],
+        "url string, text string",
+    ).repartition(3)
+    out = str(tmp_path / "export")
+    shards = write_wet(src, out).collect()
+    assert sum(r["n_records"] for r in shards) == 40
+    assert len(shards) == 3
+    back = read_wet(spark, out)
+    got = {(r["url"], r["text"]) for r in back.collect()}
+    assert got == {(f"http://corpus/{i}", f"text body {i}") for i in range(40)}
+
+
+def test_write_wet_is_lazy(spark, tmp_path):
+    import os
+    src = spark.createDataFrame([("u", "t")], "url string, text string")
+    out = str(tmp_path / "lazy")
+    _ = write_wet(src, out)  # no action -> nothing written
+    assert not os.path.exists(out)

@@ -3484,6 +3484,43 @@ def paragraph_dedup_q(spark, sf_dir):
     return survivors
 
 
+@register("wet_crawl_ingest")
+def wet_crawl_ingest_q(spark, sf_dir):
+    """Sources: WARC/WET crawl-archive roundtrip (sources/warc.py) — the
+    Common Crawl ingest edge the reference lacks entirely (its only
+    sources are literal rows and the arXiv fetch, syntetic_data.py:55-65).
+    Exports 200 documents as gzip-per-record WET shards, reads them back
+    through the streaming record parser, and reports content parity plus
+    the per-file quarantine counters.  Eager by contract (the shard
+    export is the CREATE-INDEX analog); parser resync/truncation behavior
+    and the lazy-writer contract are asserted in tests/test_warc.py."""
+    from .sources.warc import read_wet, warc_file_stats, write_wet
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+    )
+    out = f"{_scratch_dir('wet_')}/wet"
+    write_wet(docs.repartition(4), out).count()  # materialize the export
+    wet = read_wet(spark, out).select("url", F.col("text").alias("wet_text"))
+    parity = wet.join(docs, "url", "inner").agg(
+        F.count("*").alias("n_records"),
+        F.sum((F.col("wet_text") == F.col("text")).cast("long")).alias(
+            "n_text_match"
+        ),
+    )
+    quarantine = warc_file_stats(spark, out).agg(
+        F.count("*").alias("n_shards"),
+        F.sum("bad_members").alias("bad_members"),
+        F.sum("bad_records").alias("bad_records"),
+    )
+    return parity.crossJoin(quarantine)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
