@@ -126,6 +126,54 @@ def test_empty_and_garbage_inputs():
     assert c["bad_records"] == 1
 
 
+def test_payload_containing_record_markers_roundtrips():
+    """Content-Length-driven body reads: payloads containing \\r\\n\\r\\n
+    runs or literal 'WARC/1.0' lines must NOT be mistaken for record
+    boundaries."""
+    tricky = "before\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    recs = [
+        build_wet_record("http://example.com/t", tricky),
+        build_wet_record("http://example.com/u", "plain"),
+    ]
+    got = list(iter_warc_records(build_warc_file(recs, gzip_per_record=False)))
+    assert [r["url"] for r in got] == [
+        "http://example.com/t", "http://example.com/u",
+    ]
+    assert got[0]["content"].decode() == tricky
+
+
+@pytest.mark.parametrize("gzip_per_record", [True, False])
+def test_hypothesis_roundtrip_random_payloads(gzip_per_record):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=300,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        recs = [
+            build_wet_record(f"http://h/{i}", t) for i, t in enumerate(texts)
+        ]
+        c = {}
+        got = list(
+            iter_warc_records(build_warc_file(recs, gzip_per_record), c)
+        )
+        assert [r["content"].decode("utf-8") for r in got] == texts
+        assert c == {"bad_members": 0, "bad_records": 0}
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
@@ -196,6 +244,54 @@ def test_write_wet_read_wet_roundtrip(spark, tmp_path):
     back = read_wet(spark, out)
     got = {(r["url"], r["text"]) for r in back.collect()}
     assert got == {(f"http://corpus/{i}", f"text body {i}") for i in range(40)}
+
+
+def test_crawl_corpus_pipeline(spark, tmp_path):
+    """Crawl shards -> training corpus end-to-end: fixture documents
+    exported as WET, re-ingested by crawl_corpus_pipeline; planted junk
+    and a cross-url exact duplicate must fall out, clean docs survive
+    with stable url-hash ids and extracted domains."""
+    from tests.conftest import SF_DIR
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.pipelines import crawl_corpus_pipeline
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("lang") == "en")
+        .limit(20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = [
+        (f"http://site{i % 3}.example/doc/{r['doc_id']}", r["text"])
+        for i, r in enumerate(base)
+    ]
+    first_url = rows[0][0]
+    dup_url = "http://dup.example/copy"
+    rows.append((dup_url, base[0]["text"]))  # same text, different url
+    rows.append(("http://junk.example/gib", "zzqx glorp xv " * 40))
+    rows.append(("http://junk.example/blank", "   "))
+    src = spark.createDataFrame(rows, "url string, text string").repartition(2)
+    out = str(tmp_path / "crawl")
+    write_wet(src, out).collect()
+
+    train, test = crawl_corpus_pipeline(
+        spark, out, langs=("en",), min_quality=0.0,
+        near_dup_threshold=0.5, test_fraction=0.2, gopher_gate=False,
+    )
+    surv = train.unionByName(test).cache()
+    urls = {r["url"] for r in surv.select("url").collect()}
+    assert "http://junk.example/blank" not in urls  # empty text filtered
+    assert "http://junk.example/gib" not in urls  # fails the lang heuristic
+    # cross-url exact text duplicate: exactly one representative survives
+    assert (dup_url in urls) + (first_url in urls) == 1
+    assert len(urls) >= 10  # the clean corpus substantially survives
+    doms = {r["domain"] for r in surv.select("domain").distinct().collect()}
+    assert doms <= {"site0.example", "site1.example", "site2.example", "dup.example"}
+    # url-hash ids: deterministic, unique, split disjointness holds
+    assert surv.select("doc_id").distinct().count() == surv.count()
+    assert train.join(test, "doc_id", "inner").count() == 0
+    surv.unpersist()
 
 
 def test_write_wet_is_lazy(spark, tmp_path):

@@ -138,6 +138,58 @@ def prepare_training_data(
     return train_test_split(deduped, id_col, test_fraction=test_fraction)
 
 
+def crawl_corpus_pipeline(
+    spark,
+    wet_glob: str,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    test_fraction: float = 0.1,
+    gopher_gate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Crawl shards in, training corpus out — the full 100 TB front half:
+
+      read_wet (streaming WARC record decode, one shard = one task) ->
+      canonical ids + domain -> prepare_training_data (Gopher gate ->
+      clean -> language -> quality -> exact dedup -> near-dup -> split)
+
+    ``doc_id = xxhash64(url)``: deterministic and join-stable with NO
+    global sequence (``monotonically_increasing_id`` would renumber on
+    every run/partitioning, breaking dedup keepers and split membership
+    across incremental crawls).  A 64-bit id collides only past ~4e9
+    urls, and a collision lands in the EXACT-DEDUP keeper path — two
+    colliding docs keep one representative, indistinguishable from an
+    intended dedup — so the failure mode is benign for corpus prep.
+
+    ``domain`` (host part of the url) rides along for the downstream
+    mixture stages (assemble_training_corpus / temperature sampling).
+    Language comes from the n-gram heuristic since crawl text carries no
+    trusted lang column.  Everything stays lazy; nothing driver-side.
+    """
+    from .sources.warc import read_wet
+
+    wet = read_wet(spark, wet_glob)
+    docs = wet.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1).alias(
+            "domain"
+        ),
+        "url",
+        "text",
+    )
+    return prepare_training_data(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        lang_col=None,
+        langs=langs,
+        min_quality=min_quality,
+        near_dup_threshold=near_dup_threshold,
+        test_fraction=test_fraction,
+        gopher_gate=gopher_gate,
+    )
+
+
 def assemble_training_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
