@@ -28,6 +28,7 @@ NAMES = [
     "media_metadata_probe",
     "repetition_signals_full",
     "paragraph_dedup_full",
+    "wet_decode_full",
 ]
 
 
@@ -53,9 +54,36 @@ def _paragraph_dedup_full(spark, sf):
     return paragraph_dedup(d).agg(F.sum("n_paras_kept").alias("n"))
 
 
+_WET_DIRS: dict[str, str] = {}
+
+
+def _export_wet_corpora(spark) -> None:
+    """Pre-export each sf's documents as WET shards OUTSIDE the timed
+    probe, so wet_decode_full measures the streaming decode alone."""
+    import tempfile
+
+    from vector_search_databricks_poc_spark.sources.warc import write_wet
+
+    for sf in SFS:
+        d = load_table(spark, sf, "documents").select(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+        out = tempfile.mkdtemp(prefix="scalewet_") + "/wet"
+        write_wet(d.repartition(8), out).count()
+        _WET_DIRS[sf] = out
+
+
+def _wet_decode_full(spark, sf):
+    from vector_search_databricks_poc_spark.sources.warc import read_wet
+
+    return read_wet(spark, _WET_DIRS[sf])
+
+
 OPERATOR_PROBES = {
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
+    "wet_decode_full": _wet_decode_full,
 }
 
 
@@ -155,6 +183,7 @@ def main() -> None:
     spark = get_spark(shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["global_topn"](spark, SFS[1]).count()  # warm
+    _export_wet_corpora(spark)  # untimed: probe measures decode only
 
     import vector_search_databricks_poc_spark.queries_registry as _R
 
