@@ -246,6 +246,172 @@ def test_write_wet_read_wet_roundtrip(spark, tmp_path):
     assert got == {(f"http://corpus/{i}", f"text body {i}") for i in range(40)}
 
 
+def _http_response(
+    body: bytes,
+    status: int = 200,
+    ctype: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    gzip_body: bool = False,
+) -> bytes:
+    headers = [f"HTTP/1.1 {status} X", f"Content-Type: {ctype}"]
+    if gzip_body:
+        body = gzip.compress(body)
+        headers.append("Content-Encoding: gzip")
+    if chunked:
+        headers.append("Transfer-Encoding: chunked")
+        out = bytearray()
+        for i in range(0, len(body), 7):  # tiny chunks on purpose
+            piece = body[i : i + 7]
+            out += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+        out += b"0\r\n\r\n"
+        body = bytes(out)
+    else:
+        headers.append(f"Content-Length: {len(body)}")
+    return "\r\n".join(headers).encode() + b"\r\n\r\n" + body
+
+
+def test_parse_http_response_plain_chunked_gzip():
+    from vector_search_databricks_poc_spark.sources.warc import (
+        parse_http_response,
+    )
+
+    html = "<html><body>café &amp; tea</body></html>".encode("utf-8")
+    for kw in (
+        {},
+        {"chunked": True},
+        {"gzip_body": True},
+        {"chunked": True, "gzip_body": True},
+    ):
+        r = parse_http_response(_http_response(html, **kw))
+        assert r["status"] == 200 and r["body"] == html, kw
+    # latin-1 charset honored
+    r = parse_http_response(
+        _http_response("café".encode("latin-1"), ctype="text/html; charset=iso-8859-1")
+    )
+    assert r["body"].decode(r["charset"]) == "café"
+    # deflate, both zlib-wrapped and raw
+    raw = zlib.compress(html)
+    for enc_body in (raw, raw[2:-4]):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + enc_body
+        )
+        assert parse_http_response(payload)["body"] == html
+
+
+def test_parse_http_response_malformed_raises_valueerror():
+    from vector_search_databricks_poc_spark.sources.warc import (
+        parse_http_response,
+    )
+
+    for bad in (
+        b"not http at all\r\n\r\nbody",
+        b"HTTP/1.1\r\n\r\nbody",  # no status code
+        _http_response(b"x" * 50, chunked=True)[:-20],  # truncated chunk
+    ):
+        with pytest.raises(ValueError):
+            parse_http_response(bad)
+
+
+def test_read_warc_html_extracts_and_filters(spark, tmp_path):
+    """response records -> dechunk/gunzip -> charset decode -> strip_html;
+    non-200s, non-HTML types, and malformed HTTP all drop out."""
+    from vector_search_databricks_poc_spark.sources.warc import read_warc_html
+
+    html = "<html><script>var x=1;</script><p>hello &amp; welcome</p></html>"
+    recs = [
+        build_warc_record(
+            "response", _http_response(html.encode(), chunked=True, gzip_body=True),
+            url="http://site/a", content_type="application/http",
+        ),
+        build_warc_record(
+            "response", _http_response(b"<p>gone</p>", status=404),
+            url="http://site/missing", content_type="application/http",
+        ),
+        build_warc_record(
+            "response", _http_response(b"\x89PNG...", ctype="image/png"),
+            url="http://site/logo.png", content_type="application/http",
+        ),
+        build_warc_record(
+            "response", b"garbage that is not HTTP",
+            url="http://site/broken", content_type="application/http",
+        ),
+        build_wet_record("http://site/wet", "not a response record"),
+    ]
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "crawl.warc.gz").write_bytes(build_warc_file(recs))
+    got = {r["url"]: r for r in read_warc_html(spark, str(d)).collect()}
+    assert set(got) == {"http://site/a"}
+    assert got["http://site/a"]["text"] == "hello & welcome"
+    assert got["http://site/a"]["status"] == 200
+
+
+def test_stream_read_wet_matches_batch(spark, tmp_path, wet_dir):
+    """Streaming decode over a landing dir must produce exactly the
+    batch reader's records (same mapInPandas body by construction)."""
+    from vector_search_databricks_poc_spark.sources.warc import stream_read_wet
+
+    sink = f"wet_stream_{tmp_path.name}"
+    q = (
+        stream_read_wet(spark, wet_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    streamed = {
+        (r["url"], r["text"])
+        for r in spark.sql(f"select url, text from {sink}").collect()
+    }
+    batch = {
+        (r["url"], r["text"]) for r in read_wet(spark, wet_dir).collect()
+    }
+    assert streamed == batch and len(streamed) == 7
+
+
+def test_stream_read_wet_picks_up_only_new_shards(spark, tmp_path):
+    """Landing-directory semantics: a second availableNow run against the
+    same checkpoint decodes ONLY shards that arrived since — no rescan of
+    history (the exactly-once contract a continuous crawl ingest needs)."""
+    import pathlib
+
+    from vector_search_databricks_poc_spark.sources.warc import stream_read_wet
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "s0.warc.wet.gz").write_bytes(
+        build_warc_file([build_wet_record("http://h/0", "first")])
+    )
+    out = str(tmp_path / "corpus_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_round():
+        q = (
+            stream_read_wet(spark, str(landing))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_round()
+    assert spark.read.parquet(out).count() == 1
+    (landing / "s1.warc.wet.gz").write_bytes(
+        build_warc_file([build_wet_record("http://h/1", "second")])
+    )
+    run_round()
+    rows = spark.read.parquet(out).collect()
+    # round 2 appended ONLY the new shard: s0 was not reprocessed (no
+    # duplicate of http://h/0), s1 arrived exactly once
+    assert sorted(r["url"] for r in rows) == ["http://h/0", "http://h/1"]
+    assert pathlib.Path(ckpt).exists()
+
+
 def test_crawl_corpus_pipeline(spark, tmp_path):
     """Crawl shards -> training corpus end-to-end: fixture documents
     exported as WET, re-ingested by crawl_corpus_pipeline; planted junk

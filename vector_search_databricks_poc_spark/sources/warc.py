@@ -246,18 +246,21 @@ _STATS_SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path: str, batch_rows: int = 1024) -> DataFrame:
-    """All WARC records under ``path`` (glob ok) as
-    (path, record_type, url, warc_date, content_type, content).
+_RECORD_COLS = [
+    "path", "record_type", "url", "warc_date", "content_type", "content",
+]
 
-    One input file = one row into the decode stage = one task's work;
-    records stream out in ``batch_rows`` Arrow batches so a 1 GB shard
-    never materializes decompressed.  Malformed members/records are
-    skipped (see ``warc_file_stats`` for the counts — same contract as
-    the jsonl quarantine reader, sources/files.py)."""
+# binaryFile's fixed schema — needed explicitly for the STREAMING reader
+# (file stream sources require a declared schema)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _record_decoder(batch_rows: int):
+    """mapInPandas body shared by the batch and streaming readers:
+    (path, content) file rows in, record rows out in bounded batches."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def decode(iterator):
         for pdf in iterator:
@@ -275,24 +278,25 @@ def read_warc(spark: SparkSession, path: str, batch_rows: int = 1024) -> DataFra
                         )
                     )
                     if len(rows) >= batch_rows:
-                        yield pd.DataFrame(
-                            rows,
-                            columns=[
-                                "path", "record_type", "url", "warc_date",
-                                "content_type", "content",
-                            ],
-                        )
+                        yield pd.DataFrame(rows, columns=_RECORD_COLS)
                         rows = []
                 if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "path", "record_type", "url", "warc_date",
-                            "content_type", "content",
-                        ],
-                    )
+                    yield pd.DataFrame(rows, columns=_RECORD_COLS)
 
-    return files.mapInPandas(decode, schema=_RECORD_SCHEMA)
+    return decode
+
+
+def read_warc(spark: SparkSession, path: str, batch_rows: int = 1024) -> DataFrame:
+    """All WARC records under ``path`` (glob ok) as
+    (path, record_type, url, warc_date, content_type, content).
+
+    One input file = one row into the decode stage = one task's work;
+    records stream out in ``batch_rows`` Arrow batches so a 1 GB shard
+    never materializes decompressed.  Malformed members/records are
+    skipped (see ``warc_file_stats`` for the counts — same contract as
+    the jsonl quarantine reader, sources/files.py)."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_record_decoder(batch_rows), schema=_RECORD_SCHEMA)
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -307,6 +311,208 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     return recs.where(F.col("record_type") == "conversion").select(
         "path", "url", "warc_date",
         F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
+
+
+def stream_read_warc(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING twin of :func:`read_warc`: watch a landing directory for
+    new WARC shards and decode records as files arrive — the production
+    crawl shape, where dumps land continuously and ingest must not rescan
+    history.
+
+    The file stream source tracks processed files in the checkpoint, so
+    each shard is decoded exactly once across restarts;
+    ``max_files_per_trigger`` paces a backlogged landing directory (per
+    micro-batch, one file still = one task).  The decode stage is the
+    SAME mapInPandas body as the batch reader — identical records,
+    identical quarantine behavior (asserted batch≡stream in
+    tests/test_warc.py)."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_record_decoder(batch_rows), schema=_RECORD_SCHEMA)
+
+
+def stream_read_wet(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WET text: (path, url, warc_date, text) as shards land.
+    Feed into the streaming quality gate / index sync for a continuous
+    crawl-to-corpus pipeline."""
+    from pyspark.sql import functions as F
+
+    recs = stream_read_warc(
+        spark, path, max_files_per_trigger=max_files_per_trigger
+    )
+    return recs.where(F.col("record_type") == "conversion").select(
+        "path", "url", "warc_date",
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding.  Raises ValueError on a
+    malformed chunk frame (quarantined upstream, per the bad-asset
+    contract)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl == -1:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError("chunked body: bad chunk size") from None
+        if size == 0:
+            return bytes(out)
+        start = nl + 2
+        end = start + size
+        if end + 2 > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out += body[start:end]
+        if body[end : end + 2] != b"\r\n":
+            raise ValueError("chunked body: missing chunk terminator")
+        pos = end + 2
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """(status, headers, body, charset) from a raw HTTP response capture —
+    the payload of a WARC ``response`` record.
+
+    Pure stdlib: chunked transfer-encoding is reassembled and
+    gzip/deflate content-encoding decompressed (zlib; wbits=47 accepts
+    both gzip and zlib wrappers, raw-deflate retried for the IIS-style
+    bare variant).  Raises ValueError (or zlib.error) on malformed input
+    — exactly the exception set the mapInPandas reader quarantines."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep == -1 or not payload.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response")
+    lines = payload[:sep].split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2:
+        raise ValueError("malformed HTTP status line")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError("malformed HTTP status code") from None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, s, v = line.partition(b":")
+        if s:
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    body = payload[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        body = zlib.decompress(body, 47)
+    elif enc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            body = zlib.decompress(body, -15)  # bare-deflate servers
+    ctype = headers.get("content-type", "")
+    charset = "utf-8"
+    if "charset=" in ctype.lower():
+        charset = ctype.lower().split("charset=", 1)[1].split(";")[0].strip(
+            " \"'"
+        ) or "utf-8"
+    return {
+        "status": status,
+        "headers": headers,
+        "body": body,
+        "charset": charset,
+    }
+
+
+def response_texts(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """WARC ``response`` records -> (path, url, warc_date, status,
+    content_type, text): HTTP parse + charset decode, executor-side in
+    bounded Arrow batches.  Rows whose HTTP payload is malformed are
+    dropped (ValueError/zlib.error only — the bad-asset contract); pair
+    with ``strip_html`` for markup removal (kept OUT of this stage so tag
+    stripping runs as codegen expressions, not Python)."""
+    import codecs
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    cols = ["path", "url", "warc_date", "status", "content_type", "text"]
+    resp = df.where(F.col("record_type") == "response").select(
+        "path", "url", "warc_date", "content"
+    )
+
+    def decode(iterator):
+        for pdf in iterator:
+            rows = []
+            for path, url, date, payload in zip(
+                pdf["path"], pdf["url"], pdf["warc_date"], pdf["content"]
+            ):
+                try:
+                    r = parse_http_response(bytes(payload))
+                    try:
+                        codecs.lookup(r["charset"])
+                        cs = r["charset"]
+                    except LookupError:
+                        cs = "utf-8"  # unknown label in the wild -> lossy utf-8
+                    text = r["body"].decode(cs, errors="replace")
+                except (ValueError, zlib.error):
+                    continue
+                rows.append(
+                    (
+                        path, url, date, r["status"],
+                        r["headers"].get("content-type"), text,
+                    )
+                )
+                if len(rows) >= batch_rows:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return resp.mapInPandas(
+        decode,
+        schema=(
+            "path string, url string, warc_date string, status int, "
+            "content_type string, text string"
+        ),
+    )
+
+
+def read_warc_html(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-WARC text extraction: response records -> HTTP parse ->
+    charset decode -> HTML strip (codegen expressions) -> (path, url,
+    warc_date, status, text).  Only 200s with an HTML/plain content type
+    survive — the WET-equivalent view of a raw crawl dump."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import strip_html
+
+    recs = read_warc(spark, path)
+    bodies = response_texts(recs)
+    keep = bodies.where(
+        (F.col("status") == 200)
+        & (
+            F.col("content_type").isNull()
+            | F.lower("content_type").rlike("text/html|text/plain|xhtml")
+        )
+    )
+    return keep.select(
+        "path", "url", "warc_date", "status",
+        strip_html(F.col("text")).alias("text"),
     )
 
 
