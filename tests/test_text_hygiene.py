@@ -321,3 +321,59 @@ def test_paragraph_dedup_null_and_empty_docs_survive(spark):
     assert set(out) == {1, 2, 3}
     assert out[2]["text"] == "" and out[3]["text"] == ""
     assert out[1]["text"] == "real paragraph"
+
+
+def _url_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "http://good.example.com/page"),
+            (2, "https://ads.tracker.net/pixel"),
+            (3, "https://sub.deep.ads.tracker.net/x"),  # subdomain of blocked
+            (4, "http://nottracker.net/fine"),          # suffix is NOT a label match
+            (5, "https://tracker.net.safe.org/ok"),     # blocked name mid-host
+            (6, "not a url at all"),                    # no host -> kept
+            (7, "http://casino-spam.biz/win?q=1"),
+        ],
+        ["doc_id", "url"],
+    )
+
+
+def test_url_filter_literal_blocklist_subdomain_semantics(spark):
+    out = X.url_filter(_url_corpus(spark), ["tracker.net", "casino-spam.biz"])
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]
+
+
+def test_url_filter_literal_path_has_no_shuffle(spark):
+    from vector_search_databricks_poc_spark.plans.audit import count_exchanges
+
+    out = X.url_filter(_url_corpus(spark), ["tracker.net"])
+    assert count_exchanges(out) == 0
+
+
+def test_url_filter_dataframe_blocklist_matches_literal(spark):
+    corpus = _url_corpus(spark)
+    blocked = ["tracker.net", "casino-spam.biz"]
+    lit_ids = sorted(r["doc_id"] for r in X.url_filter(corpus, blocked).collect())
+    bl_df = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    df_ids = sorted(r["doc_id"] for r in X.url_filter(corpus, bl_df).collect())
+    assert lit_ids == df_ids == [1, 4, 5, 6]
+
+
+def test_url_filter_patterns_and_empty_blocklist(spark):
+    corpus = _url_corpus(spark)
+    # pattern-only: regex over the full url
+    out = X.url_filter(corpus, [], blocked_patterns=(r"casino|pixel",))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5, 6]
+    # nothing blocked -> identity
+    assert X.url_filter(corpus, []).count() == corpus.count()
+
+
+def test_url_filter_case_insensitive_hosts(spark):
+    df = spark.createDataFrame(
+        [(1, "http://ADS.Tracker.NET/x"), (2, "http://ok.org/y")],
+        ["doc_id", "url"],
+    )
+    out = X.url_filter(df, ["TRACKER.net"])
+    assert [r["doc_id"] for r in out.collect()] == [2]

@@ -297,6 +297,80 @@ def fingerprint(text: Column | str, mod: int = 2**31 - 1) -> Column:
 # Training-data hygiene: PII redaction, boilerplate removal, decontamination
 # ---------------------------------------------------------------------------
 
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host part of a URL (empty string when there is none)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: a.b.co -> [a.b.co, b.co, co] — the
+    match set for subdomain-inclusive blocking, bounded by label count
+    (crawl hosts have ~2-6 labels), no per-domain regex ever."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(parts, i, n), ".")
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: "list[str] | DataFrame" = (),
+    url_col: str = "url",
+    blocked_patterns: tuple[str, ...] = (),
+    domain_df_col: str = "domain",
+) -> DataFrame:
+    """C4/RefinedWeb-style URL filtering: drop rows whose URL host is a
+    blocked domain OR any subdomain of one, or whose full URL matches a
+    blocked regex pattern.  Keeps everything else, including rows with no
+    parseable host (filtering is a blocklist, not an allowlist).
+
+    Two scale regimes, chosen by the blocklist's type:
+
+    - ``list``/tuple (≤ ~10^5 domains): the blocklist folds into the plan
+      as a literal array and matching is ``arrays_overlap`` over the
+      host's dot-suffixes — pure codegen expressions, ZERO shuffles, the
+      corpus never moves.
+    - ``DataFrame`` (UT1-class lists run to millions of rows): suffixes
+      explode per row and semi-join the blocklist on the suffix; the
+      blocklist side broadcasts (a few MBs of strings) so the corpus
+      still never shuffles — matched row ids return via the exploded
+      frame's anti-join on (row-local) url + host, exact because a URL
+      maps to one host deterministically.
+    """
+    host = url_host(F.col(url_col))
+    out = df
+    if blocked_patterns:
+        pat = "|".join(f"(?:{p})" for p in blocked_patterns)
+        out = out.where(~F.coalesce(F.col(url_col).rlike(pat), F.lit(False)))
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.select(
+            F.lower(F.col(domain_df_col)).alias("_bl_domain")
+        ).distinct()
+        # match on distinct hosts (cardinality << corpus), then drop by
+        # host equality — the corpus side stays un-exploded and unshuffled
+        hosts = out.select(host.alias("_host")).distinct()
+        blocked_hosts = (
+            hosts.select("_host", F.explode(_host_suffixes(F.col("_host"))).alias("_sfx"))
+            .join(F.broadcast(bl), F.col("_sfx") == F.col("_bl_domain"), "left_semi")
+            .select("_host")
+            .distinct()
+        )
+        return (
+            out.withColumn("_host", host)
+            .join(F.broadcast(blocked_hosts), "_host", "left_anti")
+            .drop("_host")
+        )
+    blocked = [d.lower() for d in blocked_domains]
+    if not blocked:
+        return out
+    lit_bl = F.array(*[F.lit(d) for d in blocked])
+    return out.where(~F.arrays_overlap(_host_suffixes(host), lit_bl))
+
 # Order matters: URLs first (emails inside URLs would otherwise double-hit),
 # then emails, then the numeric shapes from most to least specific.
 _PII_PATTERNS = (

@@ -3484,6 +3484,40 @@ def paragraph_dedup_q(spark, sf_dir):
     return survivors
 
 
+@register("url_blocklist_filter")
+def url_blocklist_filter_q(spark, sf_dir):
+    """Hygiene: C4/RefinedWeb-style URL blocklist filtering
+    (operators/text.py::url_filter).  Documents get deterministic pseudo
+    urls (``http://[cdn.]{source}.example.com/doc/{doc_id}`` — every 7th
+    doc on a cdn subdomain); blocking src0.example.com must drop its
+    subdomains too, and the regex pattern drops ids ending in 13.
+    Zero-shuffle literal-blocklist path (arrays_overlap over host
+    dot-suffixes, plan-asserted shuffle-free in tests); returns kept
+    counts per source.  Rows-only; subdomain/pattern/case semantics and
+    the DataFrame-blocklist equivalence are pytest-asserted."""
+    from .operators.text import url_filter
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    kept = url_filter(
+        d, ["src0.example.com"], blocked_patterns=(r"/doc/\d*13$",)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 @register("wet_crawl_ingest")
 def wet_crawl_ingest_q(spark, sf_dir):
     """Sources: WARC/WET crawl-archive roundtrip (sources/warc.py) — the
