@@ -299,10 +299,20 @@ def fingerprint(text: Column | str, mod: int = 2**31 - 1) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host part of a URL (empty string when there is none)."""
+    """Lowercased host part of a URL (empty string when there is none).
+
+    Userinfo (``user:pass@host``) and trailing dots (``host.``) are
+    stripped — both are classic blocklist-evasion shapes
+    (``http://evil@tracker.net/x`` must still match ``tracker.net``)."""
     c = F.col(url) if isinstance(url, str) else url
     return F.lower(
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+        F.regexp_replace(
+            F.regexp_extract(
+                c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+            ),
+            r"\.+$",
+            "",
+        )
     )
 
 
@@ -369,7 +379,11 @@ def url_filter(
     if not blocked:
         return out
     lit_bl = F.array(*[F.lit(d) for d in blocked])
-    return out.where(~F.arrays_overlap(_host_suffixes(host), lit_bl))
+    # coalesce: a NULL url yields a NULL suffix array, and three-valued
+    # arrays_overlap would silently drop the row — blocklists keep unknowns
+    return out.where(
+        ~F.coalesce(F.arrays_overlap(_host_suffixes(host), lit_bl), F.lit(False))
+    )
 
 # Order matters: URLs first (emails inside URLs would otherwise double-hit),
 # then emails, then the numeric shapes from most to least specific.

@@ -166,14 +166,16 @@ def crawl_corpus_pipeline(
     Language comes from the n-gram heuristic since crawl text carries no
     trusted lang column.  Everything stays lazy; nothing driver-side.
     """
+    from .operators.text import url_host
     from .sources.warc import read_wet
 
     wet = read_wet(spark, wet_glob)
     docs = wet.select(
         F.xxhash64("url").alias("doc_id"),
-        F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1).alias(
-            "domain"
-        ),
+        # url_host, not an ad-hoc regex: lowercased, port/userinfo/query
+        # stripped — ad-hoc extraction here skewed the downstream
+        # per-domain mixture ('A.COM' vs 'a.com:443' vs 'a.com?q=1')
+        url_host(F.col("url")).alias("domain"),
         "url",
         "text",
     )

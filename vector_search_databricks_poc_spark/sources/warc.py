@@ -103,13 +103,21 @@ def build_warc_file(records: Iterable[bytes], gzip_per_record: bool = True) -> b
 # ---------------------------------------------------------------------------
 
 
+# Sentinel yielded by _iter_gzip_members when a member fails AFTER it may
+# already have yielded partial output: the consumer must drop any buffered
+# record tail, or bytes from the next member would be stitched onto it and
+# a contaminated record emitted as good (swallowing the start of a real one).
+_MEMBER_FAILED = object()
+
+
 def _iter_gzip_members(
     payload: bytes, counters: dict, chunk: int = 1 << 20
 ) -> Iterator[bytes]:
     """Decompressed chunks across all gzip members, feeding ``chunk``
     bytes at a time off a memoryview (no whole-tail copies).  A corrupt
-    member bumps ``counters['bad_members']`` and resyncs at the next gzip
-    magic."""
+    member bumps ``counters['bad_members']``, yields ``_MEMBER_FAILED``
+    (so the record assembler can discard its partial tail), and resyncs
+    at the next gzip magic."""
     mv = memoryview(payload)
     n, pos = len(payload), 0
     while pos < n:
@@ -126,6 +134,7 @@ def _iter_gzip_members(
             pos = fed - len(d.unused_data)
         except zlib.error:
             counters["bad_members"] += 1
+            yield _MEMBER_FAILED
             nxt = payload.find(_GZ_MAGIC, pos + 1)
             if nxt == -1:
                 return
@@ -193,6 +202,13 @@ def iter_warc_records(payload: bytes, counters: dict | None = None) -> Iterator[
         chunks = iter((payload,))
     buf = b""
     for chunk in chunks:
+        if chunk is _MEMBER_FAILED:
+            # a partially-decompressed record tail may sit in buf; bytes
+            # from the NEXT member must not be stitched onto it
+            if buf:
+                c["bad_records"] += 1
+                buf = b""
+            continue
         buf += chunk
         buf = yield from _drain(buf, c, final=False)
     if buf:
@@ -299,19 +315,54 @@ def read_warc(spark: SparkSession, path: str, batch_rows: int = 1024) -> DataFra
     return files.mapInPandas(_record_decoder(batch_rows), schema=_RECORD_SCHEMA)
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
+_WET_SCHEMA = "path string, url string, warc_date string, text string"
+_WET_COLS = ["path", "url", "warc_date", "text"]
+
+
+def _wet_decoder(batch_rows: int):
+    """mapInPandas body shared by the batch and streaming WET readers:
+    keeps only ``conversion`` records and decodes UTF-8 with
+    ``errors='replace'`` — crawl text routinely carries stray bytes, and
+    a lossy char beats a dead task or a dropped page.  (Python-side by
+    necessity: Spark 4's ``decode`` expression raises
+    MALFORMED_CHARACTER_CODING on invalid bytes, which would kill the
+    whole ingest on routine crawl data — and the bytes are already in
+    Python here, so this costs nothing extra.)"""
+    import pandas as pd
+
+    def decode(iterator):
+        for pdf in iterator:
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in iter_warc_records(bytes(payload)):
+                    if rec["record_type"] != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            fpath,
+                            rec["url"],
+                            rec["warc_date"],
+                            rec["content"].decode("utf-8", errors="replace"),
+                        )
+                    )
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=_WET_COLS)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_WET_COLS)
+
+    return decode
+
+
+def read_wet(spark: SparkSession, path: str, batch_rows: int = 1024) -> DataFrame:
     """WET text records under ``path``: (path, url, warc_date, text).
 
-    Keeps only ``conversion`` records and decodes UTF-8 with
-    replacement — crawl text routinely carries stray bytes, and a lossy
-    char beats a dead task or a dropped page."""
-    from pyspark.sql import functions as F
-
-    recs = read_warc(spark, path)
-    return recs.where(F.col("record_type") == "conversion").select(
-        "path", "url", "warc_date",
-        F.decode(F.col("content"), "UTF-8").alias("text"),
-    )
+    Same one-file-one-task shape as :func:`read_warc`, but the
+    conversion-record filter and the lossy UTF-8 decode happen inside
+    the single decode stage — non-conversion records never cross the
+    Arrow boundary."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_wet_decoder(batch_rows), schema=_WET_SCHEMA)
 
 
 def stream_read_warc(
@@ -342,20 +393,19 @@ def stream_read_warc(
 def stream_read_wet(
     spark: SparkSession,
     path: str,
+    batch_rows: int = 1024,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming WET text: (path, url, warc_date, text) as shards land.
-    Feed into the streaming quality gate / index sync for a continuous
-    crawl-to-corpus pipeline."""
-    from pyspark.sql import functions as F
-
-    recs = stream_read_warc(
-        spark, path, max_files_per_trigger=max_files_per_trigger
-    )
-    return recs.where(F.col("record_type") == "conversion").select(
-        "path", "url", "warc_date",
-        F.decode(F.col("content"), "UTF-8").alias("text"),
-    )
+    The SAME ``_wet_decoder`` body as :func:`read_wet` (identical rows,
+    identical lossy-UTF-8/quarantine behavior); feed into the streaming
+    quality gate / index sync for a continuous crawl-to-corpus
+    pipeline."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_wet_decoder(batch_rows), schema=_WET_SCHEMA)
 
 
 def _dechunk(body: bytes) -> bytes:
