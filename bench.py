@@ -80,7 +80,7 @@ def main() -> None:
     # Untimed warmup: spin up executors, codegen, parquet footer caches —
     # measured times then reflect the queries, not first-job JVM warmup.
     t = time.time()
-    R.QUERIES["global_topn"](spark, SF_DIR).count()
+    R.global_topn(spark, SF_DIR).count()
     warmup = time.time() - t
 
     # calibration: fixed CPU+JVM+scheduler workload, best-of-5 (first rep

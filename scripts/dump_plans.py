@@ -5,6 +5,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import vector_search_databricks_poc_spark.queries_registry as R
 from vector_search_databricks_poc_spark.plans import audit as A
 from vector_search_databricks_poc_spark.queries_registry import QUERIES
 from vector_search_databricks_poc_spark.session import get_spark
@@ -57,7 +58,8 @@ def main() -> None:
     sf = "/root/testdata/sf0.01"
     lines = [HEADER]
     for n in NAMES:
-        df = QUERIES[n](spark, sf)
+        # consolidated r6 slots keep their legs as module functions
+        df = (QUERIES.get(n) or getattr(R, n))(spark, sf)
         lines.append(f"## {n}\n")
         lines.append(f"Audit: `{A.audit(df)}`\n")
         lines.append("```")

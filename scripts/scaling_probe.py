@@ -10,6 +10,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
+import vector_search_databricks_poc_spark.queries_registry as _R0
 from vector_search_databricks_poc_spark.catalog import load_table
 from vector_search_databricks_poc_spark.queries_registry import QUERIES
 from vector_search_databricks_poc_spark.session import get_spark
@@ -182,7 +183,7 @@ every operator in this repo:
 def main() -> None:
     spark = get_spark(shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["global_topn"](spark, SFS[1]).count()  # warm
+    _R0.global_topn(spark, SFS[1]).count()  # warm
     _export_wet_corpora(spark)  # untimed: probe measures decode only
 
     import vector_search_databricks_poc_spark.queries_registry as _R

@@ -5,11 +5,14 @@ from pyspark.sql import functions as F
 
 from vector_search_databricks_poc_spark.catalog import load_table
 from vector_search_databricks_poc_spark.plans import audit as A
+from vector_search_databricks_poc_spark import queries_registry as R
 from vector_search_databricks_poc_spark.queries_registry import QUERIES
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
-    df = QUERIES["scan_filter_project"](spark, sf_dir)
+    # module function since the r6 oracle-window rotation merged the
+    # declared query into scan_column_ops; the leg's plan is unchanged
+    df = R.scan_filter_project(spark, sf_dir)
     assert A.has_pushed_filters(df), A.plan_string(df)
     cols = A.read_schema_columns(df)
     # projection reaches the scan: no column outside filter+select is read
@@ -24,7 +27,7 @@ def test_flagship_topk_no_global_sort(spark, sf_dir):
 
 
 def test_global_topn_take_ordered(spark, sf_dir):
-    df = QUERIES["global_topn"](spark, sf_dir)
+    df = R.global_topn(spark, sf_dir)
     assert A.uses_take_ordered(df)
     assert not A.uses_sort_merge_join(df)
 

@@ -125,17 +125,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "scan_filter_project",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem
-    WHERE l_quantity > 45 AND l_returnflag = 'R'
-    """,
-)
 def scan_filter_project(spark, sf_dir):
     """B1: filters and projection reach the parquet scan (PushedFilters +
-    pruned ReadSchema in .explain)."""
+    pruned ReadSchema in .explain).  Oracle-checked as one leg of
+    ``scan_column_ops`` (r6 window rotation); kept as a module function
+    for plan tests and bench."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
@@ -143,20 +137,11 @@ def scan_filter_project(spark, sf_dir):
     )
 
 
-@register(
-    "column_ops",
-    """
-    SELECT o_orderkey AS order_id,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
-           CAST(o_custkey AS INTEGER) AS cust_int,
-           upper(o_orderstatus) AS status_uc
-    FROM orders
-    """,
-)
 def column_ops(spark, sf_dir):
     """B3: rename / cast / derive / drop.  The decimal cast is exercised
     in-plan but the OUTPUT is a double — DECIMAL(18,2) output columns
-    canonicalize differently between engines' hashers (r1 lesson)."""
+    canonicalize differently between engines' hashers (r1 lesson).
+    Oracle-checked as one leg of ``scan_column_ops``."""
     return (
         load_table(spark, sf_dir, "orders")
         .withColumnRenamed("o_orderkey", "order_id")
@@ -167,29 +152,57 @@ def column_ops(spark, sf_dir):
     )
 
 
+@register(
+    "scan_column_ops",
+    """
+    SELECT 'scan' AS kind, l_orderkey AS id1, CAST(l_linenumber AS BIGINT) AS id2,
+           CAST(l_quantity AS DOUBLE) AS num1, CAST(l_extendedprice AS DOUBLE) AS num2,
+           CAST(NULL AS VARCHAR) AS s1
+    FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    UNION ALL
+    SELECT 'colops', o_orderkey, CAST(CAST(o_custkey AS INTEGER) AS BIGINT),
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), CAST(NULL AS DOUBLE),
+           upper(o_orderstatus)
+    FROM orders
+    """,
+)
+def scan_column_ops(spark, sf_dir):
+    """B1+B3 merged oracle slot (r6 window rotation, freeing slots for the
+    r3-r5 operator families): the pushed-filter lineitem scan and the
+    orders column-ops projection as a tagged union over normalized
+    columns.  Both legs keep their original plans (the union is a no-op
+    above two independent scans — pushed filters and pruned ReadSchema
+    still plan-asserted via the module functions in tests/test_plans.py)."""
+    scan = scan_filter_project(spark, sf_dir).select(
+        F.lit("scan").alias("kind"),
+        F.col("l_orderkey").cast("long").alias("id1"),
+        F.col("l_linenumber").cast("long").alias("id2"),
+        F.col("l_quantity").cast("double").alias("num1"),
+        F.col("l_extendedprice").cast("double").alias("num2"),
+        F.lit(None).cast("string").alias("s1"),
+    )
+    ops = column_ops(spark, sf_dir).select(
+        F.lit("colops").alias("kind"),
+        F.col("order_id").cast("long").alias("id1"),
+        F.col("cust_int").cast("long").alias("id2"),
+        F.col("price_2dp").alias("num1"),
+        F.lit(None).cast("double").alias("num2"),
+        F.col("status_uc").alias("s1"),
+    )
+    return scan.unionByName(ops)
+
+
 # ---------------------------------------------------------------------------
 # B2: text cleanup suite (A2's field extraction, Spark-side)
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_cleanup",
-    """
-    SELECT doc_id,
-           trim(lower(text)) AS clean,
-           string_split(text, ' ')[1] AS first_token,
-           regexp_replace(text, ' +', '_', 'g') AS underscored,
-           substr(text, 1, 10) AS prefix10,
-           concat(lang, ':', source) AS lang_source,
-           replace(text, 'spark', 'SPARK') AS shouted
-    FROM documents
-    WHERE doc_id < 100
-    """,
-)
 def text_cleanup(spark, sf_dir):
     """B2/A2: split/element_at, regexp_replace, trim, lower, substring,
     concat, replace — the reference's ingest cleanup as Catalyst exprs
-    (syntetic_data_arxiv.py:87-105)."""
+    (syntetic_data_arxiv.py:87-105).  Oracle-checked inside
+    ``string_map_funcs`` since the r6 window rotation (same table, same
+    doc_id<100 grain — the cleanup columns merged into that select)."""
     return (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 100)
@@ -327,20 +340,11 @@ def join_semi_anti(spark, sf_dir):
     return semi.unionByName(anti)
 
 
-@register(
-    "join_range",
-    """
-    SELECT o.o_orderpriority, COUNT(*) AS n_fast_items
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-     AND l.l_shipdate >= o.o_orderdate
-     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
-    GROUP BY o.o_orderpriority
-    """,
-)
 def join_range(spark, sf_dir):
     """B14 equi+range (theta) join: items shipped within 30 days of order.
-    The equi key keeps it a hash join; the range predicate is a post-filter."""
+    The equi key keeps it a hash join; the range predicate is a post-filter.
+    Oracle-checked as the 'theta' leg of ``range_join_suite`` (r6 window
+    rotation)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     cond = (
@@ -540,21 +544,11 @@ def grouping_analytics(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "window_rank_topn_per_group",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-)
 def window_rank_topn_per_group(spark, sf_dir):
     """B16: rank window -> top-3 orders per customer (Spark pushes the
-    rn<=3 filter into the window sort as a group-limit)."""
+    rn<=3 filter into the window sort as a group-limit).  Oracle-checked
+    as the 'group' leg of ``topn_suite`` (r6 window rotation); kept as a
+    module function for bench regression tracking."""
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
     return (
         load_table(spark, sf_dir, "orders")
@@ -563,25 +557,11 @@ def window_rank_topn_per_group(spark, sf_dir):
     )
 
 
-@register(
-    "window_lag_running",
-    """
-    SELECT event_id, user_id,
-           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
-           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_total
-    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
-    """,
-)
 def window_lag_running(spark, sf_dir):
     """B16: lag/lead + running & bounded rows-frame sums over event time
     per user — one window spec, one sort (merged r1 queries
-    window_lag_delta + window_running_sum)."""
+    window_lag_delta + window_running_sum).  Oracle-checked inside
+    ``event_window_suite`` since the r6 window rotation."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dec = F.col("value").cast("decimal(18,2)")
     return load_table(spark, sf_dir, "events").select(
@@ -595,22 +575,107 @@ def window_lag_running(spark, sf_dir):
 
 
 @register(
-    "global_topn",
+    "event_window_suite",
     """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_total,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_total,
+           COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_events,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+    WHERE event_id < 3000
     """,
 )
+def event_window_suite(spark, sf_dir):
+    """B16+B19-json merged oracle slot (r6 window rotation): lag/lead,
+    running and bounded ROWS frames, the value-based trailing-hour RANGE
+    frame, and the JSON props extraction — ONE scan of events
+    (event_id<3000), two window sorts (one on (ts, event_id), one on
+    unix_micros(ts)).  Microseconds on BOTH sides of the range frame
+    (F.unix_micros / DuckDB epoch_us) — whole-second truncation diverges
+    on sub-second data (r2 lesson, see window_range_frame)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_total"),
+        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double").alias("window3_total"),
+        F.sum(dec).over(wr).cast("double").alias("hour_total"),
+        F.count("*").over(wr).alias("hour_events"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
 def global_topn(spark, sf_dir):
-    """B17: global top-k -> TakeOrderedAndProject (no full sort)."""
+    """B17: global top-k -> TakeOrderedAndProject (no full sort).
+    Oracle-checked as the 'global' leg of ``topn_suite`` (r6 window
+    rotation); kept as a module function for plan tests, bench warmup,
+    and the scaling probe."""
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "topn_suite",
+    """
+    SELECT 'group' AS scope, o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'global', CAST(NULL AS BIGINT), o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    """,
+)
+def topn_suite(spark, sf_dir):
+    """B16+B17 merged oracle slot (r6 window rotation): per-group top-3
+    via rank window (group-limit pushdown) unioned with the global top-10
+    (TakeOrderedAndProject — the limit executes before the tiny rank
+    window, so no full sort).  Legs keep their original plans; both are
+    still plan-asserted via the module functions in tests/test_plans.py."""
+    grp = window_rank_topn_per_group(spark, sf_dir).select(
+        F.lit("group").alias("scope"), "o_custkey", "o_orderkey", "o_totalprice", "rn"
+    )
+    wg = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    glob = global_topn(spark, sf_dir).select(
+        F.lit("global").alias("scope"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(wg).alias("rn"),
+    )
+    return grp.unionByName(glob)
 
 
 # ---------------------------------------------------------------------------
@@ -686,18 +751,10 @@ def scalar_date_math(spark, sf_dir):
     )
 
 
-@register(
-    "json_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
-    FROM events
-    WHERE event_id < 2000
-    """,
-)
 def json_extract(spark, sf_dir):
-    """B19-json: get_json_object over the events.props JSON column."""
+    """B19-json: get_json_object over the events.props JSON column.
+    Oracle-checked inside ``event_window_suite`` since the r6 window
+    rotation (same extraction over event_id<3000)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     return ev.select(
         "event_id",
@@ -1776,17 +1833,25 @@ def pivot_status_by_priority(spark, sf_dir):
            (m['source'])[1] AS source_val,
            CAST(cardinality(m) AS INTEGER) AS n_keys,
            array_to_string(map_keys(m), ',') AS keys_csv,
-           (text LIKE '%vector%' AND contains(text, 'join')) AS has_kw
+           (text LIKE '%vector%' AND contains(text, 'join')) AS has_kw,
+           trim(lower(text)) AS clean,
+           string_split(text, ' ')[1] AS first_token,
+           regexp_replace(text, ' +', '_', 'g') AS underscored,
+           substr(text, 1, 10) AS prefix10,
+           concat(lang, ':', source) AS lang_source,
+           replace(text, 'spark', 'SPARK') AS shouted
     FROM (SELECT *, MAP {'lang': lang, 'source': source} AS m
           FROM documents WHERE doc_id < 100)
     """,
 )
 def string_map_funcs(spark, sf_dir):
-    """B19-string + B19-map + B12-keyword: regexp_extract, lpad,
-    levenshtein, instr, reverse, repeat; create_map + element_at +
-    map_keys/size; substring keyword search as a flag column — one scan
-    (merged r1 queries string_funcs_extended + map_funcs +
-    keyword_search)."""
+    """B19-string + B19-map + B12-keyword + B2-cleanup: regexp_extract,
+    lpad, levenshtein, instr, reverse, repeat; create_map + element_at +
+    map_keys/size; substring keyword search as a flag column; plus the
+    text_cleanup suite (trim/lower, split/element_at, regexp_replace,
+    substring, concat, replace — merged here by the r6 window rotation,
+    same table and doc_id<100 grain) — one scan (merged r1 queries
+    string_funcs_extended + map_funcs + keyword_search + text_cleanup)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select(
@@ -1802,6 +1867,12 @@ def string_map_funcs(spark, sf_dir):
         F.size(m).alias("n_keys"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         (F.col("text").contains("vector") & F.col("text").contains("join")).alias("has_kw"),
+        F.trim(F.lower("text")).alias("clean"),
+        F.element_at(F.split("text", " "), 1).alias("first_token"),
+        F.regexp_replace("text", " +", "_").alias("underscored"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.replace("text", F.lit("spark"), F.lit("SPARK")).alias("shouted"),
     )
 
 
@@ -1931,23 +2002,11 @@ def asof_join_events_orders(spark, sf_dir):
     )
 
 
-@register(
-    "bucketed_range_join",
-    """
-    SELECT o.o_orderkey, COUNT(*) AS n_events_in_window
-    FROM (SELECT o_orderkey, o_custkey,
-                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72) HOUR AS win_start,
-                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72 + 6) HOUR AS win_end
-          FROM orders WHERE o_orderkey < 200) o
-    JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
-      ON e.user_id = o.o_custkey AND e.ts >= o.win_start AND e.ts < o.win_end
-    GROUP BY o.o_orderkey
-    """,
-)
 def bucketed_range_join_q(spark, sf_dir):
     """B14 interval join at scale: synthesize 6-hour windows from orders,
     count events per window via granule-bucket equi-join + exact refine
-    (no BroadcastNestedLoopJoin)."""
+    (no BroadcastNestedLoopJoin).  Oracle-checked as the 'bucketed' leg
+    of ``range_join_suite`` (r6 window rotation)."""
     from .operators.interval import bucketed_range_join
 
     o = (
@@ -1968,6 +2027,45 @@ def bucketed_range_join_q(spark, sf_dir):
         bucket="6 hours", extra_equi="o_custkey",
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events_in_window"))
+
+
+@register(
+    "range_join_suite",
+    """
+    SELECT 'theta' AS kind, o.o_orderpriority AS k, COUNT(*) AS n
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    UNION ALL
+    SELECT 'bucketed', CAST(o.o_orderkey AS VARCHAR), COUNT(*)
+    FROM (SELECT o_orderkey, o_custkey,
+                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72) HOUR AS win_start,
+                 TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 72 + 6) HOUR AS win_end
+          FROM orders WHERE o_orderkey < 200) o
+    JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+      ON e.user_id = o.o_custkey AND e.ts >= o.win_start AND e.ts < o.win_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_suite(spark, sf_dir):
+    """B14 range-join merged oracle slot (r6 window rotation): the
+    equi+theta 30-day shipping join and the granule-bucketed interval
+    join as a tagged union over (kind, k, n).  Both legs keep their
+    original plans (hash join + post-filter; bucket equi-join + exact
+    refine, no BroadcastNestedLoopJoin)."""
+    theta = join_range(spark, sf_dir).select(
+        F.lit("theta").alias("kind"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("n_fast_items").alias("n"),
+    )
+    bucketed = bucketed_range_join_q(spark, sf_dir).select(
+        F.lit("bucketed").alias("kind"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("n_events_in_window").alias("n"),
+    )
+    return theta.unionByName(bucketed)
 
 
 _SQL_FRONTEND = """
@@ -2472,22 +2570,11 @@ def near_dup_pairs_components(spark, sf_dir):
     return pair_leg.unionByName(comp_leg)
 
 
-@register(
-    "window_range_frame",
-    """
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-                 PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_total,
-           COUNT(*) OVER (
-                 PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_events
-    FROM events WHERE event_id < 3000
-    """,
-)
 def window_range_frame(spark, sf_dir):
     """B16: RANGE frame over event time — per event, the trailing-hour
-    total and count for its user (value-based frame, not row-based)."""
+    total and count for its user (value-based frame, not row-based).
+    Oracle-checked inside ``event_window_suite`` since the r6 window
+    rotation (identical frame, same event_id<3000 grain)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
     w = (
         Window.partitionBy("user_id")
@@ -2926,7 +3013,17 @@ def sketch_cardinality_profile(spark, sf_dir):
     ).orderBy("col")
 
 
-@register("heavy_hitters")
+@register(
+    "heavy_hitters",
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 1.2 * (
+        SELECT COUNT(*)::DOUBLE / COUNT(DISTINCT user_id) FROM events
+    )
+    """,
+)
 def heavy_hitters_q(spark, sf_dir):
     """Exact hot keys over events.user_id: frequency ≥ 1.2× the mean key
     frequency, via per-partition Misra–Gries candidates + exact recount of
@@ -2934,9 +3031,9 @@ def heavy_hitters_q(spark, sf_dir):
     mean-relative threshold is scale-invariant — the fixture's key domain
     grows with sf, so a fixed frequency fraction returns nothing at sf0.1
     while this finds the same distribution skew at every scale.  Result is
-    exact — pytest oracle-compares it against DuckDB GROUP BY/HAVING
-    (tests/test_sketches.py); declared rows-only because the driver's
-    50-slot oracle window is full."""
+    exact: the 2-pass candidate/recount output is value-identical to the
+    plain GROUP BY/HAVING oracle (driver-checked since the r6 window
+    rotation; also pytest-compared in tests/test_sketches.py)."""
     from .operators.sketches import relative_heavy_hitters
 
     e = load_table(spark, sf_dir, "events")
@@ -2962,13 +3059,40 @@ def incremental_near_dup_q(spark, sf_dir):
     return incremental_minhash_near_dup(new, store, hist, threshold=0.5)
 
 
-@register("funnel_conversions")
+@register(
+    "funnel_conversions",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+           ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS conversion FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    """,
+)
 def funnel_conversions_q(spark, sf_dir):
     """B20 ordered-funnel analysis: view -> click -> purchase conversion
     over the events table, strictly ordered per user
     (operators/funnel.py; Spark has no MATCH_RECOGNIZE — one aggregate
-    per step over a shrinking user set).  Rows-only; DuckDB value-compare
-    and planted-sequence semantics in tests/test_interval.py."""
+    per step over a shrinking user set).  Driver-checked against the
+    min-timestamp CTE-chain oracle since the r6 window rotation;
+    planted-sequence semantics in tests/test_interval.py."""
     from .operators.funnel import funnel_conversions
 
     e = load_table(spark, sf_dir, "events")
@@ -3355,7 +3479,163 @@ def corpus_assembly_pipeline(spark, sf_dir):
     )
 
 
-@register("repetition_signals")
+# DuckDB twin of the full Gopher/RefinedWeb repetition-signal family
+# (operators/text.py::repetition_signals_udf — see its docstring for the
+# published definitions this mirrors).  Same ASCII-whitespace token split,
+# same line/paragraph split+trim, duplicate-occurrence fractions via a
+# count-over-(doc,item) window, top-n-gram by (count, char length, lex)
+# tie-break, and the position-marking duplicated-5/10-gram coverage as a
+# MAX over a trailing ROWS window of the per-start duplicate flag (each
+# token counted once even under overlapping duplicated grams).  Shape
+# ratios (symbol/alpha) are rounded to 6 per doc exactly like the Spark
+# side's Catalyst expressions before the corpus aggregate.
+_REPETITION_SIGNALS_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10)||chr(10)||'buy now limited offer'||chr(10)||chr(10)||'buy now limited offer'||chr(10)||chr(10)||'buy now limited offer'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10)||'click here to subscribe'||chr(10)||'click here to subscribe'
+                 ELSE '' END AS text
+  FROM documents WHERE doc_id < 400
+),
+toklists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'), t -> t <> '') AS l
+  FROM planted
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toklists
+),
+tokstats AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(length(tok)) AS tok_chars,
+         COUNT(*) FILTER (WHERE regexp_matches(tok, '[A-Za-z]')) AS alpha_toks
+  FROM toks GROUP BY doc_id
+),
+lineocc AS (
+  SELECT doc_id, ln, COUNT(*) OVER (PARTITION BY doc_id, ln) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)),
+               x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))),
+               x -> x <> '')) AS ln
+    FROM planted)
+),
+linefrac AS (
+  SELECT doc_id, COUNT(*) FILTER (WHERE c > 1) / CAST(COUNT(*) AS DOUBLE) AS dup_line_frac
+  FROM lineocc GROUP BY doc_id
+),
+paraocc AS (
+  SELECT doc_id, p, COUNT(*) OVER (PARTITION BY doc_id, p) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(regexp_split_to_array(text, '\n{2,}'),
+               x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))),
+               x -> x <> '')) AS p
+    FROM planted)
+),
+parafrac AS (
+  SELECT doc_id, COUNT(*) FILTER (WHERE c > 1) / CAST(COUNT(*) AS DOUBLE) AS dup_para_frac
+  FROM paraocc GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM toks QUALIFY g IS NOT NULL
+),
+g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, c * length(g) AS top_chars
+  FROM (SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+        FROM g2c)
+  WHERE rn = 1
+),
+g5dup AS (
+  SELECT doc_id, i, (COUNT(*) OVER (PARTITION BY doc_id, g) > 1) AS dup
+  FROM (
+    SELECT doc_id, i,
+           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w || ' ' ||
+           lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS g
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+  WHERE g IS NOT NULL
+),
+g5cov AS (
+  SELECT t.doc_id, length(t.tok) AS lc,
+         MAX(CASE WHEN COALESCE(d.dup, FALSE) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY t.doc_id ORDER BY t.i ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov
+  FROM toks t LEFT JOIN g5dup d ON t.doc_id = d.doc_id AND t.i = d.i
+),
+g5frac AS (
+  SELECT doc_id, SUM(lc * cov) / CAST(SUM(lc) AS DOUBLE) AS dup_5gram_char_frac
+  FROM g5cov GROUP BY doc_id
+),
+g10dup AS (
+  SELECT doc_id, i, (COUNT(*) OVER (PARTITION BY doc_id, g) > 1) AS dup
+  FROM (
+    SELECT doc_id, i,
+           tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w || ' ' ||
+           lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w || ' ' ||
+           lead(tok,5) OVER w || ' ' || lead(tok,6) OVER w || ' ' ||
+           lead(tok,7) OVER w || ' ' || lead(tok,8) OVER w || ' ' ||
+           lead(tok,9) OVER w AS g
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+  WHERE g IS NOT NULL
+),
+g10cov AS (
+  SELECT t.doc_id, length(t.tok) AS lc,
+         MAX(CASE WHEN COALESCE(d.dup, FALSE) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY t.doc_id ORDER BY t.i ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cov
+  FROM toks t LEFT JOIN g10dup d ON t.doc_id = d.doc_id AND t.i = d.i
+),
+g10frac AS (
+  SELECT doc_id, SUM(lc * cov) / CAST(SUM(lc) AS DOUBLE) AS dup_10gram_char_frac
+  FROM g10cov GROUP BY doc_id
+),
+shapes AS (
+  SELECT p.doc_id,
+         CASE WHEN COALESCE(t.n_toks, 0) > 0
+              THEN ROUND((length(p.text) - length(replace(p.text, '#', ''))
+                          + len(regexp_extract_all(p.text, '\.\.\.|…'))) / CAST(t.n_toks AS DOUBLE), 6)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN COALESCE(t.n_toks, 0) > 0
+              THEN ROUND(t.alpha_toks / CAST(t.n_toks AS DOUBLE), 6)
+              ELSE 0.0 END AS alpha_word_frac
+  FROM planted p LEFT JOIN tokstats t USING (doc_id)
+),
+perdoc AS (
+  SELECT p.doc_id,
+         COALESCE(lf.dup_line_frac, 0.0) AS dup_line_frac,
+         COALESCE(pf.dup_para_frac, 0.0) AS dup_para_frac,
+         CASE WHEN COALESCE(t.n_toks, 0) >= 2 AND (t.tok_chars + t.n_toks - 1) > 0
+              THEN COALESCE(top2.top_chars, 0) / CAST(t.tok_chars + t.n_toks - 1 AS DOUBLE)
+              ELSE 0.0 END AS top_2gram_char_frac,
+         CASE WHEN COALESCE(t.n_toks, 0) >= 5 THEN COALESCE(g5.dup_5gram_char_frac, 0.0) ELSE 0.0 END AS dup_5gram_char_frac,
+         CASE WHEN COALESCE(t.n_toks, 0) >= 10 THEN COALESCE(g10.dup_10gram_char_frac, 0.0) ELSE 0.0 END AS dup_10gram_char_frac,
+         s.symbol_word_ratio, s.alpha_word_frac
+  FROM planted p
+  LEFT JOIN tokstats t USING (doc_id)
+  LEFT JOIN linefrac lf USING (doc_id)
+  LEFT JOIN parafrac pf USING (doc_id)
+  LEFT JOIN top2 USING (doc_id)
+  LEFT JOIN g5frac g5 USING (doc_id)
+  LEFT JOIN g10frac g10 USING (doc_id)
+  JOIN shapes s USING (doc_id)
+)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN dup_line_frac > 0.30 OR dup_para_frac > 0.30
+                 OR top_2gram_char_frac > 0.20 OR dup_5gram_char_frac > 0.15
+                 OR alpha_word_frac < 0.80 THEN 1 ELSE 0 END) AS n_would_drop,
+       ROUND(AVG(dup_line_frac), 5) AS avg_dup_line_frac,
+       ROUND(AVG(dup_para_frac), 5) AS avg_dup_para_frac,
+       ROUND(AVG(top_2gram_char_frac), 5) AS avg_top_2gram_char_frac,
+       ROUND(AVG(dup_5gram_char_frac), 5) AS avg_dup_5gram_char_frac,
+       ROUND(AVG(dup_10gram_char_frac), 5) AS avg_dup_10gram_char_frac,
+       ROUND(AVG(alpha_word_frac), 5) AS avg_alpha_word_frac,
+       ROUND(MAX(symbol_word_ratio), 5) AS max_symbol_word_ratio
+FROM perdoc
+"""
+
+
+@register("repetition_signals", _REPETITION_SIGNALS_ORACLE)
 def repetition_signals_q(spark, sf_dir):
     """Gopher/RefinedWeb repetition + shape signal profile of the corpus
     (operators/text.py::repetition_signals).  Deterministic degenerate text
@@ -3363,10 +3643,12 @@ def repetition_signals_q(spark, sf_dir):
     every 4th doc gets a looping paragraph, every 7th a repeated line pair,
     so the duplicate-fraction signals have non-trivial mass to measure.
     Output: per-signal corpus means plus the count of docs a Gopher-style
-    threshold pass would drop.  Rows-only (the signal block is a pandas_udf,
-    engine-local); the corpus summary is value-compared against an
-    independent pure-Python reference in tests/test_rows_only_compares.py,
-    with hand-computed unit values in tests/test_text_hygiene.py."""
+    threshold pass would drop.  Driver-checked since the r6 window
+    rotation against a full DuckDB re-derivation of every signal
+    (including the position-marking duplicated-n-gram coverage); also
+    value-compared against an independent pure-Python reference in
+    tests/test_rows_only_compares.py, with hand-computed unit values in
+    tests/test_text_hygiene.py."""
     from .operators.text import repetition_signals
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
@@ -3408,16 +3690,32 @@ def repetition_signals_q(spark, sf_dir):
     )
 
 
-@register("temperature_mixture")
+@register(
+    "temperature_mixture",
+    """
+    WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    p AS (SELECT lang, n, n / tot AS share, pow(n / tot, 0.3) AS pw FROM c, t),
+    z AS (SELECT SUM(pw) AS zz FROM p),
+    w AS (SELECT lang, n, share, pw / zz AS wt FROM p, z),
+    nf AS (SELECT MIN(FLOOR(n / wt)) AS nfeas FROM w)
+    SELECT lang,
+           n::BIGINT AS n_docs,
+           ROUND(share, 6) AS natural_share,
+           ROUND(wt, 6) AS weight,
+           FLOOR(wt * nfeas)::BIGINT AS n_sampled
+    FROM w, nf
+    ORDER BY lang
+    """,
+)
 def temperature_mixture_q(spark, sf_dir):
     """Temperature-flattened language mixture (operators/packing.py::
     temperature_mixture_weights/_sample, the XLM-R/mT5 alpha-power
     recipe): the fixture's naturally skewed lang distribution (en ~2.7x
     de) is re-weighted at alpha=0.3 and the corpus downsampled to the
     largest feasible flattened mixture.  Output per lang: count, natural
-    share, temperature weight, sampled count.  Rows-only (window full);
-    closed-form weights and sampled counts are DuckDB-compared in
-    tests/test_rows_only_compares.py."""
+    share, temperature weight, sampled count.  Driver-checked against the
+    closed-form DuckDB recomputation since the r6 window rotation."""
     from .operators.packing import (
         temperature_mixture_sample,
         temperature_mixture_weights,
@@ -3443,7 +3741,61 @@ def temperature_mixture_q(spark, sf_dir):
     )
 
 
-@register("paragraph_dedup")
+# DuckDB twin of operators/text.py::paragraph_dedup over the planted corpus:
+# same \n{2,} split, same ASCII-whitespace trim (the chr() concatenation IS
+# Python's strip set " \t\n\r\f\v"), first-(doc_id,pos)-occurrence keeper via
+# ROW_NUMBER (≡ Spark's min(struct(id,pos)) — the xxhash64 the Spark side
+# groups on is a shuffle-key optimization, not a semantic), ordered rebuild
+# via string_agg, then the same survivor/kept/dropped summary.
+_PARAGRAPH_DEDUP_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         'shared legal disclaimer: all rights reserved' || chr(10) || chr(10) || text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || chr(10) || 'promo block ' || CAST(doc_id % 2 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+split AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\n{2,}')) AS raw,
+         generate_subscripts(regexp_split_to_array(text, '\n{2,}'), 1) - 1 AS pos
+  FROM base
+),
+valid AS (
+  SELECT doc_id, pos,
+         trim(raw, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS para
+  FROM split
+  WHERE length(trim(raw, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) >= 1
+),
+tagged AS (
+  SELECT doc_id, pos, para,
+         (ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1) AS keep
+  FROM valid
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+  FROM tagged GROUP BY doc_id
+),
+docs AS (
+  SELECT b.doc_id, COALESCE(r.text, '') AS text,
+         COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.n_dropped, 0) AS n_dropped
+  FROM base b LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT SUM(CASE WHEN contains(text, 'shared legal disclaimer') THEN 1 ELSE 0 END) AS disclaimer_survivors,
+       SUM(CASE WHEN contains(text, 'promo block') THEN 1 ELSE 0 END) AS promo_survivors,
+       SUM(n_kept) AS paras_kept,
+       SUM(n_dropped) AS paras_dropped,
+       SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS nonempty_docs,
+       COUNT(*) AS n_docs
+FROM docs
+"""
+
+
+@register("paragraph_dedup", _PARAGRAPH_DEDUP_ORACLE)
 def paragraph_dedup_q(spark, sf_dir):
     """Corpus-level exact paragraph dedup
     (operators/text.py::paragraph_dedup).  A shared disclaimer paragraph is
@@ -3451,9 +3803,10 @@ def paragraph_dedup_q(spark, sf_dir):
     (the fixture has no natural cross-doc paragraphs); after dedup exactly
     ONE occurrence of each planted paragraph must survive corpus-wide and
     every doc keeps its own body.  Output: survivors-per-planted-paragraph
-    plus kept/dropped totals.  Rows-only (the oracle window is full); the
-    full summary is value-compared against an independent pure-Python
-    first-occurrence keeper in tests/test_rows_only_compares.py."""
+    plus kept/dropped totals.  Driver-checked against a full DuckDB
+    re-derivation (split/trim/first-occurrence-keeper/rebuild) since the
+    r6 window rotation; also value-compared against an independent
+    pure-Python keeper in tests/test_rows_only_compares.py."""
     from .operators.text import paragraph_dedup
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -3484,7 +3837,34 @@ def paragraph_dedup_q(spark, sf_dir):
     return survivors
 
 
-@register("url_blocklist_filter")
+# DuckDB twin of operators/text.py::url_filter for this query's literal
+# blocklist: the same host-extraction regex (scheme, optional userinfo,
+# trailing-dot strip, lowercase), dot-suffix blocking expressed as
+# equality-or-'.domain'-suffix (≡ arrays_overlap over all dot-suffixes for
+# a single blocked domain), and the same blocked-URL regex.
+_URL_FILTER_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         'http://' || CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END
+                   || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hosted AS (
+  SELECT doc_id, source, url,
+         lower(regexp_replace(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '\.+$', '')) AS host
+  FROM d
+),
+kept AS (
+  SELECT * FROM hosted
+  WHERE NOT regexp_matches(url, '(?:/doc/\d*13$)')
+    AND NOT (host = 'src0.example.com' OR ends_with(host, '.src0.example.com'))
+)
+SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@register("url_blocklist_filter", _URL_FILTER_ORACLE)
 def url_blocklist_filter_q(spark, sf_dir):
     """Hygiene: C4/RefinedWeb-style URL blocklist filtering
     (operators/text.py::url_filter).  Documents get deterministic pseudo
@@ -3493,8 +3873,10 @@ def url_blocklist_filter_q(spark, sf_dir):
     subdomains too, and the regex pattern drops ids ending in 13.
     Zero-shuffle literal-blocklist path (arrays_overlap over host
     dot-suffixes, plan-asserted shuffle-free in tests); returns kept
-    counts per source.  Rows-only; subdomain/pattern/case semantics and
-    the DataFrame-blocklist equivalence are pytest-asserted."""
+    counts per source.  Driver-checked against the DuckDB host/suffix/
+    regex re-derivation since the r6 window rotation; subdomain/pattern/
+    case semantics and the DataFrame-blocklist equivalence are
+    pytest-asserted."""
     from .operators.text import url_filter
 
     d = load_table(spark, sf_dir, "documents").select(
