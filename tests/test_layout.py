@@ -173,3 +173,18 @@ def test_z_value_locality(spark):
     for x, y in itertools.product(range(0, 16, 2), range(0, 16, 2)):
         tile = [by_xy[(x + dx, y + dy)] for dx in (0, 1) for dy in (0, 1)]
         assert max(tile) - min(tile) <= 5
+
+
+def test_compact_files_relative_path_stages_beside_target(spark, tmp_path, monkeypatch):
+    """r6 (r5 ADVICE): a bare relative path must stage its scratch dirs in
+    the working directory, not '/.compact_stage__<name>' at the fs root."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    spark.range(100).toDF("v").write.parquet("rel_table")
+    n = compact_files(spark, "rel_table", target_file_bytes=1 << 30)
+    assert n >= 1
+    assert spark.read.parquet("rel_table").count() == 100
+    assert not os.path.exists("/.compact_stage__rel_table")
+    leftovers = [p for p in os.listdir(tmp_path) if p.startswith(".compact_")]
+    assert leftovers == []

@@ -377,3 +377,26 @@ def test_url_filter_case_insensitive_hosts(spark):
     )
     out = X.url_filter(df, ["TRACKER.net"])
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_quality_gate_and_url_filter_tolerate_reserved_colnames(spark):
+    """r6 (r5 ADVICE): operators that stash temporaries on the user's
+    frame must not collide with real columns named _sig / _host."""
+    df = spark.createDataFrame(
+        [(1, "hello world text here", "user-sig-1", "user-host-1"),
+         (2, "another document body", "user-sig-2", "user-host-2")],
+        ["doc_id", "text", "_sig", "_host"],
+    )
+    gated = X.quality_gate(df)
+    rows = {r["doc_id"]: r for r in gated.collect()}
+    assert set(gated.columns) == {"doc_id", "text", "_sig", "_host", "keep", "drop_reasons"}
+    assert rows[1]["_sig"] == "user-sig-1"  # user's column survives untouched
+
+    urls = spark.createDataFrame(
+        [(1, "http://blocked.net/a", "mine-1"), (2, "http://ok.org/b", "mine-2")],
+        ["doc_id", "url", "_host"],
+    )
+    bl = spark.createDataFrame([("blocked.net",)], ["domain"])
+    kept = X.url_filter(urls, bl)
+    out = {r["doc_id"]: r["_host"] for r in kept.collect()}
+    assert out == {2: "mine-2"}  # filtered on the URL host, column preserved

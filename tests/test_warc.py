@@ -466,3 +466,99 @@ def test_write_wet_is_lazy(spark, tmp_path):
     out = str(tmp_path / "lazy")
     _ = write_wet(src, out)  # no action -> nothing written
     assert not os.path.exists(out)
+
+
+def test_write_wet_deterministic_shard_names_and_rerun_overwrites(spark, tmp_path):
+    """r6 commit protocol: shard names derive from the partition id, so a
+    re-run (the stand-in for a retried/speculative task attempt) rewrites
+    the same files byte-identically instead of duplicating records."""
+    import os
+
+    src = spark.createDataFrame(
+        [(f"http://corpus/{i}", f"text {i}") for i in range(30)],
+        "url string, text string",
+    ).repartition(4, "url")
+    out = str(tmp_path / "det")
+    write_wet(src, out).collect()
+    first = sorted(os.listdir(out))
+    assert all(f.startswith("part-") and f.endswith(".warc.wet.gz") for f in first)
+    assert not any(".tmp" in f for f in first)
+    bytes_first = {f: (tmp_path / "det" / f).read_bytes() for f in first}
+    write_wet(src, out).collect()  # "retry": same partitioning, same input
+    second = sorted(os.listdir(out))
+    assert second == first  # no duplicate shards
+    for f in first:  # identical bytes: gzip members carry no timestamps
+        assert (tmp_path / "det" / f).read_bytes() == bytes_first[f]
+    # and the corpus read back is still exactly the input (no dup records)
+    assert read_wet(spark, out).count() == 30
+
+
+def test_resync_counts_one_bad_member_per_corrupt_region():
+    """r6: embedded \\x1f\\x8b\\x08 sequences inside ONE corrupt member's
+    body must not each bump bad_members — the counter is per contiguous
+    corrupt region, and parsing still recovers the valid member after."""
+    good = _sample_records(2)
+    members = [build_warc_file([r]) for r in good]
+    # corrupt member whose body embeds several fake gzip magics
+    evil = bytearray(build_warc_file([build_wet_record("http://x", "y" * 2000)]))
+    evil[40] ^= 0xFF  # corrupt early
+    evil += b"\x1f\x8b\x08AAA" * 5  # doomed resync candidates
+    payload = members[0] + bytes(evil) + members[1]
+    c = {}
+    recs = list(iter_warc_records(payload, c))
+    assert [r["url"] for r in recs if r["record_type"] == "conversion"] == [
+        "http://example.com/0",
+        "http://example.com/1",
+    ]
+    assert c["bad_members"] == 1  # one region, one count
+
+
+def test_drain_tail_is_bounded_on_markerless_garbage():
+    """r6: a malformed region with no \\r\\nWARC/ resync marker must not
+    grow the retained tail to the whole decompressed file — it is
+    quarantined once it exceeds the slack + declared-length allowance."""
+    from vector_search_databricks_poc_spark.sources.warc import (
+        _TAIL_SLACK,
+        _bounded_tail,
+        _drain,
+    )
+
+    garbage = b"x" * (_TAIL_SLACK + 4096)  # no WARC/ header, no marker
+    c = {"bad_members": 0, "bad_records": 0}
+    out = []
+    tail = garbage
+    g = _drain(tail, c, final=False)
+    try:
+        while True:
+            out.append(next(g))
+    except StopIteration as stop:
+        tail = stop.value
+    assert out == []
+    assert len(tail) <= 6  # capped, keeping only a possible marker prefix
+    assert c["bad_records"] >= 1
+    # a legitimate large record is NOT capped: declared length extends it
+    big = build_wet_record("http://big", "z" * (_TAIL_SLACK + 9000))
+    partial = big[: len(big) - 100]  # body still arriving
+    assert _bounded_tail(partial, dict(c)) == partial
+
+
+def test_oversize_shard_rejected_loudly(spark, tmp_path):
+    """r6 shard-size contract: a shard above the one-file-one-task
+    ceiling fails with an actionable error instead of silently
+    concentrating executor memory."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "small.warc.wet.gz").write_bytes(build_warc_file(_sample_records(3)))
+    from vector_search_databricks_poc_spark.sources.warc import (
+        _wet_decoder,
+    )
+    import pandas as pd
+
+    dec = _wet_decoder(batch_rows=8, max_shard_bytes=100)
+    frame = pd.DataFrame(
+        {"path": ["big"], "content": [b"\x00" * 200]}
+    )
+    with pytest.raises(Exception, match="one-file-one-task ceiling"):
+        list(dec(iter([frame])))
+    # default ceiling leaves normal shards untouched
+    assert read_wet(spark, str(d)).count() == 3

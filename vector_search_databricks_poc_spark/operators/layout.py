@@ -128,7 +128,9 @@ def compact_files(
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n = max(1, math.ceil(int(size) / target_file_bytes))
-    parent, _, name = path.rstrip("/").rpartition("/")
+    parent, sep, name = path.rstrip("/").rpartition("/")
+    if not sep:  # bare relative name: scratch dirs are siblings in cwd,
+        parent = "."  # NOT '/.compact_stage__<name>' at the fs root
     staged = f"{parent}/.compact_stage__{name}"
     out = df.repartition(n)
     if sort_cols:

@@ -316,6 +316,20 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+def _free_colname(df: DataFrame, base: str) -> str:
+    """A temp-column name guaranteed absent from ``df`` — operators that
+    stash intermediates on the USER'S frame (quality_gate's signal
+    struct, url_filter's host) must not collide with a real column of
+    the same name (ambiguous-reference error, or a silently wrong
+    join/drop)."""
+    name = base
+    i = 0
+    while name in df.columns:
+        i += 1
+        name = f"{base}__{i}"
+    return name
+
+
 def _host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a host: a.b.co -> [a.b.co, b.co, co] — the
     match set for subdomain-inclusive blocking, bounded by label count
@@ -363,17 +377,18 @@ def url_filter(
         ).distinct()
         # match on distinct hosts (cardinality << corpus), then drop by
         # host equality — the corpus side stays un-exploded and unshuffled
-        hosts = out.select(host.alias("_host")).distinct()
+        hname = _free_colname(out, "_host")  # collision-safe on the user's frame
+        hosts = out.select(host.alias(hname)).distinct()
         blocked_hosts = (
-            hosts.select("_host", F.explode(_host_suffixes(F.col("_host"))).alias("_sfx"))
+            hosts.select(hname, F.explode(_host_suffixes(F.col(hname))).alias("_sfx"))
             .join(F.broadcast(bl), F.col("_sfx") == F.col("_bl_domain"), "left_semi")
-            .select("_host")
+            .select(hname)
             .distinct()
         )
         return (
-            out.withColumn("_host", host)
-            .join(F.broadcast(blocked_hosts), "_host", "left_anti")
-            .drop("_host")
+            out.withColumn(hname, host)
+            .join(F.broadcast(blocked_hosts), hname, "left_anti")
+            .drop(hname)
         )
     blocked = [d.lower() for d in blocked_domains]
     if not blocked:
@@ -834,12 +849,13 @@ def quality_gate(
     # sits on the ingest hot path and the unused n=3/4/10 Counter passes
     # are ~40% extra Python work per document.
     sig = repetition_signals_udf(top_ns=(2,), dup_ns=(5,))
-    with_sig = df.select("*", sig(text).alias("_sig"))
+    sname = _free_colname(df, "_sig")  # collision-safe on the user's frame
+    with_sig = df.select("*", sig(text).alias(sname))
     metrics = {
-        "dup_line_frac": F.col("_sig.dup_line_frac"),
-        "dup_para_frac": F.col("_sig.dup_para_frac"),
-        "top_2gram_char_frac": F.col("_sig.top_2gram_char_frac"),
-        "dup_5gram_char_frac": F.col("_sig.dup_5gram_char_frac"),
+        "dup_line_frac": F.col(f"{sname}.dup_line_frac"),
+        "dup_para_frac": F.col(f"{sname}.dup_para_frac"),
+        "top_2gram_char_frac": F.col(f"{sname}.top_2gram_char_frac"),
+        "dup_5gram_char_frac": F.col(f"{sname}.dup_5gram_char_frac"),
         **_shape_metric_columns(text),
     }
     reasons = []
@@ -856,7 +872,7 @@ def quality_gate(
         "*",
         (F.size(drop_reasons) == 0).alias("keep"),
         drop_reasons.alias("drop_reasons"),
-    ).drop("_sig")
+    ).drop(sname)
 
 
 def paragraph_dedup(

@@ -110,6 +110,14 @@ def build_warc_file(records: Iterable[bytes], gzip_per_record: bool = True) -> b
 _MEMBER_FAILED = object()
 
 
+# First-feed size for resync candidates: an embedded \x1f\x8b\x08 inside a
+# corrupt member's compressed body is NOT a real member start and zlib
+# rejects it within a few bytes — probing with a small first chunk bounds
+# each doomed attempt to O(64 KB) instead of O(1 MB), keeping adversarial
+# many-magic shards linear-ish rather than quadratic (r5 ADVICE item).
+_RESYNC_PROBE = 1 << 16
+
+
 def _iter_gzip_members(
     payload: bytes, counters: dict, chunk: int = 1 << 20
 ) -> Iterator[bytes]:
@@ -117,24 +125,39 @@ def _iter_gzip_members(
     bytes at a time off a memoryview (no whole-tail copies).  A corrupt
     member bumps ``counters['bad_members']``, yields ``_MEMBER_FAILED``
     (so the record assembler can discard its partial tail), and resyncs
-    at the next gzip magic."""
+    at the next gzip magic.
+
+    Resync scans from ``pos + 1`` — from inside the failed member — so a
+    real next member is never skipped (the corrupt member's end offset is
+    unknowable without decompressing it).  The cost of that choice is
+    that embedded magic bytes in the corrupt body are re-attempted;
+    ``bad_members`` therefore counts ONE per contiguous corrupt region
+    (not one per doomed attempt), and doomed attempts fail on a small
+    probe feed rather than a full chunk."""
     mv = memoryview(payload)
     n, pos = len(payload), 0
+    in_resync = False
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         fed = pos
+        first = True
         try:
             while not d.eof and fed < n:
-                out = d.decompress(mv[fed : fed + chunk])
-                fed += min(chunk, n - fed)
+                step = min(_RESYNC_PROBE if (in_resync and first) else chunk, n - fed)
+                out = d.decompress(mv[fed : fed + step])
+                fed += step
+                first = False
                 if out:
                     yield out
             if not d.eof:  # truncated final member
                 raise zlib.error("truncated gzip member")
             pos = fed - len(d.unused_data)
+            in_resync = False
         except zlib.error:
-            counters["bad_members"] += 1
+            if not in_resync:
+                counters["bad_members"] += 1
             yield _MEMBER_FAILED
+            in_resync = True
             nxt = payload.find(_GZ_MAGIC, pos + 1)
             if nxt == -1:
                 return
@@ -215,6 +238,44 @@ def iter_warc_records(payload: bytes, counters: dict | None = None) -> Iterator[
         yield from _drain(buf, c, final=True)
 
 
+# Max bytes of headers/garbage the assembler retains without making
+# progress.  A legitimate record may be arbitrarily large — its declared
+# Content-Length extends the allowance — but a malformed region with no
+# resync marker must not grow the tail to the whole decompressed file
+# (r5 ADVICE item: the documented O(record) bound has to hold on
+# adversarial input too).
+_TAIL_SLACK = 1 << 20
+
+
+def _declared_body_len(tail: bytes) -> int:
+    """Content-Length a plausible in-progress record at the tail's head
+    declares, else 0 — the legitimate reason a tail may exceed the slack."""
+    if not tail.startswith(b"WARC/"):
+        return 0
+    head_end = tail.find(_CRLF2)
+    if head_end == -1:
+        return 0
+    for line in tail[:head_end].split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-length":
+            try:
+                return max(0, int(v.strip()))
+            except ValueError:
+                return 0
+    return 0
+
+
+def _bounded_tail(tail: bytes, c: dict) -> bytes:
+    """Cap the retained tail at slack + declared body length; an
+    over-limit tail is quarantined, keeping only the last 6 bytes (a
+    ``\\r\\nWARC/`` marker straddling the chunk boundary has at most 6
+    bytes already buffered)."""
+    if len(tail) <= _TAIL_SLACK + _declared_body_len(tail):
+        return tail
+    c["bad_records"] += 1
+    return tail[-6:]
+
+
 def _drain(buf: bytes, c: dict, final: bool):
     """Emit every complete record in ``buf``; return the unconsumed tail.
 
@@ -222,7 +283,8 @@ def _drain(buf: bytes, c: dict, final: bool):
     next ``\\r\\nWARC/`` marker (or at end of input): mid-stream, the
     marker may simply not have arrived yet, so the tail is kept and
     retried when more decompressed data lands — counting there would
-    double-count, and giving up there would drop the rest of the file."""
+    double-count, and giving up there would drop the rest of the file.
+    The kept tail is bounded by ``_bounded_tail``."""
     pos = 0
     while True:
         try:
@@ -233,7 +295,7 @@ def _drain(buf: bytes, c: dict, final: bool):
                 if final:
                     c["bad_records"] += 1
                     return b""
-                return buf[pos:]
+                return _bounded_tail(buf[pos:], c)
             c["bad_records"] += 1
             pos = resync + 2
             continue
@@ -241,7 +303,7 @@ def _drain(buf: bytes, c: dict, final: bool):
             if final:
                 c["bad_records"] += 1  # truncated trailing record
                 return b""
-            return buf[nxt:]
+            return _bounded_tail(buf[nxt:], c)
         if rec is None:
             return b""
         yield rec
@@ -273,7 +335,26 @@ _BINARYFILE_SCHEMA = (
 )
 
 
-def _record_decoder(batch_rows: int):
+# Shard-size contract: ``binaryFile`` holds each COMPRESSED shard in one
+# file row, so one task's input memory is one shard.  Common Crawl shards
+# are ~1 GB — the granularity this source is designed for; a multi-GB
+# monolith would not fail but would concentrate a whole executor's memory
+# into one task, so it is rejected loudly instead of degrading silently.
+# Raise the ceiling deliberately (e.g. read_wet(..., max_shard_bytes=...))
+# if your shards really are that large; re-shard upstream if you can.
+MAX_SHARD_BYTES = 4 << 30
+
+
+def _check_shard_size(fpath: str, payload, max_shard_bytes: int) -> None:
+    if len(payload) > max_shard_bytes:
+        raise ValueError(
+            f"WARC shard {fpath!r} is {len(payload)} bytes, above the "
+            f"{max_shard_bytes}-byte one-file-one-task ceiling; re-shard the "
+            f"input (Common Crawl convention is ~1 GB) or raise max_shard_bytes"
+        )
+
+
+def _record_decoder(batch_rows: int, max_shard_bytes: int = MAX_SHARD_BYTES):
     """mapInPandas body shared by the batch and streaming readers:
     (path, content) file rows in, record rows out in bounded batches."""
     import pandas as pd
@@ -281,6 +362,7 @@ def _record_decoder(batch_rows: int):
     def decode(iterator):
         for pdf in iterator:
             for fpath, payload in zip(pdf["path"], pdf["content"]):
+                _check_shard_size(fpath, payload, max_shard_bytes)
                 rows = []
                 for rec in iter_warc_records(bytes(payload)):
                     rows.append(
@@ -319,7 +401,7 @@ _WET_SCHEMA = "path string, url string, warc_date string, text string"
 _WET_COLS = ["path", "url", "warc_date", "text"]
 
 
-def _wet_decoder(batch_rows: int):
+def _wet_decoder(batch_rows: int, max_shard_bytes: int = MAX_SHARD_BYTES):
     """mapInPandas body shared by the batch and streaming WET readers:
     keeps only ``conversion`` records and decodes UTF-8 with
     ``errors='replace'`` — crawl text routinely carries stray bytes, and
@@ -333,6 +415,7 @@ def _wet_decoder(batch_rows: int):
     def decode(iterator):
         for pdf in iterator:
             for fpath, payload in zip(pdf["path"], pdf["content"]):
+                _check_shard_size(fpath, payload, max_shard_bytes)
                 rows = []
                 for rec in iter_warc_records(bytes(payload)):
                     if rec["record_type"] != "conversion":
@@ -612,29 +695,58 @@ def write_wet(
     when it is consumed (the caller controls materialization, same
     contract as every other builder here).  Executor-local writes via
     mapInPandas keep the export shuffle-free; repartition upstream to
-    choose the shard count."""
+    choose the shard count.
+
+    Memory is O(record), matching the reader's bound (see module head):
+    each record is serialized and written as its own gzip member as it
+    streams through — neither the partition's record list nor the shard
+    bytes are ever materialized (pre-r6 this buffered the whole
+    partition twice, ~2x shard size of Python heap per task).
+
+    Commit protocol: the shard name derives from the Spark partition id,
+    so a retried or speculatively-executed task attempt REWRITES the
+    same file instead of silently adding a duplicate shard; each attempt
+    writes an attempt-suffixed temp file and commits with one atomic
+    rename, so readers never observe partials and concurrent attempts
+    cannot interleave (last rename wins, with identical bytes for a
+    deterministic upstream plan — the gzip members carry no timestamps).
+    POSIX-rename contract: this sink targets local/shared POSIX
+    filesystems; object stores lack atomic rename, so export there via a
+    committed Spark write (e.g. ``df.write.parquet``) and convert, or
+    mount the store behind a rename-capable layer."""
     import os
-    import uuid
 
     import pandas as pd
+    from pyspark import TaskContext
 
     def dump(iterator):
-        records = []
-        for pdf in iterator:
-            for url, text in zip(pdf[url_col], pdf[text_col]):
-                records.append(
-                    build_wet_record(url, "" if text is None else str(text), date)
-                )
-        if records:
-            os.makedirs(out_dir, exist_ok=True)
-            fname = os.path.join(
-                out_dir, f"part-{uuid.uuid4().hex}.warc.wet.gz"
-            )
-            tmp = fname + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(build_warc_file(records, gzip_per_record=True))
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else os.getpid()
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        fname = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = f"{fname}.tmp-{attempt}"
+        n, f = 0, None
+        try:
+            for pdf in iterator:
+                for url, text in zip(pdf[url_col], pdf[text_col]):
+                    if f is None:
+                        os.makedirs(out_dir, exist_ok=True)
+                        f = open(tmp, "wb")
+                    rec = build_wet_record(
+                        url, "" if text is None else str(text), date
+                    )
+                    c = zlib.compressobj(wbits=31)  # one member per record
+                    f.write(c.compress(rec) + c.flush())
+                    n += 1
+        except BaseException:
+            if f is not None:
+                f.close()
+                os.unlink(tmp)  # don't leave .tmp litter for binaryFile scans
+            raise
+        if f is not None:
+            f.close()
             os.rename(tmp, fname)  # atomic: readers never see partials
-            yield pd.DataFrame({"shard_path": [fname], "n_records": [len(records)]})
+            yield pd.DataFrame({"shard_path": [fname], "n_records": [n]})
 
     return df.select(url_col, text_col).mapInPandas(
         dump, schema="shard_path string, n_records long"
