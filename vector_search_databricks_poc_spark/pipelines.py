@@ -295,28 +295,73 @@ def chunked_search_pipeline(
     # NULL cosine (zero query vector / empty chunk) must not fill the
     # top-k: an all-whitespace query now returns an EMPTY result instead
     # of the k lowest doc_ids dressed up as hits
-    return _maxsim_rollup(scored, doc_id_col, k)
+    # text fetch-back joins the PRE-embedding chunks frame, so the
+    # winners' text costs a re-chunk projection, never a re-embed
+    return _maxsim_rollup(
+        scored.select(doc_id_col, "chunk_seq", "_s"), chunks, doc_id_col, k
+    )
 
 
-def _maxsim_rollup(scored: DataFrame, doc_id_col: str, k: int) -> DataFrame:
+def _maxsim_rollup(
+    scored: DataFrame, chunk_source: DataFrame, doc_id_col: str, k: int
+) -> DataFrame:
     """Exact MaxSim document rollup over chunk scores ``_s``: max chunk
     score per doc with the best chunk kept for provenance (lowest
     chunk_seq breaks score ties), then top-k docs.  Shared by the
-    brute-force and the indexed chunk-retrieval paths — one partial-agg
-    shuffle on doc_id either way."""
-    rolled = (
-        scored.groupBy(doc_id_col)
-        .agg(
-            F.max("_s").alias("score"),
-            F.max_by("chunk_seq", F.struct("_s", (-F.col("chunk_seq")).alias("_t"))).alias(
-                "best_chunk_seq"
-            ),
-            F.max_by("chunk_text", F.struct("_s", (-F.col("chunk_seq")).alias("_t"))).alias(
-                "best_chunk_text"
-            ),
+    brute-force and the indexed chunk-retrieval paths.
+
+    Plans as a partial-agg HASH aggregate (r5 verdict watch item): the
+    (score, -chunk_seq) order is packed into ONE long —
+    ``round(_s*1e6) << 32 | (2^31-1 - chunk_seq)`` — whose ``max`` is
+    hash-aggregatable, where any struct-valued buffer (max_by or
+    max-of-struct) forces Sort + SortAggregate per partition.  Exact
+    because ``_s`` is already rounded to 6 decimals at both call sites
+    (|score_int| <= 1e6, so the pack fits a long with 11 bits to spare)
+    and chunk_seq is unique within a doc.  The winning chunk TEXT is then
+    fetched by broadcasting the k winners against ``chunk_source``
+    (doc_id, chunk_seq, chunk_text) — an inner broadcast join, no
+    shuffle, and column pruning keeps the fetch branch free of any
+    embedding/scoring work.  Net: the chunk-text strings never ride the
+    aggregation shuffle, each scored partition hash-folds instead of
+    sorting, and the only extra cost is a pruned second pass over the
+    winners' chunk text."""
+    s_int = F.round(F.col("_s") * 1e6).cast("long")
+    low = F.lit((1 << 31) - 1).cast("long") - F.col("chunk_seq").cast("long")
+    packed = (s_int * F.lit(1 << 32).cast("long") + low).alias("_packed")
+    topk = (
+        scored.select(F.col(doc_id_col), packed)
+        .groupBy(doc_id_col)
+        .agg(F.max("_packed").alias("_best"))
+        .select(
+            F.col(doc_id_col),
+            (F.shiftright("_best", 32).cast("double") / 1e6).alias("score"),
+            (
+                F.lit((1 << 31) - 1).cast("long")
+                - F.col("_best").bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+            ).alias("_best_seq"),
         )
+        .orderBy(F.col("score").desc(), F.col(doc_id_col))
+        .limit(k)
     )
-    return rolled.orderBy(F.col("score").desc(), F.col(doc_id_col)).limit(k)
+    src = chunk_source.select(
+        F.col(doc_id_col),
+        F.col("chunk_seq").alias("best_chunk_seq"),
+        F.col("chunk_text").alias("best_chunk_text"),
+    )
+    return (
+        F.broadcast(topk)
+        .join(
+            src,
+            (topk[doc_id_col] == src[doc_id_col])
+            & (F.col("_best_seq") == F.col("best_chunk_seq").cast("long")),
+        )
+        .select(topk[doc_id_col], "score", "best_chunk_seq", "best_chunk_text")
+        # the join loses TakeOrdered's order; re-sort the k-row result —
+        # WITH the limit, so it plans as TakeOrderedAndProject, not a
+        # range-partition exchange
+        .orderBy(F.col("score").desc(), F.col(doc_id_col))
+        .limit(k)
+    )
 
 
 def build_chunk_index(
@@ -390,13 +435,17 @@ def indexed_chunked_search(
     queries = embed_text(qdf, text_col="text", encoder=encoder, dim=dim).select(
         "query_id", F.col("embedding").alias("query_vec")
     )
-    scored = index.batch_search(
+    probe = index.batch_search(
         spark, queries, k=None, nprobe=nprobe, score_decimals=6,
         payload_cols=(doc_id_col, "chunk_seq", "chunk_text"),
-    ).select(
-        F.col(doc_id_col), "chunk_seq", "chunk_text", F.col("score").alias("_s")
+    )
+    scored = probe.select(
+        F.col(doc_id_col), "chunk_seq", F.col("score").alias("_s")
     ).where(F.col("_s").isNotNull() & ~F.isnan("_s"))
-    return _maxsim_rollup(scored, doc_id_col, k)
+    # text fetch-back re-reads only the probed partitions' payload columns
+    # (partition-pruned scan, scoring expressions pruned away)
+    chunk_source = probe.select(F.col(doc_id_col), "chunk_seq", "chunk_text")
+    return _maxsim_rollup(scored, chunk_source, doc_id_col, k)
 
 
 def search_pipeline(
