@@ -66,6 +66,9 @@ HEADLINE = [
     "indexed_chunk_search",     # r5 B7/B12: chunk-index probe + MaxSim rollup
     #   (first call builds+caches the chunk index; timed reps measure the
     #   probe + rollup, same treatment as ivf_pq_batch_search)
+    "crawl_corpus",             # r6: crawl front half end-to-end — WET decode
+    #   -> gate -> clean -> dedup -> near-dup -> split (first call exports
+    #   the WET shards once; timed reps measure the pipeline)
 ]
 
 

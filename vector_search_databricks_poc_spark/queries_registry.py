@@ -3937,6 +3937,47 @@ def wet_crawl_ingest_q(spark, sf_dir):
     return parity.crossJoin(quarantine)
 
 
+_WET_BENCH_DIRS: dict = {}
+
+
+def _wet_bench_dir(spark, sf_dir: str) -> str:
+    """Process-lifetime WET export of the sf's documents — crawl_corpus's
+    input.  Exported ONCE per corpus dir (the CREATE-INDEX treatment, like
+    ``_cached_index``): timed bench reps measure the crawl front half
+    (streaming decode -> gate -> clean -> dedup -> split), never the
+    export.  Per-source hosts so the domain column downstream is
+    non-degenerate."""
+    if sf_dir not in _WET_BENCH_DIRS:
+        from .sources.warc import write_wet
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+            "text",
+        )
+        out = f"{_scratch_dir('crawlbench_')}/wet"
+        write_wet(docs.repartition(8), out).count()
+        _WET_BENCH_DIRS[sf_dir] = out
+    return _WET_BENCH_DIRS[sf_dir]
+
+
+def crawl_corpus(spark, sf_dir):
+    """Bench headline (r5 verdict ask #3): the crawl front half
+    end-to-end — WET shards -> streaming record decode -> canonical ids +
+    domain -> Gopher gate -> cleanup -> language/quality filter -> exact
+    dedup -> near-dup -> split (pipelines.crawl_corpus_pipeline).  Returns
+    the TRAIN split; counting it executes the whole front half.  Module
+    function (bench resolves via getattr): the declared-query surface
+    already covers the pieces (wet_crawl_ingest, repetition_signals,
+    paragraph_dedup, minhash family, training_data_pipeline)."""
+    from .pipelines import crawl_corpus_pipeline
+
+    train, _test = crawl_corpus_pipeline(spark, _wet_bench_dir(spark, sf_dir))
+    return train
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
