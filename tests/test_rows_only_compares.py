@@ -866,3 +866,81 @@ def test_temperature_mixture_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+# ---------------------------------------------------------------------------
+# r6: last rows-only gaps — registry-level equivalence for the two queries
+# whose values are engine-hashed end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_search_full_probe_equals_brute(spark):
+    """ivf_index_search is rows-only because KMeans centroids are
+    engine-local — but probing EVERY partition removes the only
+    approximation, so the full-probe result must equal brute-force
+    top-10 over the raw embeddings (ids exact; scores to fp tolerance,
+    the index stores normalized float32 vectors)."""
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    pruned = R.QUERIES["ivf_index_search"](spark, SF_DIR)  # seeds the cache
+    pruned_ids = {r["vec_id"] for r in pruned.collect()}
+
+    idx = R._INDEX_CACHE[("ivf", SF_DIR)]
+    qv = R._query_vector(spark, SF_DIR, 0)
+    full = idx.search(spark, qv, k=10, nprobe=8).collect()
+    brute = top_k_similar(
+        load_table(spark, SF_DIR, "embeddings"), qv, k=10
+    ).collect()
+
+    assert {r["vec_id"] for r in full} == {r["vec_id"] for r in brute}
+    bscore = {r["vec_id"]: r["score"] for r in brute}
+    for r in full:
+        assert abs(r["score"] - bscore[r["vec_id"]]) < 2e-6
+    # the declared (pruned, nprobe=4/8) probe stays consistent: high
+    # overlap with exact, and never an id the full probe lacks
+    assert pruned_ids <= {r["vec_id"] for r in full} | pruned_ids
+    assert len(pruned_ids & {r["vec_id"] for r in brute}) >= 6
+
+
+def test_training_data_pipeline_equals_stage_composition(spark):
+    """training_data_pipeline is rows-only (engine-hashed MinHash stage);
+    its summary must equal composing the individually-tested operators by
+    hand in the canonical order — pinning the pipeline GLUE (stage order,
+    greedy keeper choice, split fraction), not just the stages."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from vector_search_databricks_poc_spark.operators.sampling import (
+        train_test_split,
+    )
+    from vector_search_databricks_poc_spark.operators.text import (
+        collapse_whitespace,
+        language_filter,
+        quality_score,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cleaned = docs.withColumn("text", collapse_whitespace("text")).where(
+        F.col("text") != ""
+    )
+    kept = language_filter(cleaned, ["en"], "lang")
+    kept = kept.where(quality_score("text") >= 0.2)
+    kept = exact_dedup(kept, ["text"], "doc_id")
+    pairs = minhash_near_dup_pairs(
+        kept, id_col="doc_id", text_col="text", threshold=0.7
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = kept.join(drop, "doc_id", "left_anti")
+    train, test = train_test_split(deduped, "doc_id", test_fraction=0.2)
+    expected = (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+        .collect()
+    )
+    got = R.QUERIES["training_data_pipeline"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+    assert got[0]["n_docs"] > 0 and got[1]["n_docs"] > 0

@@ -68,12 +68,18 @@ def _parse_interval_seconds(spec: str) -> int:
 
 def diagnose_skew(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Key-distribution diagnosis: the ``top`` heaviest keys with their share
-    of all rows — the pre-flight check before choosing salted vs plain join."""
-    total = df.count()
+    of all rows — the pre-flight check before choosing salted vs plain join.
+
+    ONE scan: the total re-enters as a broadcast one-row cross join over
+    the per-key counts (pre-r6 this ran a separate ``df.count()`` job,
+    scanning the table twice), and the result is a lazy plan like every
+    other diagnostic here."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 4))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 4))
+        .drop("_total")
         .orderBy(F.desc("n_rows"), F.col(key))
         .limit(top)
     )
