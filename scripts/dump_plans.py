@@ -35,6 +35,8 @@ NAMES = [
     "bloom_decontamination",
     "repetition_signals",
     "paragraph_dedup",
+    "url_blocklist_filter",
+    "crawl_corpus",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -109,18 +109,18 @@ def test_indexed_chunk_search_probe_plan(spark, sf_dir, tmp_path):
     # broadcast of the probe rows + the rollup agg + final sort; the chunk
     # table itself is never hash-exchanged
     assert A.count_exchanges(df) <= 3, A.plan_string(df)
-    # r6: the MaxSim rollup hash-aggregates a packed (score, -seq) long —
-    # no SortAggregate (the r5 struct-ordered max_by forced per-partition
-    # sorts), and the winners' text arrives via a broadcast fetch join
-    plan = A.plan_string(df)
-    assert "SortAggregate" not in plan, plan
-    assert "HashAggregate" in plan, plan
+    # r6: the indexed path keeps the SINGLE-PASS rollup on purpose — the
+    # probe is pruned/small, and the packed-agg + fetch-back shape's
+    # extra stages measured slower than the partial sort they remove
+    # (see _maxsim_rollup's strategy note)
 
 
 def test_chunked_search_rollup_hash_aggregates(spark, sf_dir):
-    """The brute-force chunk path shares the rollup: HashAggregate, no
-    SortAggregate, and the text fetch-back branch adds NO shuffle (2
-    total: the demo repartition + the agg exchange)."""
+    """The brute-force (full-corpus) chunk path hash-aggregates: the
+    rollup's packed (score, -seq) long replaces the struct-ordered max_by
+    that forced Sort + SortAggregate per partition (r5 watch item), and
+    the winners' text fetch-back adds NO shuffle (2 total: the demo
+    repartition + the agg exchange)."""
     from vector_search_databricks_poc_spark.queries_registry import QUERIES as Q
 
     df = Q["chunked_doc_search"](spark, sf_dir)
