@@ -944,3 +944,134 @@ def test_training_data_pipeline_equals_stage_composition(spark):
     got = R.QUERIES["training_data_pipeline"](spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expected]
     assert got[0]["n_docs"] > 0 and got[1]["n_docs"] > 0
+
+
+def test_exact_substring_dedup_matches_duckdb(spark):
+    """FULL per-doc value compare for exact_substring_dedup: DuckDB
+    re-derives the removal by grouping window TEXT (the Spark side's
+    double-xxhash64 keys are a shuffle optimization, not a semantic) —
+    same single-space tokenization, all n-L+1 windows, >=2 occurrence
+    cut, ordered rebuild of uncovered tokens."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    L = 12
+    block = " ".join(
+        ["licensed", "under", "the", "apache", "license", "version",
+         "two", "point", "zero", "all", "rights", "reserved"]
+    )
+    d = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 300)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + block))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = exact_substring_dedup(planted, window_tokens=L)
+    sql = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0 THEN ' {block}' ELSE '' END AS text
+      FROM documents WHERE doc_id < 300
+    ),
+    tokl AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM planted
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(l) >= {L} THEN range(0, len(l) - {L} + 1)
+                         ELSE [] END) AS pos,
+             l
+      FROM tokl
+    ),
+    wtext AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(l, pos + 1, pos + {L}), ' ') AS w
+      FROM wins
+    ),
+    dupw AS (SELECT w FROM wtext GROUP BY w HAVING COUNT(*) >= 2),
+    marked AS (SELECT t.doc_id, t.pos FROM wtext t JOIN dupw USING (w)),
+    tokpos AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS p
+      FROM tokl
+    ),
+    keptt AS (
+      SELECT tp.doc_id, tp.tok, tp.p,
+             NOT EXISTS (SELECT 1 FROM marked m
+                         WHERE m.doc_id = tp.doc_id
+                           AND tp.p >= m.pos AND tp.p < m.pos + {L}) AS keep
+      FROM tokpos tp
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep), '') AS text,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_tokens_kept,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_tokens_removed
+      FROM keptt GROUP BY doc_id
+    ),
+    spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM marked GROUP BY doc_id)
+    SELECT p.doc_id,
+           COALESCE(r.text, '') AS text,
+           CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(COALESCE(r.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(COALESCE(s.n_dup_spans, 0) AS INTEGER) AS n_dup_spans
+    FROM planted p
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_exact_substring_dedup_planted_semantics(spark):
+    """Unit semantics: both copies of a planted span are cut, overlapping
+    coverage counts each token once, unique text and short docs survive,
+    NULL text comes back as ''."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    dup = " ".join(f"d{i}" for i in range(6))
+    rows = [
+        (1, "alpha beta " + dup + " gamma"),
+        (2, "x y z " + dup),
+        (3, "unique tokens only here nothing repeats at all"),
+        (4, None),
+        (5, dup),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, window_tokens=6).collect()}
+    assert out[1]["text"] == "alpha beta gamma" and out[1]["n_tokens_removed"] == 6
+    assert out[2]["text"] == "x y z"
+    assert out[3]["text"].startswith("unique") and out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_tokens_kept"] == 0
+    assert out[5]["text"] == "" and out[5]["n_dup_spans"] == 1
+    assert out[6]["text"] == "short doc"  # below window size: untouched
+
+    # overlapping duplicated windows: a 7-token duplicated region with
+    # L=6 yields 2 overlapping windows but removes exactly 7 tokens
+    long_dup = " ".join(f"e{i}" for i in range(7))
+    df2 = spark.createDataFrame(
+        [(1, "pre " + long_dup + " post"), (2, long_dup)], ["doc_id", "text"]
+    )
+    o2 = {r["doc_id"]: r for r in exact_substring_dedup(df2, window_tokens=6).collect()}
+    assert o2[1]["text"] == "pre post" and o2[1]["n_tokens_removed"] == 7
+    assert o2[1]["n_dup_spans"] == 2
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df2, window_tokens=1)
+
+
+def test_exact_substring_dedup_plan_shape(spark):
+    """Scale shape: window text never leaves the map side (only hashes
+    shuffle), and the whole operator costs <= 4 exchanges (count agg,
+    semi-join re-shuffle, per-doc starts agg, final doc join)."""
+    from vector_search_databricks_poc_spark.operators import dedup as D
+    from vector_search_databricks_poc_spark.plans import audit as A
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df = D.exact_substring_dedup(d, window_tokens=12)
+    plan = A.plan_string(df)
+    assert A.count_exchanges(df) <= 4, plan

@@ -994,3 +994,113 @@ def embedding_near_dup_pairs_expr(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr step):
+    every window of ``window_tokens`` consecutive tokens whose text occurs
+    at least ``min_count`` times ANYWHERE in the corpus is cut from every
+    document, and the surviving tokens rejoin in order.  This is the
+    sub-document step below document/paragraph dedup: boilerplate, license
+    blocks, and templated passages repeat verbatim inside otherwise-unique
+    pages, and training on them measurably hurts LMs (the paper's result).
+
+    Distributed shape (the paper uses a single-machine suffix array; this
+    is the shuffle-bounded Spark rendition):
+
+    1. map-side: tokenize, slide all n-L+1 windows per doc, double-hash
+       each window's joined text (two independent xxhash64 seeds -> 128
+       collision bits; a collision needs BOTH to collide on different
+       text, so a false cut is vanishingly rare and merely drops one
+       span).  Only (doc_id, pos, h1, h2) ever leaves the map side —
+       never window text (x50 the corpus otherwise).
+    2. ONE count shuffle on (h1, h2): repeated windows partial-aggregate
+       map-side (the heavy boilerplate case collapses before the wire);
+       unique windows — the common case — ride through once.
+    3. left-semi join windows against the >=min_count set on (h1, h2)
+       [AQE co-partitions with the count shuffle; a mega-duplicated
+       window is a hot key here — AQE skew-join splits it].
+    4. per doc: collect duplicated window starts (small), mark covered
+       token positions [start, start+L), rebuild the text from uncovered
+       tokens — pure expressions, one narrow shuffle on doc_id.
+
+    Cost honesty: step 1 hashes O(n_tokens x L) bytes (map-parallel CPU,
+    no shuffle amplification) and step 2 shuffles ~one row per corpus
+    token.  That is the price of EXACT all-position matching without the
+    paper's offline suffix array; run it after document/paragraph dedup
+    has shrunk the corpus.  Tokenization uses the oracle-portable
+    single-space split (``text.tokens``), so the full output is
+    DuckDB-reproducible by grouping window TEXT (the hashes are a shuffle
+    optimization, not a semantic).
+
+    Removal semantics: ALL occurrences of a duplicated window are cut
+    (the conservative published variant — C4 and the paper's released
+    tool drop matched spans wherever they occur).  Docs whose tokens are
+    all cut (or NULL text) come back with text='' rather than vanishing
+    (the ``paragraph_dedup`` contract).  Returns (id_col, text_col,
+    n_tokens_kept, n_tokens_removed, n_dup_spans).
+    """
+    from .text import tokens as _toks
+
+    if window_tokens < 2:
+        raise ValueError(f"window_tokens must be >= 2, got {window_tokens}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    L = window_tokens
+    sep = "\x1f"  # cannot appear between tokens post-split; a token
+    # containing \x1f could alias a boundary — both hashes see the same
+    # joined string, so the (rare) consequence is one falsely-cut span
+
+    tok = _toks(text_col)
+    n = F.size(tok)
+    starts = F.when(n >= L, F.sequence(F.lit(0), n - L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("_pos"),
+        tok.alias("_t"),
+    ).select(
+        id_col,
+        "_pos",
+        F.xxhash64(F.array_join(F.slice("_t", F.col("_pos") + 1, L), sep)).alias("_h1"),
+        F.xxhash64(
+            F.lit("xsub2"), F.array_join(F.slice("_t", F.col("_pos") + 1, L), sep)
+        ).alias("_h2"),
+    )
+    dup_keys = (
+        wins.groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h1", "_h2")
+    )
+    dup_starts = (
+        wins.join(dup_keys, ["_h1", "_h2"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_dup_starts"))
+    )
+    out = df.join(dup_starts, id_col, "left").withColumn(
+        "_dup_starts", F.coalesce("_dup_starts", F.array().cast("array<int>"))
+    )
+    tok2 = _toks(text_col)
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("_dup_starts"), lambda s: (p >= s) & (p < s + L)
+    )
+    indexed = F.transform(tok2, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(indexed, lambda s: ~covered(s["i"]))
+    return out.select(
+        id_col,
+        F.coalesce(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " "), F.lit("")
+        ).alias(text_col),
+        F.coalesce(F.size(kept), F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce(F.size(tok2) - F.size(kept), F.lit(0)).alias("n_tokens_removed"),
+        F.size("_dup_starts").alias("n_dup_spans"),
+    )

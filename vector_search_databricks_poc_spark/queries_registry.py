@@ -3937,6 +3937,44 @@ def wet_crawl_ingest_q(spark, sf_dir):
     return parity.crossJoin(quarantine)
 
 
+@register("exact_substring_dedup")
+def exact_substring_dedup_q(spark, sf_dir):
+    """Sub-document dedup: exact duplicated-substring removal (Lee et al.
+    2021 ExactSubstr — operators/dedup.py::exact_substring_dedup).  A
+    12-token license block is planted on every 5th doc (the fixture has
+    no natural cross-doc substrings); after dedup NO document may still
+    contain it, every other token survives, and the removal accounting
+    must balance.  Output: corpus totals (docs, touched docs, kept/
+    removed tokens, spans, residual marker count — must be 0).  Rows-only
+    (xxhash64 shuffle keys); the FULL per-doc output is value-compared
+    against a DuckDB re-derivation that groups window TEXT instead of
+    hashes in tests/test_rows_only_compares.py."""
+    from .operators.dedup import exact_substring_dedup
+
+    block = " ".join(
+        ["licensed", "under", "the", "apache", "license", "version",
+         "two", "point", "zero", "all", "rights", "reserved"]
+    )
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + block))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = exact_substring_dedup(planted, window_tokens=12)
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_dup_spans") > 0).cast("int")).alias("docs_touched"),
+        F.sum("n_tokens_kept").alias("tokens_kept"),
+        F.sum("n_tokens_removed").alias("tokens_removed"),
+        F.sum("n_dup_spans").alias("dup_spans"),
+        F.sum(F.col("text").contains("apache license").cast("int")).alias(
+            "residual_marker_docs"
+        ),
+    )
+
+
 _WET_BENCH_DIRS: dict = {}
 
 
