@@ -39,6 +39,8 @@ EAGER_BY_CONTRACT = {
     "index_compaction",  # index build + appends + file-count probe + compaction
     "indexed_chunk_search",  # chunk-index build (CREATE INDEX analog)
     "wet_crawl_ingest",  # WET shard export (CREATE INDEX analog)
+    "bpe_tokenize",  # tokenizer training fit (KMeans analog: collects the
+    #   capped word-count table; encoding + summary stay lazy)
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

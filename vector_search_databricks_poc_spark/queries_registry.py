@@ -3937,6 +3937,39 @@ def wet_crawl_ingest_q(spark, sf_dir):
     return parity.crossJoin(quarantine)
 
 
+@register("bpe_tokenize")
+def bpe_tokenize_q(spark, sf_dir):
+    """B12/B5 tokenizer: deterministic BPE trained on the corpus's own
+    word-frequency table (functions/bpe.py — distributed count + bounded
+    driver fit, the KMeans-fit analog), then applied Arrow-batched to
+    count subword tokens per doc.  Output: corpus totals (docs, words,
+    BPE tokens, distinct BPE tokens).  Eager by contract (the training
+    fit collects the capped word-count table); encoding and the summary
+    stay lazy.  Rows-only (the merge table is corpus-derived state);
+    golden merges, tie-breaks, and Spark≡driver parity in
+    tests/test_bpe.py."""
+    from .functions.bpe import bpe_encode_udf, train_bpe
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    merges = train_bpe(d, num_merges=120, max_words=5000)
+    enc = bpe_encode_udf(merges)
+    toks = d.select(
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_words"),
+        enc(F.col("text")).alias("_bpe"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum(F.size("_bpe")).alias("total_bpe_tokens"),
+    )
+    # distinct vocabulary actually used: explode + count_distinct (its own
+    # partial-agg shuffle) — never a collect_list of the whole token stream
+    distinct = toks.select(F.explode("_bpe").alias("_t")).agg(
+        F.count_distinct("_t").alias("distinct_bpe_tokens")
+    )
+    return totals.crossJoin(distinct)
+
+
 @register("exact_substring_dedup")
 def exact_substring_dedup_q(spark, sf_dir):
     """Sub-document dedup: exact duplicated-substring removal (Lee et al.
