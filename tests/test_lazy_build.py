@@ -41,6 +41,8 @@ EAGER_BY_CONTRACT = {
     "wet_crawl_ingest",  # WET shard export (CREATE INDEX analog)
     "bpe_tokenize",  # tokenizer training fit (KMeans analog: collects the
     #   capped word-count table; encoding + summary stay lazy)
+    "quality_classifier",  # LogisticRegression fit (training job); scoring
+    #   is a shuffle-free map
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

@@ -1,0 +1,84 @@
+"""Trained quality classifier tests (operators/quality_model.py):
+planted separation, shuffle-free scoring plan, filter semantics, and the
+declared held-out query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.operators.quality_model import (
+    quality_classifier_filter,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _gibberish(col):
+    return F.array_join(
+        F.transform(
+            F.filter(F.split(col, r"\s+"), lambda t: t != ""),
+            lambda t: F.substring(F.hex(F.xxhash64(t)), 1, 8),
+        ),
+        " ",
+    )
+
+
+def _planted(spark, lo, hi):
+    d = load_table(spark, SF_DIR, "documents").where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    ref = d.select("doc_id", "text")
+    crawl = d.select("doc_id", _gibberish(F.col("text")).alias("text"))
+    return ref, crawl
+
+
+def test_classifier_separates_planted_classes(spark):
+    """Natural fixture text vs token-hash gibberish: a linear TF model
+    must separate the held-out split essentially perfectly."""
+    ref, crawl = _planted(spark, 0, 150)
+    model = train_quality_classifier(ref, crawl, dim=1 << 16)
+    href, hcrawl = _planted(spark, 150, 250)
+    pr = [r["quality_prob"] for r in score_quality(href, model, dim=1 << 16).collect()]
+    pc = [r["quality_prob"] for r in score_quality(hcrawl, model, dim=1 << 16).collect()]
+    assert len(pr) == len(pc) > 0
+    # full separation: worst reference doc beats best gibberish doc
+    assert min(pr) > max(pc)
+    assert sum(p >= 0.5 for p in pr) >= 0.95 * len(pr)
+    assert sum(p >= 0.5 for p in pc) <= 0.05 * len(pc)
+
+
+def test_scoring_is_shuffle_free(spark):
+    """The 100 TB contract: scoring = one map-side transform, the model
+    coefficients broadcast in-plan — NO exchange anywhere."""
+    from vector_search_databricks_poc_spark.plans import audit as A
+
+    ref, crawl = _planted(spark, 0, 80)
+    model = train_quality_classifier(ref, crawl, dim=1 << 14, max_iter=5)
+    scored = score_quality(ref, model, dim=1 << 14)
+    assert A.count_exchanges(scored) == 0, A.plan_string(scored)
+
+
+def test_filter_keeps_reference_like(spark):
+    ref, crawl = _planted(spark, 0, 120)
+    model = train_quality_classifier(ref, crawl, dim=1 << 16)
+    mixed = ref.withColumn("is_ref", F.lit(True)).unionByName(
+        crawl.withColumn("is_ref", F.lit(False))
+    )
+    kept = quality_classifier_filter(mixed, model)
+    rows = kept.groupBy("is_ref").count().collect()
+    by = {r["is_ref"]: r["count"] for r in rows}
+    assert by.get(True, 0) >= 0.95 * 120
+    assert by.get(False, 0) <= 0.05 * 120
+    assert "quality_prob" not in kept.columns  # filter form drops the score
+
+
+def test_declared_quality_classifier_query(spark):
+    from vector_search_databricks_poc_spark import queries_registry as R
+
+    out = {r["cls"]: r for r in R.QUERIES["quality_classifier"](spark, SF_DIR).collect()}
+    assert set(out) == {"crawl", "ref"}
+    assert out["ref"]["n_kept"] >= 0.95 * out["ref"]["n_docs"]
+    assert out["crawl"]["n_kept"] <= 0.05 * out["crawl"]["n_docs"]

@@ -3937,6 +3937,51 @@ def wet_crawl_ingest_q(spark, sf_dir):
     return parity.crossJoin(quarantine)
 
 
+@register("quality_classifier")
+def quality_classifier_q(spark, sf_dir):
+    """Trained quality filter (operators/quality_model.py — the GPT-3/
+    CCNet reference-vs-crawl linear classifier on hashed-TF features).
+    Reference = the fixture's natural text; synthetic "crawl" negatives =
+    the same docs with every token hash-scrambled (deterministic
+    expressions, no RNG).  Trains on doc_id<200, scores the HELD-OUT
+    200..299 docs of both classes, and reports thresholded keep counts —
+    the classifier must keep the natural text and drop the gibberish.
+    Eager by contract (model fit = training job); scoring itself is one
+    shuffle-free map (plan-asserted in tests/test_quality_model.py).
+    Rows-only: LBFGS probabilities are stable only to ~1e-6, so the
+    output is thresholded counts, never raw scores."""
+    from .operators.quality_model import score_quality, train_quality_classifier
+
+    def gibberish(col):
+        return F.array_join(
+            F.transform(
+                F.filter(F.split(col, r"\s+"), lambda t: t != ""),
+                lambda t: F.substring(F.hex(F.xxhash64(t)), 1, 8),
+            ),
+            " ",
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    train_ref = d.where(F.col("doc_id") < 200).select("text")
+    train_crawl = train_ref.select(gibberish(F.col("text")).alias("text"))
+    model = train_quality_classifier(train_ref, train_crawl, dim=1 << 16)
+
+    held = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    held_ref = held.select(F.lit("ref").alias("cls"), "text")
+    held_crawl = held.select(
+        F.lit("crawl").alias("cls"), gibberish(F.col("text")).alias("text")
+    )
+    scored = score_quality(held_ref.unionByName(held_crawl), model, dim=1 << 16)
+    return (
+        scored.groupBy("cls")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("quality_prob") >= 0.5).cast("int")).alias("n_kept"),
+        )
+        .orderBy("cls")
+    )
+
+
 @register("bpe_tokenize")
 def bpe_tokenize_q(spark, sf_dir):
     """B12/B5 tokenizer: deterministic BPE trained on the corpus's own
