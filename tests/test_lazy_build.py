@@ -43,6 +43,8 @@ EAGER_BY_CONTRACT = {
     #   capped word-count table; encoding + summary stay lazy)
     "quality_classifier",  # LogisticRegression fit (training job); scoring
     #   is a shuffle-free map
+    "lm_perplexity",  # n-gram LM count fit (training job); scoring is a
+    #   shuffle-free map
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_funnel",

@@ -3937,6 +3937,46 @@ def wet_crawl_ingest_q(spark, sf_dir):
     return parity.crossJoin(quarantine)
 
 
+@register("lm_perplexity")
+def lm_perplexity_q(spark, sf_dir):
+    """CCNet's LM leg (operators/lm.py): a stupid-backoff bigram model
+    trained on the fixture's natural text (two capped count aggregations
+    + bounded driver state), then held-out natural docs vs token-hash
+    gibberish scored by log-perplexity — the gibberish class must score
+    far less fluent.  Eager by contract (model fit); scoring is one
+    shuffle-free map.  Rows-only (corpus-avg doubles); per-doc scores
+    are exactly reproduced by a pure-Python reference in
+    tests/test_lm.py."""
+    from .operators.lm import logppl_udf, train_ngram_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    model = train_ngram_lm(
+        d.where(F.col("doc_id") < 200), max_vocab=20_000, max_bigrams=200_000
+    )
+    held = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    gib = F.array_join(
+        F.transform(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+            lambda t: F.substring(F.hex(F.xxhash64(t)), 1, 8),
+        ),
+        " ",
+    )
+    both = held.select(F.lit("ref").alias("cls"), "text").unionByName(
+        held.select(F.lit("crawl").alias("cls"), gib.alias("text"))
+    )
+    lp = logppl_udf(model)
+    return (
+        both.select("cls", lp(F.col("text")).alias("_lp"))
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_lp"), 3).alias("avg_logppl"),
+            F.round(F.min("_lp"), 3).alias("min_logppl"),
+        )
+        .orderBy("cls")
+    )
+
+
 @register("quality_classifier")
 def quality_classifier_q(spark, sf_dir):
     """Trained quality filter (operators/quality_model.py — the GPT-3/
