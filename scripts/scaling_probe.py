@@ -30,6 +30,8 @@ NAMES = [
     "repetition_signals_full",
     "paragraph_dedup_full",
     "wet_decode_full",
+    "exact_substring_dedup_full",
+    "crawl_corpus_full",
 ]
 
 
@@ -81,10 +83,30 @@ def _wet_decode_full(spark, sf):
     return read_wet(spark, _WET_DIRS[sf])
 
 
+def _exact_substring_dedup_full(spark, sf):
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return exact_substring_dedup(d, window_tokens=20).agg(
+        F.sum("n_tokens_kept").alias("n")
+    )
+
+
+def _crawl_corpus_full(spark, sf):
+    from vector_search_databricks_poc_spark.pipelines import crawl_corpus_pipeline
+
+    train, _ = crawl_corpus_pipeline(spark, _WET_DIRS[sf])
+    return train
+
+
 OPERATOR_PROBES = {
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
     "wet_decode_full": _wet_decode_full,
+    "exact_substring_dedup_full": _exact_substring_dedup_full,
+    "crawl_corpus_full": _crawl_corpus_full,
 }
 
 

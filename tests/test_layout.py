@@ -175,16 +175,25 @@ def test_z_value_locality(spark):
         assert max(tile) - min(tile) <= 5
 
 
-def test_compact_files_relative_path_stages_beside_target(spark, tmp_path, monkeypatch):
-    """r6 (r5 ADVICE): a bare relative path must stage its scratch dirs in
-    the working directory, not '/.compact_stage__<name>' at the fs root."""
-    import os
+def test_compact_scratch_paths_never_hit_fs_root():
+    """r6 (r5 ADVICE): a bare relative path must stage its scratch dirs
+    beside the target ('.'), not '/.compact_stage__<name>' at the fs root.
+    Pure derivation test — Spark resolves relative paths against the JVM
+    working directory, so an end-to-end relative write would land litter
+    in the repo instead of the pytest tmp dir."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        _compact_scratch_paths,
+    )
 
-    monkeypatch.chdir(tmp_path)
-    spark.range(100).toDF("v").write.parquet("rel_table")
-    n = compact_files(spark, "rel_table", target_file_bytes=1 << 30)
-    assert n >= 1
-    assert spark.read.parquet("rel_table").count() == 100
-    assert not os.path.exists("/.compact_stage__rel_table")
-    leftovers = [p for p in os.listdir(tmp_path) if p.startswith(".compact_")]
-    assert leftovers == []
+    assert _compact_scratch_paths("rel_table") == (
+        "./.compact_stage__rel_table", "./.compact_old__rel_table"
+    )
+    assert _compact_scratch_paths("a/b/tbl/") == (
+        "a/b/.compact_stage__tbl", "a/b/.compact_old__tbl"
+    )
+    assert _compact_scratch_paths("/abs/tbl") == (
+        "/abs/.compact_stage__tbl", "/abs/.compact_old__tbl"
+    )
+    assert _compact_scratch_paths("/tbl") == (
+        "/.compact_stage__tbl", "/.compact_old__tbl"
+    )

@@ -90,6 +90,17 @@ def zorder_write(
     )
 
 
+def _compact_scratch_paths(path: str) -> tuple[str, str]:
+    """(stage, old) scratch-dir siblings for a compaction target.  A bare
+    relative name stages in '.' — pre-r6 the empty rpartition parent made
+    the scratch dirs '/.compact_stage__<name>' at the filesystem root
+    (r5 ADVICE item)."""
+    parent, sep, name = path.rstrip("/").rpartition("/")
+    if not sep:
+        parent = "."
+    return f"{parent}/.compact_stage__{name}", f"{parent}/.compact_old__{name}"
+
+
 def compact_files(
     spark,
     path: str,
@@ -128,10 +139,7 @@ def compact_files(
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n = max(1, math.ceil(int(size) / target_file_bytes))
-    parent, sep, name = path.rstrip("/").rpartition("/")
-    if not sep:  # bare relative name: scratch dirs are siblings in cwd,
-        parent = "."  # NOT '/.compact_stage__<name>' at the fs root
-    staged = f"{parent}/.compact_stage__{name}"
+    staged, old_path = _compact_scratch_paths(path)
     out = df.repartition(n)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
@@ -140,7 +148,7 @@ def compact_files(
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
-    p, s, old = hpath(path), hpath(staged), hpath(f"{parent}/.compact_old__{name}")
+    p, s, old = hpath(path), hpath(staged), hpath(old_path)
     fs = p.getFileSystem(hconf)
     if fs.exists(old):  # leftover from an interrupted previous swap
         fs.delete(old, True)
