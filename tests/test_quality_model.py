@@ -82,3 +82,47 @@ def test_declared_quality_classifier_query(spark):
     assert set(out) == {"crawl", "ref"}
     assert out["ref"]["n_kept"] >= 0.95 * out["ref"]["n_docs"]
     assert out["crawl"]["n_kept"] <= 0.05 * out["crawl"]["n_docs"]
+
+
+def test_prepare_training_data_with_r6_stages(spark):
+    """Composition: the trained classifier, the LM perplexity cut, and
+    exact-substring dedup plug into prepare_training_data in the
+    published order — planted gibberish and a planted duplicated block
+    are both gone from the output, clean docs survive."""
+    from vector_search_databricks_poc_spark.operators.lm import train_ngram_lm
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    base = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 150)
+    block = " ".join(f"lic{i}" for i in range(8))
+    corpus = base.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, _gibberish(F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" " + block)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ref = base.where(F.col("doc_id") % 3 != 0).select("text")
+    crawl = ref.select(_gibberish(F.col("text")).alias("text"))
+    qm = train_quality_classifier(ref, crawl, dim=1 << 14, max_iter=10)
+    lm = train_ngram_lm(ref, max_vocab=5000, max_bigrams=50_000)
+
+    train, test = prepare_training_data(
+        corpus,
+        langs=("en", "de", "fr", "es"),
+        min_quality=0.0,
+        near_dup_threshold=0.95,
+        test_fraction=0.2,
+        substring_dedup_tokens=8,
+        quality_model=qm,
+        quality_model_threshold=0.5,
+        lm_model=lm,
+        lm_max_logppl=20.0,
+    )
+    out = train.unionByName(test)
+    rows = out.collect()
+    assert rows, "pipeline dropped everything"
+    ids = {r["doc_id"] for r in rows}
+    assert not any(i % 3 == 0 for i in ids)  # gibberish class filtered
+    assert not any("lic0" in r["text"] for r in rows)  # dup block cut
+    assert any(i % 3 == 2 for i in ids)  # clean docs survive

@@ -72,6 +72,11 @@ def prepare_training_data(
     cluster_exact: bool = False,
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
+    substring_dedup_tokens: int | None = None,
+    quality_model=None,
+    quality_model_threshold: float = 0.5,
+    lm_model=None,
+    lm_max_logppl: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The north-star LLM-data-prep pipeline, composed from the engine's
     operators in the canonical order a 100 TB corpus runs them:
@@ -92,6 +97,16 @@ def prepare_training_data(
     run on the RAW text, before ``collapse_whitespace`` flattens the
     line/paragraph structure the duplicate-line signals measure; off by
     default so existing pipelines keep their row counts.
+
+    The r6 stages compose in the published order, all off by default:
+    ``quality_model`` (+``quality_model_threshold``) applies the trained
+    reference-vs-crawl classifier (operators/quality_model.py) after the
+    heuristic filters; ``lm_model`` + ``lm_max_logppl`` applies the
+    CCNet perplexity cut (operators/lm.py) beside it; both models are
+    PRE-FITTED by the caller (fits are training jobs — this builder
+    stays lazy).  ``substring_dedup_tokens`` runs exact
+    duplicated-substring removal (operators/dedup.py ExactSubstr) after
+    document-level dedup, where the paper places it.
 
     Returns (train, test) DataFrames — both lazy (greedy path).
     """
@@ -119,7 +134,28 @@ def prepare_training_data(
     else:
         kept = cleaned.where(lang_id_heuristic(text_col).isin(list(langs)))
     kept = kept.where(quality_score(text_col) >= min_quality)
+    if quality_model is not None:
+        from .operators.quality_model import quality_classifier_filter
+
+        kept = quality_classifier_filter(
+            kept, quality_model, text_col, quality_model_threshold
+        )
+    if lm_model is not None:
+        if lm_max_logppl is None:
+            raise ValueError("lm_model given without lm_max_logppl")
+        from .operators.lm import perplexity_filter
+
+        kept = perplexity_filter(kept, lm_model, lm_max_logppl, text_col)
     kept = exact_dedup(kept, [text_col], id_col)
+    if substring_dedup_tokens:
+        from .operators.dedup import exact_substring_dedup
+
+        cut = exact_substring_dedup(
+            kept, id_col, text_col, window_tokens=substring_dedup_tokens
+        ).where(F.col(text_col) != "")
+        kept = kept.drop(text_col).join(
+            cut.select(id_col, text_col), id_col
+        )
 
     pairs = minhash_near_dup_pairs(kept, id_col=id_col, text_col=text_col,
                                    threshold=near_dup_threshold)
