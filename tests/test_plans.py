@@ -246,3 +246,56 @@ def test_paragraph_dedup_shuffle_budget(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     assert A.count_exchanges(df) <= 5
+
+
+def test_dsir_literal_scorer_shuffle_free_pruned(spark, sf_dir):
+    """Frozen-fit DSIR scoring is a pure Arrow map: ZERO exchanges, scan
+    pruned to (doc_id, text)."""
+    from vector_search_databricks_poc_spark.operators.dsir import dsir_scores_literal
+
+    df = dsir_scores_literal(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        [0.0] * 512,
+    )
+    assert A.count_exchanges(df) == 0
+    assert set(A.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_dsir_select_plan_shape(spark, sf_dir):
+    """One-plan fit+score+select: the B-row weight table and one-row
+    totals broadcast (never sort-merge), selection is a
+    TakeOrderedAndProject, and the corpus-sized shuffles stay bounded —
+    2 bucket-count aggs, totals agg, per-doc score agg, plus AQE final
+    exchanges (<= 6 observed)."""
+    from vector_search_databricks_poc_spark.operators.dsir import dsir_select
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    df = dsir_select(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "fr").select("doc_id", "text"),
+        n=40,
+        buckets=512,
+    )
+    a = A.audit(df)
+    assert a["take_ordered"], A.plan_string(df)
+    assert a["broadcast_join"] and not a["sort_merge_join"], A.plan_string(df)
+    assert a["shuffles"] <= 6, A.plan_string(df)
+
+
+def test_semantic_dedup_seeded_plan_shape(spark, sf_dir):
+    """Lazy seeded SemDeDup: the k*dim seed side broadcasts (never a
+    corpus-sized sort-merge), and the shuffle budget stays bounded —
+    assignment agg + per-id rank + assignment join + cluster grouping
+    for the pruner (<= 6 with AQE reuse)."""
+    from vector_search_databricks_poc_spark.operators.semdedup import semantic_dedup
+
+    df = semantic_dedup(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        id_col="vec_id",
+        eps=0.9,
+        k_clusters=8,
+    )
+    a = A.audit(df)
+    assert a["broadcast_join"], A.plan_string(df)
+    assert a["shuffles"] <= 6, A.plan_string(df)
+    assert set(A.read_schema_columns(df)) <= {"vec_id", "embedding"}

@@ -4093,6 +4093,50 @@ def exact_substring_dedup_q(spark, sf_dir):
     )
 
 
+@register("semantic_dedup")
+def semantic_dedup_q(spark, sf_dir):
+    """Cluster-scoped semantic dedup: SemDeDup (Abbas et al. 2023 —
+    operators/semdedup.py) on the lazy seeded path (deterministic
+    mixed-hash seeds, broadcast explode-join assignment, greedy
+    eps-cosine prune per cluster via ONE applyInPandas shuffle).  Output:
+    per-cluster member/keeper census — executing it runs the whole
+    assignment + prune.  Rows-only (the driver window is full); the
+    keeper SET is compared against an independent numpy reference on
+    both assignment paths in tests/test_semdedup.py."""
+    from .operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", eps=0.9, k_clusters=16
+    )
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("is_keeper").cast("int")).alias("n_keepers"),
+        F.round(F.avg("centroid_sim"), 6).alias("avg_centroid_sim"),
+    )
+
+
+@register("dsir_selection")
+def dsir_selection_q(spark, sf_dir):
+    """Domain-targeted data selection: DSIR importance resampling (Xie et
+    al. 2023 — operators/dsir.py).  Raw distribution = the documents
+    table, target = its French slice; hashed 1+2-gram bucket weights are
+    fit IN-PLAN (two partial-agg shuffles, dense B-row table broadcast),
+    every doc scored by summed log-likelihood ratio, and the Gumbel-top-n
+    kept via TakeOrderedAndProject.  Fully lazy, deterministic on any
+    engine (portable polynomial hash + hash-derived Gumbel noise).
+    Rows-only (the driver window is full); the ENTIRE pipeline — scores
+    and kept set — is re-derived in DuckDB SQL and compared in
+    tests/test_dsir.py."""
+    from .operators.dsir import dsir_select
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.where(F.col("lang") == "fr").select("doc_id", "text")
+    return dsir_select(
+        d.select("doc_id", "text"), target, n=50, buckets=2048, ns=(1, 2)
+    )
+
+
 _WET_BENCH_DIRS: dict = {}
 
 
