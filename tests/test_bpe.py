@@ -99,3 +99,80 @@ def test_declared_bpe_query(spark):
     # subword tokens are never fewer than words and each word adds >=1
     assert r["total_bpe_tokens"] >= r["total_words"]
     assert r["distinct_bpe_tokens"] > 0
+
+
+def test_vocab_is_deterministic_and_complete():
+    from vector_search_databricks_poc_spark.functions.bpe import (
+        EOS_ID, UNK_ID, bpe_vocab, encode_word, train_bpe_merges,
+    )
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(counts, num_merges=10)
+    vocab = bpe_vocab(counts, merges)
+    assert vocab == bpe_vocab(counts, merges)
+    assert EOS_ID == 0 and UNK_ID == 1
+    assert min(vocab.values()) == 2 and len(set(vocab.values())) == len(vocab)
+    # every symbol the encoder can emit for a TRAINED word is in-vocab
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in counts:
+        for sym in encode_word(w, ranks):
+            assert sym in vocab, sym
+
+
+def test_encode_ids_udf_matches_string_path(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.functions.bpe import (
+        UNK_ID, bpe_encode_ids_udf, bpe_encode_udf, bpe_vocab, train_bpe,
+        word_counts,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 80
+    )
+    counts = word_counts(d, max_words=2000)
+    merges = train_bpe(d, num_merges=80, max_words=2000)
+    vocab = bpe_vocab(counts, merges)
+    enc_s = bpe_encode_udf(merges)
+    enc_i = bpe_encode_ids_udf(merges, vocab)
+    rows = d.select(
+        "doc_id", enc_s(F.col("text")).alias("toks"), enc_i(F.col("text")).alias("ids")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert [vocab.get(t, UNK_ID) for t in r["toks"]] == list(r["ids"])
+
+
+def test_bpe_ids_pack_composition(spark):
+    """Train -> encode to ids -> pack: the packed stream reassembles to
+    exactly the concatenated per-group encoded streams (eos between
+    docs), proving the two operators compose loss-free."""
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.functions.bpe import (
+        EOS_ID, bpe_encode_ids_udf, bpe_vocab, train_bpe, word_counts,
+    )
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 60
+    ).select("doc_id", "text")
+    counts = word_counts(d, max_words=2000)
+    merges = train_bpe(d, num_merges=60, max_words=2000)
+    enc = bpe_encode_ids_udf(merges, bpe_vocab(counts, merges))
+    docs = d.select("doc_id", enc(F.col("text")).alias("input_ids"))
+    packed = pack_token_ids(docs, budget=64, n_groups=2, eos_id=EOS_ID,
+                            drop_last=False)
+
+    got: dict[int, dict[int, list[int]]] = {}
+    for r in packed.collect():
+        g, c = divmod(int(r["seq_id"]), 1 << 43)
+        got.setdefault(g, {})[c] = list(r["input_ids"])
+    P31, MIX = 2147483647, 2654435761
+    want: dict[int, list[int]] = {0: [], 1: []}
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        g = (int(r["doc_id"]) % P31) * MIX % P31 % 2
+        want[g].extend(list(r["input_ids"]) + [EOS_ID])
+    for g in (0, 1):
+        stream = [t for _, seq in sorted(got.get(g, {}).items()) for t in seq]
+        assert stream == want[g]

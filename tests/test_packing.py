@@ -349,3 +349,96 @@ def test_temperature_sample_survives_null_domains(spark):
     a = sorted(r["doc_id"] for r in got.collect())
     b = sorted(r["doc_id"] for r in clean.collect())
     assert a == b and len(a) > 0 and 999 not in a
+
+
+# ---------------------------------------------------------------------------
+# pack_token_ids: packed training examples
+# ---------------------------------------------------------------------------
+
+
+def _py_pack(rows, budget, n_groups, eos_id):
+    """Independent reference: per-group eos-terminated stream in id
+    order, cut every ``budget`` tokens."""
+    streams: dict[int, list[int]] = {g: [] for g in range(n_groups)}
+    for did, ids in sorted(rows):
+        g = (did % P31) * MIX % P31 % n_groups
+        streams[g].extend((ids or []) + [eos_id])
+    out = {}
+    for g, s in streams.items():
+        for c in range(-(-len(s) // budget)):
+            out[g * (1 << 43) + c] = s[c * budget:(c + 1) * budget]
+    return out
+
+
+def test_pack_token_ids_python_parity(spark):
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    rows = [(i, list(range(i % 9))) for i in range(40)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    want = _py_pack(rows, budget=16, n_groups=4, eos_id=7)
+
+    full = pack_token_ids(df, budget=16, n_groups=4, eos_id=7, drop_last=False)
+    got = {r["seq_id"]: list(r["input_ids"]) for r in full.collect()}
+    assert got == want
+
+    # drop_last: only the full sequences survive, and token conservation
+    # holds — kept + dropped-tail == whole stream
+    kept = pack_token_ids(df, budget=16, n_groups=4, eos_id=7, drop_last=True)
+    kept_ids = {r["seq_id"]: list(r["input_ids"]) for r in kept.collect()}
+    assert kept_ids == {k: v for k, v in want.items() if len(v) == 16}
+    total = sum(len(ids or []) + 1 for _, ids in rows)
+    assert sum(len(v) for v in got.values()) == total
+
+
+def test_pack_token_ids_deterministic_across_repartition(spark):
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    rows = [(i, [i, i + 1, i + 2]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    a = {(r["seq_id"], tuple(r["input_ids"]))
+         for r in pack_token_ids(df, budget=10, n_groups=3).collect()}
+    b = {(r["seq_id"], tuple(r["input_ids"]))
+         for r in pack_token_ids(df.repartition(17), budget=10, n_groups=3).collect()}
+    assert a == b
+
+
+def test_packed_sequences_query_oracle(spark, con):
+    """The declared packed_sequences query re-derived END TO END in
+    DuckDB: portable token-id hashing, eos termination, per-group
+    running offsets, budget cuts, per-sequence checksum."""
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_append(
+               list_transform(
+                 list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(t) + 1),
+                                         i -> CAST(ascii(t[i]) AS BIGINT))),
+                        (a, b) -> (a * 131 + b) % {P31}) % 32000),
+               0) AS ids,
+             ((doc_id % {P31}) * {MIX}) % {P31} % 8 AS g
+      FROM documents
+    ),
+    started AS (
+      SELECT *,
+             SUM(len(ids)) OVER (
+               PARTITION BY g ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - len(ids) AS start
+      FROM docs
+    ),
+    toks AS (
+      SELECT g, start + u.i - 1 AS gpos, ids[u.i] AS tok
+      FROM started, UNNEST(range(1, len(ids) + 1)) u(i)
+    ),
+    seqs AS (
+      SELECT g * 8796093022208 + CAST(FLOOR(gpos / 512) AS BIGINT) AS seq_id,
+             COUNT(*) AS n_tokens, SUM(tok) AS ids_sum
+      FROM toks GROUP BY 1
+    )
+    SELECT seq_id, CAST(n_tokens AS INT) AS n_tokens, ids_sum
+    FROM seqs WHERE n_tokens = 512
+    """
+    _assert_green(compare(R.QUERIES["packed_sequences"](spark, SF_DIR), con, sql))

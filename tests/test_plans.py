@@ -299,3 +299,21 @@ def test_semantic_dedup_seeded_plan_shape(spark, sf_dir):
     assert a["broadcast_join"], A.plan_string(df)
     assert a["shuffles"] <= 6, A.plan_string(df)
     assert set(A.read_schema_columns(df)) <= {"vec_id", "embedding"}
+
+
+def test_pack_token_ids_two_shuffles(spark, sf_dir):
+    """Packed-example emission: exactly the window exchange (per hash
+    group) and the sequence-id aggregate exchange — no global sort, no
+    extra repartition."""
+    from vector_search_databricks_poc_spark.operators.dedup import portable_string_hash
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = F.transform(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+        lambda t: F.pmod(portable_string_hash(t), F.lit(32000)).cast("int"),
+    )
+    df = pack_token_ids(d.select("doc_id", ids.alias("input_ids")),
+                        budget=512, n_groups=8)
+    assert A.count_exchanges(df) <= 2, A.plan_string(df)
+    assert set(A.read_schema_columns(df)) <= {"doc_id", "text"}

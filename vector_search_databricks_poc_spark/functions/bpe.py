@@ -169,3 +169,75 @@ def bpe_token_count(df: DataFrame, merges, text_col: str = "text") -> Column:
     a real tokenizer would bill, not the whitespace approximation."""
     enc = bpe_encode_udf(merges)
     return F.size(enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary & id encoding (the packed-sequence producer consumes ids)
+# ---------------------------------------------------------------------------
+
+EOS_ID = 0
+UNK_ID = 1
+
+
+def bpe_vocab(
+    counts: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> dict[str, int]:
+    """Deterministic symbol->id table implied by a training run:
+    id 0 = end-of-sequence, id 1 = unknown, then the sorted base alphabet
+    (every char of the counted words, each also in its word-final
+    ``char+EOW`` form, plus the bare EOW for empty-ish words), then merge
+    products in merge order.  Encoding any text drawn from the training
+    distribution hits only these symbols; novel chars map to UNK_ID."""
+    alphabet: set[str] = {_EOW}
+    for w, _ in counts:
+        for ch in w:
+            alphabet.add(ch)
+            alphabet.add(ch + _EOW)
+    vocab: dict[str, int] = {}
+    nxt = 2  # 0=eos, 1=unk
+    for sym in sorted(alphabet):
+        vocab[sym] = nxt
+        nxt += 1
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = nxt
+            nxt += 1
+    return vocab
+
+
+def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: dict[str, int]):
+    """Arrow-batched encoder straight to ids: text -> array<int>.  Same
+    merge loop + per-batch word memo as ``bpe_encode_udf``; symbols
+    outside ``vocab`` become UNK_ID (they can only arise from chars the
+    training corpus never saw)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("array<int>")
+    def encode(s: pd.Series) -> pd.Series:
+        import re
+
+        splitter = re.compile(TOKEN_SPLIT_REGEX)
+        memo: dict[str, list[int]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[int] = []
+            for w in splitter.split(text):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = [vocab.get(t, UNK_ID) for t in encode_word(w, ranks)]
+                    memo[w] = got
+                out.extend(got)
+            return out
+
+        return s.map(enc)
+
+    return encode

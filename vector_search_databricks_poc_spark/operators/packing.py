@@ -305,3 +305,86 @@ def cluster_dedup(
         "sim",
         (F.row_number().over(w_rep) == 1).alias("is_keeper"),
     )
+
+
+def pack_token_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "input_ids",
+    budget: int = 2048,
+    n_groups: int = 64,
+    eos_id: int = 0,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Materialize PACKED TRAINING EXAMPLES: fixed-length token-id
+    sequences cut from the document stream — the actual tensor format a
+    pretraining job consumes (``pack_sequences`` assigns docs to packs;
+    this emits the packs themselves).
+
+    Semantics match ``pack_sequences`` exactly: within a deterministic
+    hash group, documents (each terminated by ``eos_id``) are laid end to
+    end in ``id_col`` order and the token stream is cut every ``budget``
+    tokens; a straddling document spills into the next sequence (standard
+    LM concat-and-cut).  ``drop_last`` drops each group's final partial
+    sequence (every emitted ``input_ids`` is exactly ``budget`` long);
+    with ``drop_last=False`` the tail sequences come through short.
+
+    Scale shape: one window shuffle per hash group for the running start
+    offsets, ONE posexplode (narrow: two ints per token row, no Python
+    boundary), one hash aggregate on the sequence id whose per-group
+    state is bounded by ``budget`` ints.  No global sort, no driver
+    round-trip; reproducible on any cluster size.  NULL id arrays pack
+    as empty docs (their eos still marks them in-stream).
+
+    Returns ``(seq_id, input_ids, n_tokens)``; ``seq_id = group * 2^43 +
+    cut`` exactly like ``pack_sequences`` (same overflow headroom).
+    """
+    if n_groups > 1 << 20:
+        raise ValueError(f"n_groups must be <= 2^20, got {n_groups}")
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    ids2 = F.concat(
+        F.coalesce(F.col(ids_col).cast("array<int>"), F.array().cast("array<int>")),
+        F.array(F.lit(int(eos_id)).cast("int")),
+    )
+    g = F.pmod(_mix_hash(id_col), F.lit(n_groups))
+    base = df.select(
+        F.col(id_col).alias("_pid"), ids2.alias("_ids"), g.alias("_g")
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started = base.withColumn(
+        "_start", F.sum(F.size("_ids")).over(w) - F.size("_ids")
+    )
+    toks = started.select(
+        "_g",
+        "_start",
+        F.posexplode("_ids").alias("_pos", "_tok"),
+    ).select(
+        "_g",
+        (F.col("_start") + F.col("_pos")).alias("_gpos"),
+        "_tok",
+    )
+    cut = F.floor(F.col("_gpos") / F.lit(budget))
+    seqs = (
+        toks.withColumn("_seq", F.col("_g") * F.lit(1 << 43) + cut)
+        .withColumn("_off", (F.col("_gpos") - cut * F.lit(budget)).cast("int"))
+        .groupBy("_seq")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_off", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("input_ids")
+        )
+        .select(
+            F.col("_seq").alias("seq_id"),
+            "input_ids",
+            F.size("input_ids").alias("n_tokens"),
+        )
+    )
+    if drop_last:
+        seqs = seqs.where(F.col("n_tokens") == budget)
+    return seqs

@@ -4093,6 +4093,38 @@ def exact_substring_dedup_q(spark, sf_dir):
     )
 
 
+@register("packed_sequences")
+def packed_sequences_q(spark, sf_dir):
+    """Packed training examples: fixed-length token-id sequences cut from
+    the eos-terminated document stream (operators/packing.py::
+    pack_token_ids) — the tensor format a pretraining job consumes.
+    Token ids here are portable-hashed whitespace tokens so the WHOLE
+    pipeline (ids, group order, cuts, contents) is engine-portable;
+    output per sequence: id, length, token-id checksum.  Rows-only (the
+    driver window is full); re-derived end-to-end in DuckDB SQL in
+    tests/test_packing.py, and the BPE-id composition is covered in
+    tests/test_bpe.py."""
+    from .operators.dedup import portable_string_hash
+    from .operators.packing import pack_token_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ids = F.transform(
+        toks, lambda t: F.pmod(portable_string_hash(t), F.lit(32000)).cast("int")
+    )
+    docs = d.select("doc_id", ids.alias("input_ids"))
+    packed = pack_token_ids(
+        docs, budget=512, n_groups=8, eos_id=0, drop_last=True
+    )
+    return packed.select(
+        "seq_id",
+        "n_tokens",
+        F.aggregate(
+            "input_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ids_sum"),
+    )
+
+
 @register("semantic_dedup")
 def semantic_dedup_q(spark, sf_dir):
     """Cluster-scoped semantic dedup: SemDeDup (Abbas et al. 2023 —
