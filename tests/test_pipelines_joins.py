@@ -355,3 +355,65 @@ def test_prepare_training_data_gopher_gate(spark):
               train_on.unionByName(test_on).select("doc_id").collect()}
     assert 99 not in ids_on
     assert ids_on == ids_off - {99}
+
+
+def test_prepare_training_data_dsir_stage(spark, sf_dir):
+    """DSIR selection as the pipeline's last corpus transform: exactly
+    dsir_n survivors (train+test), each carrying its dsir_score, and the
+    target-language docs dominate the kept set."""
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").limit(50)
+    train, test = prepare_training_data(
+        docs,
+        langs=("en", "fr", "de", "es", "zh"),
+        min_quality=0.0,
+        near_dup_threshold=0.9,
+        dsir_target=target,
+        dsir_n=60,
+        dsir_buckets=1024,
+    )
+    out = train.unionByName(test)
+    assert "dsir_score" in out.columns
+    rows = out.select("doc_id", "lang", "dsir_score").collect()
+    assert len(rows) == 60
+    en = sum(1 for r in rows if r["lang"] == "en")
+    assert en > 40  # the en-targeted fit must prefer en docs
+
+    with pytest.raises(ValueError):
+        prepare_training_data(docs, dsir_target=target)  # n missing
+
+
+def test_assemble_training_corpus_semdedup_stage(spark, sf_dir):
+    """SemDeDup as the assembly head: a planted exact-copy embedding is
+    collapsed to one survivor before mixing/packing."""
+    from vector_search_databricks_poc_spark.pipelines import assemble_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id")
+    v0 = base.where(F.col("doc_id") == 0).first()
+    dupe = spark.createDataFrame(
+        [(90001, v0["text"], list(v0["embedding"]))],
+        "doc_id long, text string, embedding array<float>",
+    )
+    corpus = base.unionByName(dupe)
+    out = assemble_training_corpus(
+        corpus,
+        redact=False,
+        vec_col="embedding",
+        semdedup_eps=0.999,
+        semdedup_clusters=8,
+        pack_budget=64,
+        pack_groups=4,
+        n_shards=8,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert len({0, 90001} & ids) == 1  # the copy pair collapsed
+    assert {"pack_id", "shard"} <= set(out.columns)
+
+    with pytest.raises(ValueError):
+        assemble_training_corpus(corpus, vec_col="embedding")  # eps missing

@@ -77,6 +77,10 @@ def prepare_training_data(
     quality_model_threshold: float = 0.5,
     lm_model=None,
     lm_max_logppl: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_temperature: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """The north-star LLM-data-prep pipeline, composed from the engine's
     operators in the canonical order a 100 TB corpus runs them:
@@ -107,6 +111,14 @@ def prepare_training_data(
     stays lazy).  ``substring_dedup_tokens`` runs exact
     duplicated-substring removal (operators/dedup.py ExactSubstr) after
     document-level dedup, where the paper places it.
+
+    ``dsir_target`` + ``dsir_n`` append DSIR importance resampling
+    (operators/dsir.py) as the LAST corpus transform — data selection
+    runs on the cleaned, deduped survivors (its raw distribution), so
+    the fitted weights describe what training would actually see.  The
+    selection keeps ``dsir_n`` docs (Gumbel top-k, deterministic) with
+    their ``dsir_score`` attached; the split then divides the selected
+    set.  Fully lazy (the fit is in-plan aggregation).
 
     Returns (train, test) DataFrames — both lazy (greedy path).
     """
@@ -170,6 +182,25 @@ def prepare_training_data(
         # to stay single-pass)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         deduped = kept.join(drop, id_col, "left_anti")
+
+    if (dsir_target is None) != (dsir_n is None):
+        raise ValueError("dsir_target and dsir_n must be given together")
+    if dsir_target is not None:
+        from .operators.dsir import dsir_select
+
+        sel = dsir_select(
+            deduped.select(id_col, text_col),
+            dsir_target.select(id_col, text_col),
+            n=dsir_n,
+            id_col=id_col,
+            text_col=text_col,
+            buckets=dsir_buckets,
+            temperature=dsir_temperature,
+        )
+        # equi-join (NOT broadcast-forced): dsir_n can be corpus-scale
+        deduped = deduped.join(
+            sel.select(id_col, "dsir_score"), id_col
+        )
 
     return train_test_split(deduped, id_col, test_fraction=test_fraction)
 
@@ -245,16 +276,28 @@ def assemble_training_corpus(
     pack_budget: int = 2048,
     pack_groups: int = 64,
     n_shards: int = 1024,
+    vec_col: str | None = None,
+    semdedup_eps: float | None = None,
+    semdedup_clusters: int = 1024,
 ) -> DataFrame:
     """The assembly tail of the data-prep pipeline — run on the TRAIN side
     of :func:`prepare_training_data`:
 
-      PII redaction -> domain-mixture resample -> token count ->
-      sequence packing -> shard assignment
+      [semantic dedup] -> PII redaction -> domain-mixture resample ->
+      token count -> sequence packing -> shard assignment
 
     Everything is deterministic arithmetic (same packs/shards every run,
     any cluster size); the result is lazy and ready for
     ``write_sharded``-style output partitioned by ``shard``.
+
+    ``vec_col`` + ``semdedup_eps`` prepend SemDeDup
+    (operators/semdedup.py, lazy seeded path) when the corpus carries an
+    embedding column — semantic dedup runs FIRST so the mixture and the
+    packs are computed over the semantically-unique survivors, not
+    inflated by near-copies.  For the actual packed-id tensors, follow
+    with ``functions.bpe.bpe_encode_ids_udf`` +
+    ``operators.packing.pack_token_ids`` (kept out of this builder: it
+    changes the output granularity from documents to sequences).
     """
     from .operators.packing import (
         domain_mixture_sample,
@@ -268,7 +311,17 @@ def assemble_training_corpus(
             "mixture given without domain_col - the resample would be "
             "silently skipped and a misconfigured training mix would ship"
         )
+    if (vec_col is None) != (semdedup_eps is None):
+        raise ValueError("vec_col and semdedup_eps must be given together")
     out = docs
+    if vec_col is not None:
+        from .operators.semdedup import semantic_dedup
+
+        keepers = semantic_dedup(
+            out, id_col=id_col, vec_col=vec_col, eps=semdedup_eps,
+            k_clusters=semdedup_clusters,
+        ).where(F.col("is_keeper")).select(id_col)
+        out = out.join(keepers, id_col, "left_semi")
     if redact:
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
     if mixture and domain_col:
