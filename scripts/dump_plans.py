@@ -37,6 +37,9 @@ NAMES = [
     "paragraph_dedup",
     "url_blocklist_filter",
     "crawl_corpus",
+    "dsir_selection",
+    "semantic_dedup",
+    "packed_sequences",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -32,6 +32,9 @@ NAMES = [
     "wet_decode_full",
     "exact_substring_dedup_full",
     "crawl_corpus_full",
+    "dsir_select_full",
+    "semantic_dedup_full",
+    "pack_token_ids_full",
 ]
 
 
@@ -101,12 +104,59 @@ def _crawl_corpus_full(spark, sf):
     return train
 
 
+def _dsir_select_full(spark, sf):
+    """Full fit+score+select over the whole documents table (the probe
+    the registry query caps for determinism)."""
+    from vector_search_databricks_poc_spark.operators.dsir import dsir_select
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    return dsir_select(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "fr").select("doc_id", "text"),
+        n=200,
+        buckets=4096,
+    )
+
+
+def _semantic_dedup_full(spark, sf):
+    """SemDeDup over the full embeddings table with the cluster COUNT
+    scaled to the corpus (fixed ~125-row target cluster size) — the
+    published deployment shape: per-cluster quadratic work stays
+    constant, total work linear."""
+    from vector_search_databricks_poc_spark.operators.semdedup import semantic_dedup
+
+    k = {"sf0.001": 4, "sf0.01": 40, "sf0.1": 400}[sf.rsplit("/", 1)[-1]]
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(
+        e, id_col="vec_id", eps=0.95, k_clusters=k
+    ).where(F.col("is_keeper"))
+
+
+def _pack_token_ids_full(spark, sf):
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        portable_string_hash,
+    )
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    ids = F.transform(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+        lambda t: F.pmod(portable_string_hash(t), F.lit(32000)).cast("int"),
+    )
+    return pack_token_ids(
+        d.select("doc_id", ids.alias("input_ids")), budget=512, n_groups=32
+    )
+
+
 OPERATOR_PROBES = {
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
     "wet_decode_full": _wet_decode_full,
     "exact_substring_dedup_full": _exact_substring_dedup_full,
     "crawl_corpus_full": _crawl_corpus_full,
+    "dsir_select_full": _dsir_select_full,
+    "semantic_dedup_full": _semantic_dedup_full,
+    "pack_token_ids_full": _pack_token_ids_full,
 }
 
 
@@ -195,6 +245,25 @@ every operator in this repo:
   user-key shuffles + one (cohort, offset) agg on portable epoch-day
   arithmetic.  The streaming funnel twin holds per-user state of at most
   k timestamps — state size is users x k x 8 bytes, never stream length.
+- **Data selection (dsir.py).** The fit is two explode+partial-agg
+  passes whose shuffles carry <= B bucket rows each; the dense B-row
+  weight table broadcasts.  Scoring via the frozen-fit Arrow scorer is a
+  pure scan (ZERO exchanges); in-plan scoring adds one per-doc partial
+  agg.  Selection is Gumbel top-k via TakeOrderedAndProject — driver
+  holds k x partitions rows, never the corpus.
+- **Semantic dedup (semdedup.py).** Scale k_clusters with the corpus
+  (fixed target cluster size ~10^2-10^4 rows): assignment is linear
+  (broadcast centroids/seeds), the prune is one applyInPandas shuffle
+  whose per-task memory is O(cluster_size x dim) and whose quadratic
+  cost is cluster-LOCAL — total work stays linear at fixed cluster
+  size, exactly the published SemDeDup deployment (50k clusters at
+  LAION scale).  Pathological mega-clusters: cap with cap_per_group
+  upstream or raise k.
+- **Packed examples (packing.pack_token_ids).** One window shuffle per
+  hash group + one sequence-id aggregate whose state is budget ints;
+  the token explode is narrow (two ints/row) and never crosses a
+  Python boundary.  Raise n_groups with cluster size like
+  pack_sequences.
 - **Contract gate (quality.py).** All row rules (null/range/regex/enum/
   unique) evaluate in ONE map-side partial-agg scan — adding a rule adds
   a column, not a job; referential checks are broadcast anti-joins
