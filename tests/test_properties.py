@@ -455,3 +455,82 @@ def test_minhash_numpy_matches_expr_on_random_text(spark, texts):
     a = {r[0]: list(r[1]) for r in minhash_signatures_df(df).collect()}
     b = {r[0]: list(r[1]) for r in minhash_signatures_expr_df(df).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pack_token_ids / DSIR properties
+# ---------------------------------------------------------------------------
+
+_ids_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(min_value=0, max_value=999), max_size=12),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_ids_lists, st.integers(min_value=1, max_value=9))
+def test_pack_token_ids_conservation_and_shape(spark, rows, budget):
+    """For ANY id/array input: without drop_last the packed stream holds
+    exactly every token + one eos per doc, every sequence except each
+    group's last is full, and offsets reconstruct the per-group stream."""
+    from vector_search_databricks_poc_spark.operators.packing import pack_token_ids
+
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    out = pack_token_ids(df, budget=budget, n_groups=3, eos_id=0,
+                         drop_last=False).collect()
+    total = sum(len(ids or []) + 1 for _, ids in rows)
+    assert sum(r["n_tokens"] for r in out) == total
+    by_group: dict[int, list] = {}
+    for r in out:
+        g, c = divmod(int(r["seq_id"]), 1 << 43)
+        by_group.setdefault(g, []).append((c, r))
+    for g, seqs in by_group.items():
+        seqs.sort()
+        cuts = [c for c, _ in seqs]
+        assert cuts == list(range(len(cuts)))  # contiguous sequence ids
+        for c, r in seqs[:-1]:
+            assert r["n_tokens"] == budget  # only the tail may be short
+        assert 1 <= seqs[-1][1]["n_tokens"] <= budget
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.text(
+                alphabet="ab cd\n\t", min_size=0, max_size=40
+            ),
+        ),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_dsir_literal_equals_join_path_on_random_text(spark, rows):
+    """Arrow frozen-fit scorer == in-plan join scorer on arbitrary
+    whitespace-mangled text (exercises tokenizer parity edges)."""
+    from vector_search_databricks_poc_spark.operators.dsir import (
+        collect_bucket_weights,
+        dsir_bucket_weights,
+        dsir_scores,
+        dsir_scores_literal,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.limit(max(1, len(rows) // 2))
+    w = dsir_bucket_weights(df, target, buckets=64)
+    wl = collect_bucket_weights(w, 64)
+    a = {r["doc_id"]: r["dsir_score"]
+         for r in dsir_scores(df, w, buckets=64).collect()}
+    b = {r["doc_id"]: r["dsir_score"]
+         for r in dsir_scores_literal(df, wl).collect()}
+    assert a == b
