@@ -442,3 +442,77 @@ def test_packed_sequences_query_oracle(spark, con):
     FROM seqs WHERE n_tokens = 512
     """
     _assert_green(compare(R.QUERIES["packed_sequences"](spark, SF_DIR), con, sql))
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mixture_oracle(spark, con):
+    """Full DuckDB re-derivation: token totals, feasible budget, per-domain
+    mixed-hash prefix under quota."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        token_budget_mixture_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    out = token_budget_mixture_sample(
+        docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id, source, LENGTH(text) AS n_tokens FROM documents
+    ),
+    w AS (
+      SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)) t(dom, w)
+    ),
+    totals AS (
+      SELECT w.w, COALESCE(SUM(d.n_tokens), 0) AS tok
+      FROM w LEFT JOIN docs d ON d.source = w.dom GROUP BY w.w
+    ),
+    b AS (SELECT MIN(FLOOR(tok / w)) AS b FROM totals),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_tokens, w.w,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY ((d.doc_id % {P31}) * {MIX}) % {P31}, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM docs d JOIN w ON w.dom = d.source
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked, b WHERE cum_tokens <= FLOOR(w * b)
+    """
+    _assert_green(compare(out, con, sql))
+
+
+def test_token_budget_mixture_quota_semantics(spark):
+    """Hand-sized corpus: every domain lands at or under floor(w*B), the
+    binding domain saturates its quota, and reruns are identical."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        token_budget_mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 10 + (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    w = {"a": 0.7, "b": 0.3}
+    out = token_budget_mixture_sample(df, "source", w).collect()
+    tok = {d: sum(r["n_tokens"] for r in out if r["source"] == d) for d in w}
+    tot = {d: sum(n for _, s, n in rows if s == d) for d in w}
+    b = min(int(tot[d] / w[d]) for d in w)
+    for d in w:
+        assert tok[d] <= int(w[d] * b), (d, tok[d], int(w[d] * b))
+    # the binding domain gets within one max-doc of its quota
+    binding = min(w, key=lambda d: tot[d] / w[d])
+    assert tok[binding] > int(w[binding] * b) - 13
+    # deterministic
+    out2 = token_budget_mixture_sample(df, "source", w).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+    # absent weighted domain clamps the budget to zero
+    empty = token_budget_mixture_sample(
+        df, "source", {"a": 0.5, "zzz": 0.5}
+    ).collect()
+    assert empty == []

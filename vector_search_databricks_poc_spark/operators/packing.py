@@ -388,3 +388,58 @@ def pack_token_ids(
     if drop_last:
         seqs = seqs.where(F.col("n_tokens") == budget)
     return seqs
+
+
+def token_budget_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample to a target domain mixture measured in TOKENS — the
+    unit training budgets are actually specified in (a 30%-code mix means
+    30% of the tokens, and doc-count mixing silently skews toward the
+    short-doc domain).
+
+    Finds the largest total token budget ``B`` every weighted domain can
+    supply (``B = min_d floor(tokens_d / w_d)``), then keeps per domain
+    the mixed-hash-ordered prefix of documents whose running token sum
+    stays within ``floor(w_d * B)`` — strict: the straddling document is
+    dropped, so every domain lands AT OR UNDER its quota and the realized
+    mixture can only err toward balance.  Deterministic, engine-portable,
+    fully lazy (the budget re-enters the plan as a broadcast one-row
+    aggregate; same shape as :func:`domain_mixture_sample`).
+
+    Adds ``cum_tokens`` (the running sum INCLUDING the row) to the
+    output; domains absent from ``weights`` are dropped.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in sorted(weights.items())], ["_dom", "_w"]
+    )
+    tagged = df.join(
+        F.broadcast(wdf), F.col(domain_col) == F.col("_dom"), "inner"
+    ).drop("_dom")
+    # per-WEIGHT token totals (zero for weighted-but-absent domains, which
+    # clamp B toward 0 — same contract as the doc-count sampler)
+    present = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.sum(tokens_col).alias("_tok")
+    )
+    totals = wdf.join(F.broadcast(present), "_dom", "left").select(
+        "_w", F.coalesce(F.col("_tok"), F.lit(0)).alias("_tok")
+    )
+    feasible = totals.agg(
+        F.min(F.floor(F.col("_tok") / F.col("_w"))).alias("_b")
+    )
+    w_cum = (
+        Window.partitionBy(domain_col)
+        .orderBy(_mix_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("cum_tokens", F.sum(tokens_col).over(w_cum))
+        .join(F.broadcast(feasible))
+        .where(F.col("cum_tokens") <= F.floor(F.col("_w") * F.col("_b")))
+        .drop("_w", "_b")
+    )

@@ -4093,6 +4093,29 @@ def exact_substring_dedup_q(spark, sf_dir):
     )
 
 
+@register("token_budget_mixture")
+def token_budget_mixture_q(spark, sf_dir):
+    """Domain mixture measured in TOKENS (operators/packing.py::
+    token_budget_mixture_sample): largest feasible token budget computed
+    in-plan, per-domain mixed-hash prefix kept strictly under
+    floor(w_d*B).  Output: per-domain kept doc/token census.  Rows-only
+    (window full); the full row set is DuckDB-value-compared in
+    tests/test_packing.py."""
+    from .operators.packing import token_budget_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    kept = token_budget_mixture_sample(
+        docs, "source", {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.max("cum_tokens").alias("max_cum_tokens"),
+    )
+
+
 @register("packed_sequences")
 def packed_sequences_q(spark, sf_dir):
     """Packed training examples: fixed-length token-id sequences cut from
