@@ -234,6 +234,52 @@ def test_assemble_training_corpus_stages(spark):
     out.unpersist()
 
 
+def test_assemble_training_corpus_token_mixture(spark):
+    """mixture_unit='tokens' routes through token_budget_mixture_sample:
+    per-domain kept TOKEN mass sits at or under floor(w_d * B) for the
+    feasible budget B computed on post-pipeline token counts, and the
+    kept doc set matches the standalone sampler run on the same input."""
+    from vector_search_databricks_poc_spark.operators.packing import (
+        token_budget_mixture_sample,
+    )
+    from vector_search_databricks_poc_spark.operators.text import token_count
+    from vector_search_databricks_poc_spark.pipelines import (
+        assemble_training_corpus,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = assemble_training_corpus(
+        d, domain_col="source", mixture=w, mixture_unit="tokens",
+        redact=False, pack_budget=256, pack_groups=4, n_shards=8,
+    ).cache()
+    kept_tok = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    # recompute the feasible budget on the pipeline's own pre-mixture view
+    base = d.withColumn("n_tokens", token_count(F.col("text")))
+    tot = {
+        r.source: r.tok
+        for r in base.where(F.col("source").isin(*w))
+        .groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    b = min(int(tot[dom] / w[dom]) for dom in w)
+    for dom in w:
+        assert kept_tok[dom] <= int(w[dom] * b), (dom, kept_tok[dom])
+    # same keeper set as the standalone sampler on the same columns
+    direct = token_budget_mixture_sample(
+        base.select("doc_id", "source", "n_tokens"), "source", w
+    )
+    assert out.select("doc_id").exceptAll(direct.select("doc_id")).count() == 0
+    assert direct.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+    out.unpersist()
+    with pytest.raises(ValueError, match="mixture_unit"):
+        assemble_training_corpus(
+            d, domain_col="source", mixture=w, mixture_unit="chars"
+        )
+
+
 def test_corpus_assembly_pipeline_query(spark):
     rows = R.QUERIES["corpus_assembly_pipeline"](spark, SF_DIR).collect()
     assert rows and all(r.n_packs >= 1 and r.n_docs >= r.n_packs - 1 for r in rows)

@@ -272,6 +272,7 @@ def assemble_training_corpus(
     text_col: str = "text",
     domain_col: str | None = None,
     mixture: dict[str, float] | None = None,
+    mixture_unit: str = "docs",
     redact: bool = True,
     pack_budget: int = 2048,
     pack_groups: int = 64,
@@ -298,11 +299,21 @@ def assemble_training_corpus(
     with ``functions.bpe.bpe_encode_ids_udf`` +
     ``operators.packing.pack_token_ids`` (kept out of this builder: it
     changes the output granularity from documents to sequences).
+
+    ``mixture_unit`` selects what the mixture weights measure:
+    ``"docs"`` (default) resamples document COUNTS to the target shares
+    (:func:`~.operators.packing.domain_mixture_sample`); ``"tokens"``
+    resamples token MASS (:func:`~.operators.packing.
+    token_budget_mixture_sample`) — the unit training budgets are
+    actually specified in, immune to per-domain length skew.  Token
+    counts are computed on the post-redaction text either way, so the
+    budget reflects what actually ships.
     """
     from .operators.packing import (
         domain_mixture_sample,
         pack_sequences,
         shard_assignment,
+        token_budget_mixture_sample,
     )
     from .operators.text import redact_pii, token_count
 
@@ -311,6 +322,8 @@ def assemble_training_corpus(
             "mixture given without domain_col - the resample would be "
             "silently skipped and a misconfigured training mix would ship"
         )
+    if mixture_unit not in ("docs", "tokens"):
+        raise ValueError(f"mixture_unit must be 'docs' or 'tokens', got {mixture_unit!r}")
     if (vec_col is None) != (semdedup_eps is None):
         raise ValueError("vec_col and semdedup_eps must be given together")
     out = docs
@@ -324,9 +337,14 @@ def assemble_training_corpus(
         out = out.join(keepers, id_col, "left_semi")
     if redact:
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
-    if mixture and domain_col:
-        out = domain_mixture_sample(out, domain_col, mixture, id_col)
     out = out.withColumn("n_tokens", token_count(F.col(text_col)))
+    if mixture and domain_col:
+        if mixture_unit == "tokens":
+            out = token_budget_mixture_sample(
+                out, domain_col, mixture, tokens_col="n_tokens", id_col=id_col
+            ).drop("cum_tokens")
+        else:
+            out = domain_mixture_sample(out, domain_col, mixture, id_col)
     out = pack_sequences(
         out, id_col=id_col, tokens_col="n_tokens",
         budget=pack_budget, n_groups=pack_groups,
