@@ -50,6 +50,7 @@ EAGER_BY_CONTRACT = {
     "streaming_funnel",
     "stateful_user_stats",
     "near_dup_pairs_components",
+    "quality_dedup_keepers",  # same iterative label propagation
 }
 
 ACTIONS = [

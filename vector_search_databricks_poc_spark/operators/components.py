@@ -97,3 +97,36 @@ def dedup_clusters(
         df["*"],
         F.coalesce(cc["component"], df[id_col]).alias("representative"),
     )
+
+
+def quality_dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster representative selection: within each
+    near-dup cluster keep the HIGHEST-``score_col`` member (min id on
+    ties), not the min id — the curation pattern where duplicates differ
+    in quality (a clean article vs its boilerplate-ridden mirror) and
+    min-id keeping would throw away the good copy ~half the time.
+
+    Output: the input rows plus ``representative`` (cluster label, from
+    :func:`dedup_clusters`) and ``is_keeper``; filter ``is_keeper``
+    downstream.  Singleton rows are their own cluster and always keep.
+
+    Scale shape: the component labels join in (iterative propagation is
+    the unavoidable cost, shared with every cluster consumer); keeper
+    election is ONE hash-partitioned window per cluster — no
+    struct-valued aggregate buffer (those fall off HashAggregate), no
+    second self-join.  Deterministic for a deterministic score.
+    """
+    from pyspark.sql import Window
+
+    clustered = dedup_clusters(df, pairs, id_col, src, dst)
+    w = Window.partitionBy("representative").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return clustered.withColumn("is_keeper", F.row_number().over(w) == 1)

@@ -2570,6 +2570,32 @@ def near_dup_pairs_components(spark, sf_dir):
     return pair_leg.unionByName(comp_leg)
 
 
+@register("quality_dedup_keepers")
+def quality_dedup_keepers_q(spark, sf_dir):
+    """Quality-aware cluster representative selection
+    (operators/components.py::quality_dedup_keepers): near-dup clusters
+    keep their HIGHEST-quality member (min id on ties) instead of the
+    min id — pairs from the exact cosine>=0.4 graph, quality = text
+    length joined from documents.  Rows-only (iterative components +
+    window full); the full row set is DuckDB-value-compared against a
+    WITH RECURSIVE closure + window re-derivation in
+    tests/test_components.py."""
+    from .operators.components import quality_dedup_keepers
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("quality")
+    )
+    # checkpoint shared with near_dup_pairs_components' rationale: the
+    # O(n^2 d) pair scan feeds every label-propagation round
+    pairs = embedding_near_dup_pairs(
+        e, threshold=0.4, max_exact_rows=2_000_000
+    ).localCheckpoint(eager=False)
+    kept = quality_dedup_keepers(docs, pairs.select("id_a", "id_b"), "doc_id", "quality")
+    return kept.select("doc_id", "quality", "representative", "is_keeper")
+
+
 def window_range_frame(spark, sf_dir):
     """B16: RANGE frame over event time — per event, the trailing-hour
     total and count for its user (value-based frame, not row-based).
