@@ -158,6 +158,57 @@ def test_prepare_training_data_pipeline(spark, sf_dir):
     assert n_test > 0 and n_train > 3 * n_test  # ~80/20
 
 
+def test_prepare_training_data_quality_keeper(spark, sf_dir):
+    """cluster_keeper='quality': the near-dup cluster keeps its
+    highest-quality member even when that is NOT the min id, and the
+    option is rejected without cluster_exact."""
+    from pyspark.sql import Row
+
+    from vector_search_databricks_poc_spark.operators.text import quality_score
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    base = load_table(spark, sf_dir, "documents")
+    keep_cols = base.columns
+    donor = base.where(F.col("lang") == "en").limit(1).collect()[0]
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the wide green field with great speed before the rain"
+    )
+    junk = " ".join(["Z" * 100] * 5)  # blows avg token length past 15
+    # LOWER id gets the degraded copy: min-id keeping would ship the junk
+    degraded = Row(**{**donor.asDict(), "doc_id": 91001, "lang": "en",
+                      "text": clean + " " + junk})
+    better = Row(**{**donor.asDict(), "doc_id": 91002, "lang": "en",
+                    "text": clean})
+    plants = spark.createDataFrame([degraded, better]).select(*keep_cols)
+    docs = base.unionByName(plants)
+    qs = {
+        r["doc_id"]: r["q"]
+        for r in plants.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert qs[91002] > qs[91001], qs  # the higher id really is better
+
+    train, test = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+        cluster_exact=True, cluster_keeper="quality",
+    )
+    ids = {r["doc_id"] for r in train.unionByName(test).select("doc_id").collect()}
+    assert 91002 in ids and 91001 not in ids
+
+    # min_id policy keeps the degraded copy instead (same input, flipped policy)
+    tr2, te2 = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+        cluster_exact=True, cluster_keeper="min_id",
+    )
+    ids2 = {r["doc_id"] for r in tr2.unionByName(te2).select("doc_id").collect()}
+    assert 91001 in ids2 and 91002 not in ids2
+
+    with pytest.raises(ValueError, match="cluster_exact"):
+        prepare_training_data(docs, cluster_keeper="quality")
+    with pytest.raises(ValueError, match="cluster_keeper"):
+        prepare_training_data(docs, cluster_exact=True, cluster_keeper="longest")
+
+
 def test_chunk_embed_search_composition(spark, sf_dir):
     """Passage-level retrieval: chunk docs -> embed chunks -> top-k against
     a chunk query -> map hits back to parent docs.  The chunk containing

@@ -70,6 +70,7 @@ def prepare_training_data(
     near_dup_threshold: float = 0.7,
     test_fraction: float = 0.1,
     cluster_exact: bool = False,
+    cluster_keeper: str = "min_id",
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
     substring_dedup_tokens: int | None = None,
@@ -93,8 +94,12 @@ def prepare_training_data(
     near-dup stage runs on the survivors only.  Near-dup removal keeps
     each pair's min id greedily, or the exact per-cluster representative
     via connected components when ``cluster_exact`` (iterative — runs
-    jobs).  The split is arithmetic, so membership is stable across runs,
-    partitionings, and engines.
+    jobs); with ``cluster_exact`` the representative policy is
+    ``cluster_keeper``: ``"min_id"`` (default) or ``"quality"`` (each
+    cluster keeps its highest-``quality_score`` member — min-id keeping
+    discards the clean copy of a duplicated document about half the
+    time).  The split is arithmetic, so membership is stable across
+    runs, partitionings, and engines.
 
     ``gopher_gate`` prepends the repetition/shape keep-drop gate
     (operators/text.py::quality_gate, thresholds overridable) — it MUST
@@ -171,11 +176,33 @@ def prepare_training_data(
 
     pairs = minhash_near_dup_pairs(kept, id_col=id_col, text_col=text_col,
                                    threshold=near_dup_threshold)
+    if cluster_keeper not in ("min_id", "quality"):
+        raise ValueError(
+            f"cluster_keeper must be 'min_id' or 'quality', got {cluster_keeper!r}"
+        )
+    if cluster_keeper == "quality" and not cluster_exact:
+        raise ValueError(
+            "cluster_keeper='quality' requires cluster_exact=True - the "
+            "greedy path has no clusters to elect a keeper from"
+        )
     if cluster_exact:
-        from .operators.components import dedup_clusters
+        from .operators.components import dedup_clusters, quality_dedup_keepers
+        from .operators.text import _free_colname
 
-        rep = dedup_clusters(kept, pairs, id_col)
-        deduped = rep.where(F.col("representative") == F.col(id_col)).drop("representative")
+        if cluster_keeper == "quality":
+            # keep each cluster's HIGHEST-heuristic-quality member instead
+            # of the min id - min-id keeping discards the clean copy of a
+            # duplicated document about half the time
+            qname = _free_colname(kept, "_kq")
+            scored = kept.withColumn(qname, quality_score(text_col))
+            deduped = (
+                quality_dedup_keepers(scored, pairs, id_col, qname)
+                .where(F.col("is_keeper"))
+                .drop("representative", "is_keeper", qname)
+            )
+        else:
+            rep = dedup_clusters(kept, pairs, id_col)
+            deduped = rep.where(F.col("representative") == F.col(id_col)).drop("representative")
     else:
         # greedy: drop the larger id of every near-dup pair (transitive
         # chains may keep one extra doc per chain — the standard tradeoff
