@@ -40,6 +40,7 @@ NAMES = [
     "dsir_selection",
     "semantic_dedup",
     "packed_sequences",
+    "token_budget_mixture",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
