@@ -176,3 +176,44 @@ def test_bpe_ids_pack_composition(spark):
     for g in (0, 1):
         stream = [t for _, seq in sorted(got.get(g, {}).items()) for t in seq]
         assert stream == want[g]
+
+
+def test_decode_ids_round_trip(spark):
+    """decode(encode(text)) == whitespace-normalized text whenever every
+    word is drawn from the training corpus (no UNK); UNK and EOS render
+    visibly/as boundaries."""
+    import pandas as pd
+
+    from vector_search_databricks_poc_spark.functions.bpe import (
+        EOS_ID, UNK_ID, bpe_decode_ids_udf, bpe_encode_ids_udf, bpe_vocab,
+        train_bpe, word_counts,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 80
+    ).select("doc_id", "text")
+    counts = word_counts(d, max_words=5000)
+    merges = train_bpe(d, num_merges=120, max_words=5000)
+    vocab = bpe_vocab(counts, merges)
+    enc = bpe_encode_ids_udf(merges, vocab)
+    dec = bpe_decode_ids_udf(vocab)
+    rows = d.select(
+        "text", dec(enc(F.col("text"))).alias("round")
+    ).collect()
+    assert rows
+    for r in rows:
+        # training covered every char of these docs -> exact reconstruction
+        assert r["round"] == " ".join(r["text"].split()), r["round"][:80]
+
+    # EOS inside a packed stream is a word boundary; unknown id is visible
+    probe = spark.createDataFrame(
+        [([vocab["l" + "o" + "w" + "▁"], EOS_ID,
+           vocab["l" + "o" + "w" + "▁"]],),
+         ([UNK_ID],), (None,)],
+        "ids array<int>",
+    ) if "low▁" in vocab else None
+    if probe is not None:
+        got = [r["t"] for r in probe.select(dec(F.col("ids")).alias("t")).collect()]
+        assert got[0] == "low low"
+        assert got[1] == "�"
+        assert got[2] is None

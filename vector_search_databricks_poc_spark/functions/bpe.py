@@ -241,3 +241,46 @@ def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: dict[str, int]):
         return s.map(enc)
 
     return encode
+
+
+def bpe_decode_ids_udf(vocab: dict[str, int]):
+    """Arrow-batched decoder: array<int> of ids -> text, the inverse of
+    ``bpe_encode_ids_udf`` up to whitespace normalization (the split is
+    whitespace-only, so decode reconstructs the single-space-joined word
+    stream EXACTLY whenever no UNK_ID is present — asserted as a
+    round-trip property in tests).  What it's for: auditing packed
+    training sequences (what text actually landed in example 17?) and
+    debugging mixture/packing pipelines without carrying the source text
+    alongside the ids.
+
+    EOS_ID renders as a word boundary (packed sequences separate docs
+    with it); UNK_ID renders as U+FFFD so lossiness is visible, never
+    silent.  Null arrays stay null; a null/out-of-vocab id inside an
+    array also renders U+FFFD."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    inv = {i: s for s, i in vocab.items()}
+    inv[EOS_ID] = _EOW  # sequence boundary -> whitespace, like a word end
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def decode(s: pd.Series) -> pd.Series:
+        import re
+
+        # runs of boundaries (word-final EOW + EOS, or consecutive EOS)
+        # collapse to ONE space — boundaries separate, they don't count
+        bound = re.compile(f"{_EOW}+")
+
+        def dec(ids):
+            if ids is None:
+                return None
+            parts = [
+                "�" if i is None else inv.get(int(i), "�")
+                for i in ids
+            ]
+            return bound.sub(" ", "".join(parts)).strip()
+
+        return s.map(dec)
+
+    return decode
