@@ -47,6 +47,8 @@ EAGER_BY_CONTRACT = {
     #   shuffle-free map
     "streaming_tumbling",
     "streaming_dedup",
+    "streaming_near_dup_gate",  # two availableNow stream runs + census
+
     "streaming_funnel",
     "stateful_user_stats",
     "near_dup_pairs_components",

@@ -2270,6 +2270,41 @@ def streaming_index_sync_q(spark, sf_dir):
 QUERIES["streaming_index_sync"] = streaming_index_sync_q
 
 
+def streaming_near_dup_gate_q(spark, sf_dir):
+    """B10+B20: continuous near-dup gate — two waves of documents stream
+    through foreachBatch, each deduped against the accepted corpus so far
+    via the persisted signature store (streaming/dedup_gate.py), then
+    admitted.  Output: per-wave input/accepted census (rows-only: the
+    MinHash family is engine-hashed; wave semantics are value-asserted in
+    tests/test_streaming_dedup_gate.py)."""
+    from .streaming.dedup_gate import stream_near_dup_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = _split_id(sf_dir, "documents")
+    tmp = _scratch_dir("ndgate_")
+    in_dir, acc, store, chk = (
+        f"{tmp}/in", f"{tmp}/accepted", f"{tmp}/store", f"{tmp}/ckpt"
+    )
+    rows = []
+    for wave, cond in ((1, F.col("doc_id") <= half), (2, F.col("doc_id") > half)):
+        w = docs.where(cond)
+        w.write.mode("append").parquet(in_dir)
+        q = stream_near_dup_gate(
+            spark.readStream.schema(w.schema).parquet(in_dir),
+            acc, store, checkpoint_dir=chk, threshold=0.5,
+        )
+        _await_stream(q)
+        rows.append(
+            (wave, w.count(), spark.read.parquet(acc).count())
+        )
+    return spark.createDataFrame(
+        rows, "wave int, n_in long, n_accepted_total long"
+    )
+
+
+QUERIES["streaming_near_dup_gate"] = streaming_near_dup_gate_q
+
+
 def training_data_pipeline(spark, sf_dir):
     """North-star composition as one declared query: clean -> language
     filter -> quality filter -> exact dedup -> MinHash near-dup removal ->
