@@ -95,3 +95,54 @@ def test_gate_batch_replay_is_idempotent(spark, tmp_path):
     batch2 = spark.createDataFrame([(9, _UNIQ_D)], "doc_id long, text string")
     _gate_batch(batch2, 8, acc, store, threshold=0.5)
     assert spark.read.parquet(acc).count() == 3
+
+
+def test_wet_stream_to_gated_corpus(spark, tmp_path):
+    """Full streaming front half: WET shards land -> stream decode ->
+    Gopher quality gate -> near-dup gate -> accepted corpus.  Wave 2
+    contains a near-dup of an ACCEPTED wave-1 doc (dropped via the
+    signature store) and a fresh doc (kept); a degenerate looping doc
+    never reaches the dedup stage (gate drops it in-stream)."""
+    from vector_search_databricks_poc_spark.operators.text import quality_gate
+    from vector_search_databricks_poc_spark.sources.warc import (
+        stream_read_wet,
+        write_wet,
+    )
+
+    landing = str(tmp_path / "landing")
+    acc = str(tmp_path / "accepted")
+    store = str(tmp_path / "store")
+    chk = str(tmp_path / "chk")
+
+    waves = [0]
+
+    def run_wave(rows):
+        df = spark.createDataFrame(rows, "url string, text string")
+        # one subdir per wave: write_wet shard names are deterministic by
+        # partition id, so a same-dir second wave would OVERWRITE wave 1's
+        # shard — and a file-source stream tracks files by name, never
+        # re-reading an overwritten one
+        waves[0] += 1
+        write_wet(df.coalesce(1), f"{landing}/w{waves[0]}").collect()
+        stream = stream_read_wet(spark, f"{landing}/*")
+        gated = (
+            quality_gate(stream)
+            .where(F.col("keep"))
+            .select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        )
+        q = stream_near_dup_gate(
+            gated, acc, store, checkpoint_dir=chk, threshold=0.5
+        )
+        assert q.awaitTermination(180)
+        return {r["url"] for r in spark.read.parquet(acc).collect()}
+
+    looping = "buy now limited offer\n\n" * 12  # dup-paragraph degenerate
+    got1 = run_wave(
+        [("http://a/1", _BASE_A), ("http://a/2", _BASE_B), ("http://a/junk", looping)]
+    )
+    assert got1 == {"http://a/1", "http://a/2"}
+
+    got2 = run_wave(
+        [("http://b/1", _near(_BASE_A)), ("http://b/2", _UNIQ_D)]
+    )
+    assert got2 == {"http://a/1", "http://a/2", "http://b/2"}
