@@ -35,6 +35,8 @@ NAMES = [
     "dsir_select_full",
     "semantic_dedup_full",
     "pack_token_ids_full",
+    "token_mixture_full",
+    "quality_keeper_full",
 ]
 
 
@@ -148,6 +150,41 @@ def _pack_token_ids_full(spark, sf):
     )
 
 
+def _token_mixture_full(spark, sf):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        token_budget_mixture_sample,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    return token_budget_mixture_sample(
+        d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).groupBy("source").agg(F.sum("n_tokens").alias("tok"))
+
+
+def _quality_keeper_full(spark, sf):
+    """Near-dup clusters (exact cosine pairs) electing best-quality
+    keepers — pair scan + iterative components + one keeper window."""
+    from vector_search_databricks_poc_spark.operators.components import (
+        quality_dedup_keepers,
+    )
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("quality")
+    )
+    pairs = embedding_near_dup_pairs(
+        e, threshold=0.4, max_exact_rows=2_000_000
+    ).localCheckpoint(eager=False)
+    return quality_dedup_keepers(
+        docs, pairs.select("id_a", "id_b"), "doc_id", "quality"
+    ).where(F.col("is_keeper"))
+
+
 OPERATOR_PROBES = {
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
@@ -157,6 +194,8 @@ OPERATOR_PROBES = {
     "dsir_select_full": _dsir_select_full,
     "semantic_dedup_full": _semantic_dedup_full,
     "pack_token_ids_full": _pack_token_ids_full,
+    "token_mixture_full": _token_mixture_full,
+    "quality_keeper_full": _quality_keeper_full,
 }
 
 
@@ -264,6 +303,13 @@ every operator in this repo:
   the token explode is narrow (two ints/row) and never crosses a
   Python boundary.  Raise n_groups with cluster size like
   pack_sequences.
+- **Dedup clustering (components.py).** Label propagation shuffles only
+  the PAIR GRAPH (nodes that have a duplicate), never the corpus; pointer
+  jumping makes rounds O(log diameter) and near-dup graphs are shallow.
+  Keeper election (min-id or quality) adds one corpus-side join against
+  the label table plus one per-cluster window — giant boilerplate
+  clusters are the skew risk; cap them upstream with max_bucket_size at
+  candidate time.
 - **Contract gate (quality.py).** All row rules (null/range/regex/enum/
   unique) evaluate in ONE map-side partial-agg scan — adding a rule adds
   a column, not a job; referential checks are broadcast anti-joins
