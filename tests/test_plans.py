@@ -266,7 +266,12 @@ def test_dsir_select_plan_shape(spark, sf_dir):
     totals broadcast (never sort-merge), selection is a
     TakeOrderedAndProject, and the corpus-sized shuffles stay bounded —
     2 bucket-count aggs, totals agg, per-doc score agg, plus AQE final
-    exchanges (<= 6 observed)."""
+    exchanges (<= 6 observed), plus the under-parallelism guard's
+    round-robin repartitions (fire on single-split fixture files, no-op
+    at real input sizes).  The guard exchange appears at every STATIC
+    reference to the guarded input (corpus: fit + score legs) but is ONE
+    runtime exchange via ReusedExchange, so the static bound is 11, not
+    6+2."""
     from vector_search_databricks_poc_spark.operators.dsir import dsir_select
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -279,7 +284,7 @@ def test_dsir_select_plan_shape(spark, sf_dir):
     a = A.audit(df)
     assert a["take_ordered"], A.plan_string(df)
     assert a["broadcast_join"] and not a["sort_merge_join"], A.plan_string(df)
-    assert a["shuffles"] <= 6, A.plan_string(df)
+    assert a["shuffles"] <= 11, A.plan_string(df)
 
 
 def test_semantic_dedup_seeded_plan_shape(spark, sf_dir):

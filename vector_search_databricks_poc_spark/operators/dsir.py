@@ -274,6 +274,14 @@ def dsir_select(
         raise ValueError(f"n must be > 0, got {n}")
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    from ..catalog import ensure_parallelism
+
+    # the n-gram explode is CPU-heavy expression work whose input-split
+    # parallelism is sized by BYTES — a small single-file corpus arrives
+    # as one task and serializes the whole fit+score on one core (same
+    # guard as the minhash signature stage; no-op at real input sizes)
+    df = ensure_parallelism(df)
+    target_df = ensure_parallelism(target_df)
     wdf = dsir_bucket_weights(df, target_df, text_col, buckets, ns, smoothing)
     scored = dsir_scores(df, wdf, id_col, text_col, buckets, ns)
     keyed = scored.withColumn(
