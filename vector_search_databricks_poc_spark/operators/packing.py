@@ -259,9 +259,15 @@ def cluster_dedup(
     ``is_keeper`` rows.  For large k or fine-grained near-dup use the
     SRP-LSH route (operators.dedup.embedding_near_dup_pairs).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    from ..catalog import ensure_parallelism
+
+    # the posexplode dot-product stage is CPU-bound; a single-file corpus
+    # arrives as one byte-sized split and serializes it (no-op at scale)
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     seeds = (
         base.select(

@@ -111,11 +111,19 @@ def semantic_dedup(
     """
     if eps <= 0.0:
         raise ValueError(f"eps must be > 0, got {eps}")
+    from ..catalog import ensure_parallelism
+
     id_type = df.schema[id_col].dataType.simpleString()
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # assignment is CPU-heavy per row (k*dim arithmetic, or the posexplode
+    # dot-product join on the seeded path) and input-split parallelism is
+    # sized by BYTES — guard against a small single-file corpus arriving
+    # as one task (no-op at real input sizes; same as the minhash stage)
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     if centroids is not None:
         from .index import _l2sq
