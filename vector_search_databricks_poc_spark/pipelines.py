@@ -174,6 +174,15 @@ def prepare_training_data(
             cut.select(id_col, text_col), id_col
         )
 
+    # The DAG downstream references `kept` in several branches (near-dup
+    # signature + verify legs, the keeper join/anti-join) and Spark
+    # re-executes the whole upstream per branch.  That's fine when
+    # upstream is pushdown-pruned parquet scans + codegen filters, but a
+    # Python-UDF stage (Gopher gate / quality classifier / LM scorer)
+    # re-runs its Arrow batches once PER BRANCH — checkpoint the
+    # survivors once in that case (lazy: materializes on first action).
+    if gopher_gate or quality_model is not None or lm_model is not None:
+        kept = kept.localCheckpoint(eager=False)
     pairs = minhash_near_dup_pairs(kept, id_col=id_col, text_col=text_col,
                                    threshold=near_dup_threshold)
     if cluster_keeper not in ("min_id", "quality"):
