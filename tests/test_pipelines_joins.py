@@ -468,3 +468,30 @@ def test_assemble_training_corpus_semdedup_stage(spark, sf_dir):
 
     with pytest.raises(ValueError):
         assemble_training_corpus(corpus, vec_col="embedding")  # eps missing
+
+
+def test_prepare_training_data_decontamination_stage(spark, sf_dir):
+    """decontam_benchmark drops exactly the docs sharing a 13-gram with
+    the benchmark; everything else survives unchanged."""
+    from vector_search_databricks_poc_spark.pipelines import prepare_training_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    # benchmark = a 13-token span lifted verbatim from one en doc
+    victim = docs.where(F.col("lang") == "en").limit(1).collect()[0]
+    span = " ".join(victim["text"].split()[:13])
+    bench = spark.createDataFrame([(span,)], "text string")
+
+    base_train, base_test = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+    )
+    base_ids = {r["doc_id"] for r in base_train.unionByName(base_test)
+                .select("doc_id").collect()}
+    assert victim["doc_id"] in base_ids  # in-corpus without the stage
+
+    train, test = prepare_training_data(
+        docs, langs=("en",), min_quality=0.0, near_dup_threshold=0.5,
+        decontam_benchmark=bench,
+    )
+    ids = {r["doc_id"] for r in train.unionByName(test).select("doc_id").collect()}
+    assert victim["doc_id"] not in ids
+    assert ids == base_ids - {victim["doc_id"]}

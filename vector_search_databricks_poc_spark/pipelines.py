@@ -82,6 +82,8 @@ def prepare_training_data(
     dsir_n: int | None = None,
     dsir_buckets: int = 10_000,
     dsir_temperature: float = 1.0,
+    decontam_benchmark: DataFrame | None = None,
+    decontam_ngrams: int = 13,
 ) -> tuple[DataFrame, DataFrame]:
     """The north-star LLM-data-prep pipeline, composed from the engine's
     operators in the canonical order a 100 TB corpus runs them:
@@ -116,6 +118,12 @@ def prepare_training_data(
     stays lazy).  ``substring_dedup_tokens`` runs exact
     duplicated-substring removal (operators/dedup.py ExactSubstr) after
     document-level dedup, where the paper places it.
+
+    ``decontam_benchmark`` drops documents sharing any
+    ``decontam_ngrams``-gram with the benchmark frame (operators/text.py
+    ::decontaminate, broadcast anti-join) — after dedup, before
+    selection; for eval sets too large to hash exactly, run
+    ``operators.bloom`` decontamination as a separate stage instead.
 
     ``dsir_target`` + ``dsir_n`` append DSIR importance resampling
     (operators/dsir.py) as the LAST corpus transform — data selection
@@ -218,6 +226,18 @@ def prepare_training_data(
         # to stay single-pass)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         deduped = kept.join(drop, id_col, "left_anti")
+
+    if decontam_benchmark is not None:
+        # GPT-3-style eval decontamination: drop any doc sharing a
+        # decontam_ngrams-gram with the benchmark — AFTER dedup (fewer
+        # docs to hash) and BEFORE selection (DSIR must weigh the pool
+        # that will actually ship)
+        from .operators.text import decontaminate
+
+        deduped = decontaminate(
+            deduped, decontam_benchmark, id_col=id_col, text_col=text_col,
+            n=decontam_ngrams,
+        )
 
     if (dsir_target is None) != (dsir_n is None):
         raise ValueError("dsir_target and dsir_n must be given together")
