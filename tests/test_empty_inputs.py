@@ -197,3 +197,60 @@ def test_relative_heavy_hitters_empty_and_uniform(spark):
         [(f"k{i % 50}",) for i in range(500)], ["k"]
     ).repartition(8)
     assert relative_heavy_hitters(uniform, "k", mean_mult=1.2).count() == 0
+
+
+def test_token_budget_mixture_empty(spark, empty_docs):
+    from vector_search_databricks_poc_spark.operators.packing import (
+        token_budget_mixture_sample,
+    )
+
+    df = empty_docs.select(
+        "doc_id", F.lit("web").alias("source"), F.lit(1).alias("n_tokens")
+    )
+    assert token_budget_mixture_sample(df, "source", {"web": 1.0}).count() == 0
+
+
+def test_quality_keepers_empty_and_no_pairs(spark, empty_docs):
+    from vector_search_databricks_poc_spark.operators.components import (
+        quality_dedup_keepers,
+    )
+
+    pairs_schema = "id_a long, id_b long"
+    no_pairs = spark.createDataFrame([], pairs_schema)
+    scored_empty = empty_docs.select("doc_id", F.lit(1.0).alias("q"))
+    assert quality_dedup_keepers(scored_empty, no_pairs, "doc_id", "q").count() == 0
+    # non-empty corpus, zero duplicate pairs: everyone is their own keeper
+    docs = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, q double")
+    out = quality_dedup_keepers(docs, no_pairs, "doc_id", "q").collect()
+    assert all(r["is_keeper"] and r["representative"] == r["doc_id"] for r in out)
+
+
+def test_gate_batch_empty_batch(spark, empty_docs, tmp_path):
+    """An empty micro-batch must not corrupt the gate's artifacts."""
+    from vector_search_databricks_poc_spark.streaming.dedup_gate import _gate_batch
+
+    acc = str(tmp_path / "acc")
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame([(1, "some real document text")],
+                                 "doc_id long, text string")
+    _gate_batch(docs, 0, acc, store, threshold=0.5)
+    _gate_batch(empty_docs, 1, acc, store, threshold=0.5)
+    assert spark.read.parquet(acc).count() == 1
+    # and a later real batch still lands
+    docs2 = spark.createDataFrame([(2, "a completely different article body")],
+                                  "doc_id long, text string")
+    _gate_batch(docs2, 2, acc, store, threshold=0.5)
+    assert spark.read.parquet(acc).count() == 2
+
+
+def test_bpe_decode_empty_and_null(spark):
+    from vector_search_databricks_poc_spark.functions.bpe import (
+        bpe_decode_ids_udf, bpe_vocab, train_bpe_merges,
+    )
+
+    counts = [("low", 5)]
+    merges = train_bpe_merges(counts, num_merges=4)
+    dec = bpe_decode_ids_udf(bpe_vocab(counts, merges))
+    df = spark.createDataFrame([([],), (None,)], "ids array<int>")
+    got = [r["t"] for r in df.select(dec(F.col("ids")).alias("t")).collect()]
+    assert got == ["", None]
