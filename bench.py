@@ -69,6 +69,9 @@ HEADLINE = [
     "crawl_corpus",             # r6: crawl front half end-to-end — WET decode
     #   -> gate -> clean -> dedup -> near-dup -> split (first call exports
     #   the WET shards once; timed reps measure the pipeline)
+    "manifest_pruned_scan",     # r6 layout: manifest-pruned file-skipping box
+    #   query (first call z-orders orders + persists the stats manifest;
+    #   timed reps measure prune + surviving-file scan)
 ]
 
 

@@ -37,6 +37,7 @@ NAMES = [
     "pack_token_ids_full",
     "token_mixture_full",
     "quality_keeper_full",
+    "manifest_pruned_scan",
 ]
 
 

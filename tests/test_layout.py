@@ -14,7 +14,11 @@ from vector_search_databricks_poc_spark import queries_registry as R
 from vector_search_databricks_poc_spark.catalog import load_table
 from vector_search_databricks_poc_spark.operators.layout import (
     compact_files,
+    file_stats_manifest,
+    prune_files,
+    pruned_read,
     skew_stats,
+    write_manifest,
     z_value,
     zorder_write,
 )
@@ -173,6 +177,160 @@ def test_z_value_locality(spark):
     for x, y in itertools.product(range(0, 16, 2), range(0, 16, 2)):
         tile = [by_xy[(x + dx, y + dy)] for dx in (0, 1) for dy in (0, 1)]
         assert max(tile) - min(tile) <= 5
+
+
+# --------------------------- file-level skipping ---------------------------
+
+
+def _basename(p: str) -> str:
+    return p.rstrip("/").rsplit("/", 1)[-1]
+
+
+def test_manifest_stats_match_spark_reader(spark, tmp_path):
+    """The footer sweep agrees per file with what Spark's own reader sees
+    (an independent path to the same numbers: groupBy input_file_name)."""
+    path = str(tmp_path / "orders6")
+    o = load_table(spark, SF_DIR, "orders")
+    # Spark's default INT96 timestamps carry NO parquet stats; a layout
+    # meant for skipping must write TIMESTAMP_MICROS (see layout.py notes)
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        o.repartitionByRange(6, "o_orderkey").write.parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+    m = {
+        (r.file, r.column): r
+        for r in file_stats_manifest(
+            spark, path, ["o_orderkey", "o_totalprice", "o_orderdate"]
+        ).collect()
+    }
+    assert len({f for f, _ in m}) == 6 and len(m) == 18
+
+    via_spark = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("k_lo"),
+            F.max("o_orderkey").alias("k_hi"),
+            F.min("o_totalprice").alias("p_lo"),
+            F.max("o_totalprice").alias("p_hi"),
+            F.min(F.unix_micros("o_orderdate")).alias("d_lo"),
+            F.max(F.unix_micros("o_orderdate")).alias("d_hi"),
+        )
+        .collect()
+    )
+    by_name = {_basename(f): (f, c) for f, c in m}
+    for row in via_spark:
+        key = _basename(row.file)
+        rk = m[(by_name[key][0], "o_orderkey")]
+        rp = m[(by_name[key][0], "o_totalprice")]
+        rd = m[(by_name[key][0], "o_orderdate")]
+        for r in (rk, rp, rd):
+            assert r.has_stats and r.n_rows == row.n and r.null_count == 0
+        assert (rk.min_num, rk.max_num) == (float(row.k_lo), float(row.k_hi))
+        assert (rp.min_num, rp.max_num) == (row.p_lo, row.p_hi)
+        # timestamps land as epoch micros (the cross-engine convention here)
+        assert (rd.min_num, rd.max_num) == (float(row.d_lo), float(row.d_hi))
+
+
+def test_pruned_read_equals_filtered_scan(spark, tmp_path):
+    """Correctness: pruned_read == full scan + filter, while actually
+    skipping files on the z-ordered layout; the re-applied range filter is
+    pushed into the surviving scans."""
+    path = str(tmp_path / "zo")
+    o = load_table(spark, SF_DIR, "orders")
+    zorder_write(o, path, ["o_custkey", "o_totalprice"], bits=16, n_files=8)
+
+    lo, hi = 10, 40
+    box = {"o_custkey": (lo, hi), "o_totalprice": (None, 50_000.0)}
+    manifest = file_stats_manifest(spark, path, list(box))
+    keep, dropped = prune_files(manifest.collect(), box)
+    assert keep and dropped, (len(keep), len(dropped))  # real skipping
+
+    got = pruned_read(spark, path, box, manifest=manifest)
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("o_custkey").between(lo, hi))
+        .where(F.col("o_totalprice") <= 50_000.0)
+    )
+    key = lambda r: (r["o_orderkey"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    from vector_search_databricks_poc_spark.plans import audit as A
+
+    assert A.has_pushed_filters(got)  # the re-applied range reaches the scan
+
+
+def test_pruned_read_empty_box_zero_rows_same_schema(spark, tmp_path):
+    path = str(tmp_path / "zo2")
+    o = load_table(spark, SF_DIR, "orders").limit(1000)
+    zorder_write(o, path, ["o_custkey", "o_totalprice"], bits=8, n_files=4)
+    got = pruned_read(spark, path, {"o_custkey": (10**9, None)})
+    assert got.count() == 0
+    assert got.schema == spark.read.parquet(path).schema
+
+
+def test_persisted_manifest_sound_under_append(spark, tmp_path):
+    """A stale persisted manifest must never hide data: files appended
+    after write_manifest are always read."""
+    path = str(tmp_path / "grow")
+    o = load_table(spark, SF_DIR, "orders")
+    o.where(F.col("o_custkey") < 100).repartition(2).write.parquet(path)
+    assert write_manifest(spark, path) == 2
+
+    # append rows the manifest has never seen, in the query range
+    # (sf0.001 custkeys span 0..149)
+    o.where(F.col("o_custkey") >= 140).coalesce(1).write.mode("append").parquet(path)
+    got = pruned_read(spark, path, {"o_custkey": (140, None)})
+    want = spark.read.parquet(path).where(F.col("o_custkey") >= 140)
+    assert got.count() == want.count() > 0
+
+
+def test_prune_all_null_and_missing_stats(spark, tmp_path):
+    """An all-null constrained column proves a file empty under a range
+    predicate; a column with no stats at all keeps the file."""
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame([(1, None)], "id long, v double").coalesce(1).write.parquet(
+        path
+    )
+    spark.createDataFrame([(2, 5.0)], "id long, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    rows = file_stats_manifest(spark, path, ["v"]).collect()
+    keep, dropped = prune_files(rows, {"v": (0.0, 10.0)})
+    assert len(keep) == 1 and len(dropped) == 1
+    assert pruned_read(spark, path, {"v": (0.0, 10.0)}).collect()[0].id == 2
+
+
+def test_prune_type_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "mix")
+    spark.createDataFrame([(1.5,)], "x double").write.parquet(path)
+    rows = file_stats_manifest(spark, path, ["x"]).collect()
+    with pytest.raises(ValueError, match="numeric"):
+        prune_files(rows, {"x": ("a", "z")})
+    with pytest.raises(ValueError, match="sortable"):
+        prune_files(rows, {"x": ([1], None)})
+
+
+def test_prunable_value_padding_is_outward():
+    """Lossy conversions widen, never tighten: big-int and Decimal keys
+    bracket the true value on the correct side."""
+    from decimal import Decimal
+
+    from vector_search_databricks_poc_spark.operators.layout import (
+        _prunable_value,
+    )
+
+    big = (1 << 60) + 1  # rounds in double
+    assert _prunable_value(big, -1)[0] <= big <= _prunable_value(big, +1)[0]
+    d = Decimal("0.1")
+    assert _prunable_value(d, -1)[0] < 0.1000000001
+    assert _prunable_value(d, -1)[0] <= float(d) <= _prunable_value(d, +1)[0]
+    assert _prunable_value(float("nan"), -1) == (None, None)
+    assert _prunable_value(b"bytes", -1) == (None, None)
 
 
 def test_compact_scratch_paths_never_hit_fs_root():

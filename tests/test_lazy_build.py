@@ -50,6 +50,8 @@ EAGER_BY_CONTRACT = {
     "streaming_near_dup_gate",  # two availableNow stream runs + census
 
     "streaming_funnel",
+    "manifest_pruned_scan",  # zorder_write + write_manifest (CREATE INDEX
+    #   analog) + the driver-side manifest read that IS the pruning step
     "stateful_user_stats",
     "near_dup_pairs_components",
     "quality_dedup_keepers",  # same iterative label propagation

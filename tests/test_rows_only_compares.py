@@ -1075,3 +1075,21 @@ def test_exact_substring_dedup_plan_shape(spark):
     df = D.exact_substring_dedup(d, window_tokens=12)
     plan = A.plan_string(df)
     assert A.count_exchanges(df) <= 4, plan
+
+
+def test_manifest_pruned_scan_matches_duckdb(spark):
+    """File-level skipping must be invisible to results: the pruned-read
+    box aggregate equals DuckDB's over the ORIGINAL (un-z-ordered) orders
+    table — same rows regardless of which files the manifest let Spark
+    skip."""
+    out = R.QUERIES["manifest_pruned_scan"](spark, SF_DIR)
+    sql = """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS price_sum,
+           MIN(o_orderkey) AS min_orderkey,
+           MAX(o_orderkey) AS max_orderkey
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 40 AND o_totalprice <= 150000.0
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

@@ -161,6 +161,346 @@ def compact_files(
     return n
 
 
+# ---------------------------------------------------------------------------
+# File-level data skipping: a parquet-footer statistics manifest plus
+# manifest-pruned reads.  Plain parquet directories get row-group skipping
+# for free from pushed filters, but the executor still has to OPEN every
+# file to read its footer — at 100 TB / 100k files that is 100k metadata
+# round-trips per query before a byte of data moves.  Table formats solve
+# this with a file-stats manifest consulted before planning (Iceberg
+# manifests, Delta Add-file stats); this is that layer for raw parquet:
+# one distributed footer sweep produces a tiny per-(file, column) min/max
+# table, and pruned_read() drops whole files driver-side before
+# spark.read ever sees them.  Composes with zorder_write(): clustering is
+# what makes per-file min/max TIGHT, the manifest is what turns tight
+# stats into skipped files.
+#
+# Timestamp caveat: Spark's default parquet timestamp encoding (INT96,
+# spark.sql.parquet.outputTimestampType) carries NO column statistics, so
+# timestamp columns in such files are honestly unprunable (has_stats =
+# false, files kept).  Layouts meant for skipping on time should be
+# written with outputTimestampType=TIMESTAMP_MICROS.
+# ---------------------------------------------------------------------------
+
+MANIFEST_DIRNAME = "_stats_manifest"  # '_'-prefixed: hidden from data scans
+
+_MANIFEST_SCHEMA = (
+    "file string, size_bytes long, n_rows long, column string, "
+    "null_count long, has_stats boolean, "
+    "min_num double, max_num double, min_str string, max_str string"
+)
+
+
+def _pa_fs_path(path: str):
+    """(pyarrow filesystem | None, plain path) for a Spark/Hadoop URI.
+    Hadoop renders local files as ``file:/x`` or ``file:///x``; pyarrow
+    wants a bare path for those and a FileSystem handle for real schemes
+    (s3://, hdfs://...)."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return None, rest
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, rel = pafs.FileSystem.from_uri(path)
+        return filesystem, rel
+    return None, path
+
+
+def _prunable_value(v, side: int):
+    """(numeric, string) ordering key for one parquet stat or one user
+    bound — exactly one is non-None; (None, None) means the type carries
+    no sound ordering here.  ``side`` (-1 = lower end, +1 = upper end)
+    pads lossy conversions OUTWARD one ulp, so file stats only ever widen
+    and query bounds only ever widen: pruning stays sound, never exact-er
+    than the data.
+
+    Supported: bool/int/float/Decimal (→ double), datetime/date (→ epoch
+    micros / days, tz-consistent because both the file stat and the user
+    bound pass through THIS function), str (parquet string stats may be
+    prefix-truncated, but the spec truncates min down and max up, which
+    is exactly the widening direction).  bytes and everything else map to
+    (None, None): the file stays unprunable on that column."""
+    import datetime as _dt
+    import math
+    from decimal import Decimal
+
+    if isinstance(v, bool):
+        return float(v), None
+    if isinstance(v, int):
+        f = float(v)
+        if abs(v) > (1 << 53) and int(f) != v:  # double rounded the int
+            f = math.nextafter(f, -math.inf if side < 0 else math.inf)
+        return f, None
+    if isinstance(v, float):
+        return (None, None) if v != v else (v, None)  # NaN poisons compares
+    if isinstance(v, Decimal):
+        f = float(v)  # may round either way: always pad outward
+        return math.nextafter(f, -math.inf if side < 0 else math.inf), None
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) / _dt.timedelta(microseconds=1), None
+    if isinstance(v, _dt.date):
+        return float((v - _dt.date(1970, 1, 1)).days), None
+    if isinstance(v, str):
+        return None, v
+    return None, None
+
+
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """[(uri, size_bytes)] of every visible ``*.parquet`` data file under
+    ``path``, recursively, via the Hadoop FileSystem API (works on any
+    filesystem Spark reaches).  Hidden entries — any ``_``/``.``-prefixed
+    path segment, so ``_stats_manifest`` itself, ``_SUCCESS`` markers and
+    compaction scratch dirs — are skipped, matching what a Spark data scan
+    would read."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    status = fs.getFileStatus(root)
+    if status.isFile():  # a single-file "directory" (e.g. the fixture tables)
+        return [(status.getPath().toString(), int(status.getLen()))]
+    base = fs.makeQualified(root).toString().rstrip("/")
+    out = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toString()
+        rel = uri[len(base):].lstrip("/") if uri.startswith(base) else uri
+        segs = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
+        if segs[-1].endswith(".parquet"):
+            out.append((uri, int(st.getLen())))
+    return out
+
+
+def file_stats_manifest(
+    spark, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-(file, column) footer statistics for every parquet data file
+    under ``path``: row/null counts and min/max as sortable numeric or
+    string keys (see ``_prunable_value``).  One row per requested column
+    per file; a column absent from a file's schema (schema evolution) or
+    lacking sound stats still gets a row with ``has_stats = false``, so
+    consumers always see every file.
+
+    The sweep is DISTRIBUTED: the file list fans out over executors and
+    each task reads only footers (``pyarrow.parquet.read_metadata``), so
+    a 100k-file directory costs 100k footer fetches ONCE, amortized over
+    every subsequent pruned query — instead of per query, per scan.  IO
+    errors propagate (a manifest built over unreadable files would
+    silently disable pruning-soundness checks downstream)."""
+    files = list_data_files(spark, path)
+    if not files:
+        raise ValueError(f"file_stats_manifest: no parquet data files under {path!r}")
+    wanted = list(columns) if columns else None
+    n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    listing = spark.createDataFrame(files, "file string, size_bytes long")
+
+    def _sweep(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for furi, fsize in zip(pdf["file"], pdf["size_bytes"]):
+                filesystem, plain = _pa_fs_path(furi)
+                md = pq.read_metadata(plain, filesystem=filesystem)
+                names = [md.schema.column(i).path for i in range(md.num_columns)]
+                idx = {n: i for i, n in enumerate(names)}
+                for col in wanted if wanted is not None else names:
+                    i = idx.get(col)
+                    if i is None:  # not in this file's schema
+                        rows.append((furi, fsize, md.num_rows, col,
+                                     None, False, None, None, None, None))
+                        continue
+                    nulls, mins, maxs, ok = 0, [], [], True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                        else:
+                            mins.append(_prunable_value(st.min, -1))
+                            maxs.append(_prunable_value(st.max, +1))
+                        if nulls is not None and st is not None and st.null_count is not None:
+                            nulls += st.null_count
+                        else:
+                            nulls = None
+                    if ok and mins and not any(m == (None, None) for m in mins + maxs):
+                        mn_n = [m[0] for m in mins]
+                        mn_s = [m[1] for m in mins]
+                        numeric = mn_n[0] is not None
+                        if numeric:
+                            lo, hi = min(mn_n), max(m[0] for m in maxs)
+                            rows.append((furi, fsize, md.num_rows, col,
+                                         nulls, True, lo, hi, None, None))
+                        else:
+                            lo, hi = min(mn_s), max(m[1] for m in maxs)
+                            rows.append((furi, fsize, md.num_rows, col,
+                                         nulls, True, None, None, lo, hi))
+                    else:
+                        rows.append((furi, fsize, md.num_rows, col,
+                                     nulls, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "size_bytes", "n_rows", "column", "null_count",
+                         "has_stats", "min_num", "max_num", "min_str", "max_str"],
+            )
+
+    return listing.repartition(n_tasks).mapInPandas(_sweep, _MANIFEST_SCHEMA)
+
+
+def write_manifest(spark, path: str, columns: list[str] | None = None) -> int:
+    """Persist the footer-stats manifest beside the data
+    (``<path>/_stats_manifest`` — underscore-prefixed, so data scans never
+    see it) and return the number of data files covered.  Rebuild after
+    layout changes; pruned_read() stays SOUND on a stale manifest (files
+    the manifest has never seen are always read), it just stops skipping
+    the new files until the next refresh."""
+    m = file_stats_manifest(spark, path, columns).cache()
+    try:
+        n = m.select("file").distinct().count()
+        m.coalesce(1).write.mode("overwrite").parquet(
+            f"{path.rstrip('/')}/{MANIFEST_DIRNAME}"
+        )
+    finally:
+        m.unpersist()
+    return n
+
+
+def _manifest_dir_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{MANIFEST_DIRNAME}")
+    return p.getFileSystem(hconf).exists(p)
+
+
+def prune_files(
+    manifest_rows, ranges: dict[str, tuple]
+) -> tuple[list[str], list[str]]:
+    """(keep, dropped) file lists from collected manifest rows and closed
+    range predicates ``{column: (lo, hi)}`` (either bound may be None =
+    unbounded).  A file is dropped only when some constrained column's
+    stats PROVE it empty under the conjunction: its [min, max] misses
+    [lo, hi], or the column is entirely null there (a range predicate
+    never matches null).  Missing/unsound stats keep the file — pruning
+    errs toward reading.  A bound whose type doesn't order against the
+    file's stats (string bound, numeric column) raises ValueError rather
+    than silently keeping everything."""
+    bounds = {}
+    for col, (lo, hi) in ranges.items():
+        lo_k = _prunable_value(lo, -1) if lo is not None else None
+        hi_k = _prunable_value(hi, +1) if hi is not None else None
+        for name, b, raw in (("lower", lo_k, lo), ("upper", hi_k, hi)):
+            if b == (None, None):
+                raise ValueError(
+                    f"prune_files: {name} bound {raw!r} for {col!r} has no "
+                    f"sortable manifest representation"
+                )
+        bounds[col] = (lo_k, hi_k)
+
+    per_file: dict[str, list] = {}
+    for r in manifest_rows:
+        per_file.setdefault(r.file, []).append(r)
+    keep, dropped = [], []
+    for file, rows in per_file.items():
+        stats = {r.column: r for r in rows}
+        prunable = False
+        for col, (lo_k, hi_k) in bounds.items():
+            r = stats.get(col)
+            if r is None:
+                continue  # column not in manifest: no information
+            if (
+                r.null_count is not None
+                and r.n_rows is not None
+                and r.null_count == r.n_rows
+            ):
+                prunable = True  # all-null column: range predicate matches nothing
+                break
+            if not r.has_stats:
+                continue
+            numeric_stats = r.min_num is not None
+            for bound, stat_val, drop_if in (
+                (lo_k, r.max_num if numeric_stats else r.max_str, "below"),
+                (hi_k, r.min_num if numeric_stats else r.min_str, "above"),
+            ):
+                if bound is None:
+                    continue
+                b_num, b_str = bound
+                if (b_num is not None) != numeric_stats:
+                    raise ValueError(
+                        f"prune_files: bound for {col!r} is "
+                        f"{'numeric' if b_num is not None else 'string'} but the "
+                        f"file stats are {'numeric' if numeric_stats else 'string'}"
+                    )
+                b = b_num if numeric_stats else b_str
+                if (drop_if == "below" and stat_val < b) or (
+                    drop_if == "above" and stat_val > b
+                ):
+                    prunable = True
+                    break
+            if prunable:
+                break
+        (dropped if prunable else keep).append(file)
+    return sorted(keep), sorted(dropped)
+
+
+def pruned_read(
+    spark,
+    path: str,
+    ranges: dict[str, tuple],
+    manifest: DataFrame | None = None,
+) -> DataFrame:
+    """Read a parquet directory with FILE-level skipping: consult the
+    stats manifest, drop every file whose footer stats prove it cannot
+    match ``ranges``, read only the survivors — and re-apply the range
+    filter IN-PLAN, so row-level correctness never depends on the stats
+    (the filter also pushes down to row-group skipping inside the
+    survivors; the manifest only removes the per-file footer round-trips).
+
+    Manifest resolution: an explicit ``manifest`` argument wins, else the
+    persisted ``<path>/_stats_manifest`` (Hadoop-FS existence probe, no
+    read-and-catch), else a fresh distributed sweep restricted to the
+    constrained columns.  Soundness against staleness: the live directory
+    listing is the source of truth — files the manifest doesn't cover
+    (appended since the last write_manifest) are ALWAYS read.
+
+    Targets flat/unpartitioned layouts (zorder_write/compact_files
+    output); for hive-partitioned directories use an explicit partition
+    predicate instead — Catalyst's partition pruning is already
+    file-level there, and reading an explicit file list would drop the
+    inferred partition columns."""
+    if manifest is None:
+        if _manifest_dir_exists(spark, path):
+            manifest = spark.read.parquet(f"{path.rstrip('/')}/{MANIFEST_DIRNAME}")
+        else:
+            manifest = file_stats_manifest(spark, path, columns=list(ranges))
+    rows = manifest.where(F.col("column").isin(list(ranges))).collect()
+    keep, dropped = prune_files(rows, ranges)
+    live = [f for f, _ in list_data_files(spark, path)]
+    covered = set(keep) | set(dropped)
+    keep += [f for f in live if f not in covered]  # stale manifest: read new files
+
+    cond = F.lit(True)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    if not keep:
+        if not dropped:
+            raise ValueError(f"pruned_read: no parquet data files under {path!r}")
+        # every file pruned: one arbitrary file supplies the schema; the
+        # in-plan filter (provably unsatisfiable there) returns zero rows
+        # for the cost of a single footer read.
+        keep = sorted(dropped)[:1]
+    return spark.read.parquet(*keep).where(cond)
+
+
 def skew_stats(
     df: DataFrame, key_cols: list[str], top_n: int = 10
 ) -> DataFrame:

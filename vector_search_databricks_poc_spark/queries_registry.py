@@ -4294,6 +4294,56 @@ def crawl_corpus(spark, sf_dir):
     return train
 
 
+_ZORDER_BENCH_DIRS: dict[str, str] = {}
+
+
+def _zorder_bench_dir(spark, sf_dir: str) -> str:
+    """Once per (process, sf_dir): a z-ordered copy of orders with its
+    footer-stats manifest persisted beside it — the layout a 100 TB table
+    maintained by OPTIMIZE-style jobs would already have on disk."""
+    if sf_dir not in _ZORDER_BENCH_DIRS:
+        from .operators.layout import write_manifest, zorder_write
+
+        out = f"{_scratch_dir('zorder_scan_')}/orders_z"
+        zorder_write(
+            load_table(spark, sf_dir, "orders"),
+            out,
+            ["o_custkey", "o_totalprice"],
+            bits=16,
+            n_files=8,
+        )
+        write_manifest(spark, out, ["o_custkey", "o_totalprice"])
+        _ZORDER_BENCH_DIRS[sf_dir] = out
+    return _ZORDER_BENCH_DIRS[sf_dir]
+
+
+@register("manifest_pruned_scan")
+def manifest_pruned_scan(spark, sf_dir):
+    """Data layout, file-level skipping: a box query answered through
+    pruned_read over a z-ordered copy of orders with a persisted
+    footer-stats manifest — files whose min/max PROVE them empty under
+    the predicate are dropped driver-side before spark.read opens a
+    single footer (the Iceberg/Delta data-skipping layer, over raw
+    parquet).  The range filter is re-applied in-plan, so the aggregate
+    is layout-independent and deterministic.  Pruned ≡ unpruned is
+    DuckDB-value-compared in tests/test_rows_only_compares.py; the
+    actually-skips-files property in tests/test_layout.py.  Eager by
+    contract: the layout + manifest build is the CREATE INDEX analog and
+    the pruning decision is a driver-side metadata read."""
+    from .operators.layout import pruned_read
+
+    zdir = _zorder_bench_dir(spark, sf_dir)
+    got = pruned_read(
+        spark, zdir, {"o_custkey": (10, 40), "o_totalprice": (None, 150_000.0)}
+    )
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
