@@ -261,6 +261,12 @@ every operator in this repo:
   clustered column).  compact_files sizes output from plan statistics —
   no counting job over the fragments.  skew_stats is a TakeOrdered
   top-N: per-partition heaps, driver merges top_n x partitions rows.
+  The footer-stats manifest is swept ONCE, distributed (footer-only
+  reads), then every pruned_read pays a driver-side metadata lookup
+  instead of opening 100k file footers per query — file-level skipping
+  over raw parquet, the same contract as Iceberg/Delta manifests; a
+  stale manifest degrades to reading un-covered files, never to
+  wrong results.
 - **Sketch profiling (sketches.py).** HLL cardinality, Misra-Gries
   heavy hitters, and fixed-bin histogram quantiles are all mergeable
   artifacts: per-shard rows of KBs that persist next to the data and
