@@ -289,6 +289,68 @@ def test_persisted_manifest_sound_under_append(spark, tmp_path):
     assert got.count() == want.count() > 0
 
 
+def test_refresh_manifest_incremental(spark, tmp_path):
+    """Refresh sweeps ONLY uncovered files (O(new), not O(directory)),
+    no-ops when nothing changed, and drops rows for deleted files."""
+    import os
+    from pathlib import Path
+
+    from vector_search_databricks_poc_spark.operators.layout import (
+        list_data_files,
+        refresh_manifest,
+    )
+
+    path = str(tmp_path / "ref")
+    o = load_table(spark, SF_DIR, "orders")
+    o.where(F.col("o_custkey") < 50).repartition(2).write.parquet(path)
+    assert write_manifest(spark, path) == 2
+
+    o.where(F.col("o_custkey") >= 140).coalesce(1).write.mode("append").parquet(path)
+    assert refresh_manifest(spark, path) == (1, 3)  # only the new file swept
+    assert refresh_manifest(spark, path) == (0, 3)  # up to date: no-op
+
+    # delete one ORIGINAL (custkey < 50) file: refresh drops its rows
+    victim = next(
+        f
+        for f in sorted(Path(path).glob("*.parquet"))
+        if pq.read_metadata(f).row_group(0).column(1).statistics.max < 100
+    )
+    os.remove(victim)
+    swept, covered = refresh_manifest(spark, path)
+    assert (swept, covered) == (0, 2)
+    live = {f for f, _ in list_data_files(spark, path)}
+    m = spark.read.parquet(f"{path}/_stats_manifest")
+    assert {r.file for r in m.select("file").distinct().collect()} == live
+
+    got = pruned_read(spark, path, {"o_custkey": (140, None)})
+    want = spark.read.parquet(path).where(F.col("o_custkey") >= 140)
+    assert got.count() == want.count() > 0
+
+
+def test_pruned_read_sound_with_stale_manifest_dead_files(spark, tmp_path):
+    """WITHOUT a refresh, a manifest pointing at deleted files must not
+    hand dead paths to spark.read — pruned_read reconciles against the
+    live listing in both directions."""
+    import os
+    from pathlib import Path
+
+    path = str(tmp_path / "stale")
+    o = load_table(spark, SF_DIR, "orders")
+    o.repartitionByRange(4, "o_custkey").write.parquet(path)
+    write_manifest(spark, path, ["o_custkey"])
+    # remove the highest-custkey file; manifest still lists it
+    files = sorted(
+        Path(path).glob("*.parquet"),
+        key=lambda f: pq.read_metadata(f).row_group(0).column(1).statistics.max,
+    )
+    os.remove(files[-1])
+    got = pruned_read(spark, path, {"o_custkey": (0, None)})
+    want = spark.read.parquet(path).where(F.col("o_custkey") >= 0)
+    assert got.count() == want.count() > 0
+    # all-pruned fallback must also pick a LIVE file
+    assert pruned_read(spark, path, {"o_custkey": (10**9, None)}).count() == 0
+
+
 def test_prune_all_null_and_missing_stats(spark, tmp_path):
     """An all-null constrained column proves a file empty under a range
     predicate; a column with no stats at all keeps the file."""

@@ -297,6 +297,15 @@ def file_stats_manifest(
     files = list_data_files(spark, path)
     if not files:
         raise ValueError(f"file_stats_manifest: no parquet data files under {path!r}")
+    return _sweep_stats(spark, files, columns)
+
+
+def _sweep_stats(
+    spark, files: list[tuple[str, int]], columns: list[str] | None
+) -> DataFrame:
+    """The distributed footer sweep over an explicit (uri, size) file list
+    — shared by the full build (file_stats_manifest) and the incremental
+    refresh (refresh_manifest, which sweeps only uncovered files)."""
     wanted = list(columns) if columns else None
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     listing = spark.createDataFrame(files, "file string, size_bytes long")
@@ -370,6 +379,67 @@ def write_manifest(spark, path: str, columns: list[str] | None = None) -> int:
     finally:
         m.unpersist()
     return n
+
+
+def refresh_manifest(
+    spark, path: str, columns: list[str] | None = None
+) -> tuple[int, int]:
+    """Incrementally reconcile the persisted manifest with the live
+    directory; returns ``(files_swept, files_covered)``.  Only files the
+    manifest has never seen get their footers read, and rows for files
+    that no longer exist (compaction, vacuum) are dropped — so the
+    per-batch maintenance step of a streaming sink or incremental append
+    costs O(new files), never O(directory); the full sweep
+    (write_manifest) is paid exactly once per table lifetime.  ``columns``
+    defaults to whatever the existing manifest covers, keeping coverage
+    uniform across refreshes.  No manifest yet → builds one (full sweep).
+
+    The swap (stage, delete, rename) is not atomic; a concurrent
+    pruned_read that catches the gap simply falls back to a fresh sweep
+    of its constrained columns — slower, never wrong (and pruned_read
+    reconciles against the live listing regardless, so a STALE manifest
+    is also only ever a performance question)."""
+    live = list_data_files(spark, path)
+    if not live:
+        raise ValueError(f"refresh_manifest: no parquet data files under {path!r}")
+    if not _manifest_dir_exists(spark, path):
+        return len(live), write_manifest(spark, path, columns)
+
+    mdir = f"{path.rstrip('/')}/{MANIFEST_DIRNAME}"
+    old = spark.read.parquet(mdir)
+    coverage = old.select("file", "column").distinct().collect()
+    known = {r.file for r in coverage}
+    if columns is None:
+        columns = sorted({r.column for r in coverage if r.column is not None})
+    live_paths = {f for f, _ in live}
+    new_files = [(f, s) for f, s in live if f not in known]
+    dead = known - live_paths
+    if not new_files and not dead:
+        return 0, len(live)
+
+    kept = old
+    if dead:  # semi-join against the live list — never a giant IN literal
+        live_df = spark.createDataFrame(
+            [(f,) for f in sorted(live_paths)], "file string"
+        )
+        kept = old.join(F.broadcast(live_df), "file", "left_semi")
+    updated = (
+        kept.unionByName(_sweep_stats(spark, new_files, columns))
+        if new_files
+        else kept
+    )
+    staged = f"{mdir}__stage"  # '_'-prefixed sibling: hidden from data scans
+    updated.coalesce(1).write.mode("overwrite").parquet(staged)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    m, s = hpath(mdir), hpath(staged)
+    fs = m.getFileSystem(hconf)
+    fs.delete(m, True)
+    if not fs.rename(s, m):
+        raise IOError(f"refresh_manifest: could not swap {staged} into {mdir}")
+    return len(new_files), len(live_paths)
 
 
 def _manifest_dir_exists(spark, path: str) -> bool:
@@ -482,8 +552,13 @@ def pruned_read(
     rows = manifest.where(F.col("column").isin(list(ranges))).collect()
     keep, dropped = prune_files(rows, ranges)
     live = [f for f, _ in list_data_files(spark, path)]
+    live_set = set(live)
     covered = set(keep) | set(dropped)
-    keep += [f for f in live if f not in covered]  # stale manifest: read new files
+    # Stale-manifest reconciliation, both directions: files the manifest
+    # has never seen are ALWAYS read; manifest rows for files deleted
+    # since (compaction, vacuums) must not be handed to spark.read.
+    keep = [f for f in keep if f in live_set]
+    keep += [f for f in live if f not in covered]
 
     cond = F.lit(True)
     for col, (lo, hi) in ranges.items():
@@ -492,12 +567,13 @@ def pruned_read(
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
     if not keep:
-        if not dropped:
+        pruned_live = sorted(set(dropped) & live_set)
+        if not pruned_live:
             raise ValueError(f"pruned_read: no parquet data files under {path!r}")
-        # every file pruned: one arbitrary file supplies the schema; the
-        # in-plan filter (provably unsatisfiable there) returns zero rows
-        # for the cost of a single footer read.
-        keep = sorted(dropped)[:1]
+        # every file pruned: one arbitrary (live) file supplies the schema;
+        # the in-plan filter (provably unsatisfiable there) returns zero
+        # rows for the cost of a single footer read.
+        keep = pruned_live[:1]
     return spark.read.parquet(*keep).where(cond)
 
 
