@@ -41,6 +41,7 @@ NAMES = [
     "semantic_dedup",
     "packed_sequences",
     "token_budget_mixture",
+    "manifest_pruned_scan",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -254,3 +254,30 @@ def test_bpe_decode_empty_and_null(spark):
     df = spark.createDataFrame([([],), (None,)], "ids array<int>")
     got = [r["t"] for r in df.select(dec(F.col("ids")).alias("t")).collect()]
     assert got == ["", None]
+
+
+def test_manifest_ops_empty_and_edge_dirs(spark, tmp_path):
+    """Manifest ops raise a clear ValueError on file-less directories, and
+    a directory whose only parquet holds zero rows still round-trips:
+    every file is prunable (0 rows), and pruned_read returns an empty
+    frame with the right schema."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        file_stats_manifest,
+        pruned_read,
+        refresh_manifest,
+        write_manifest,
+    )
+
+    empty_dir = tmp_path / "no_files"
+    empty_dir.mkdir()
+    for fn in (file_stats_manifest, write_manifest, refresh_manifest):
+        with pytest.raises(ValueError, match="no parquet data files"):
+            fn(spark, str(empty_dir))
+    with pytest.raises(ValueError, match="no parquet data files"):
+        pruned_read(spark, str(empty_dir), {"x": (0, 1)})
+
+    zero_rows = str(tmp_path / "zero_rows")
+    spark.createDataFrame([], "id long, v double").coalesce(1).write.parquet(zero_rows)
+    assert write_manifest(spark, zero_rows) == 1
+    out = pruned_read(spark, zero_rows, {"v": (0.0, 1.0)})
+    assert out.count() == 0 and set(out.columns) == {"id", "v"}
