@@ -351,6 +351,61 @@ def test_pruned_read_sound_with_stale_manifest_dead_files(spark, tmp_path):
     assert pruned_read(spark, path, {"o_custkey": (10**9, None)}).count() == 0
 
 
+def test_streaming_sink_maintains_manifest(spark, tmp_path):
+    """The streaming-landing composition: a foreachBatch sink appends
+    parquet and calls refresh_manifest per batch — each refresh sweeps
+    only that batch's new files, and afterwards pruned reads over the
+    landed corpus are correct and fully covered."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        list_data_files,
+        refresh_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 500).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    ).coalesce(1).write.parquet(src)
+
+    calls = []
+
+    def sink(batch, _bid):
+        batch.coalesce(1).write.mode("append").parquet(out)
+        calls.append(refresh_manifest(spark, out))
+
+    def run_wave():
+        q = (
+            spark.readStream.schema("id long, v double")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave()
+    spark.range(500, 800).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_wave()
+
+    # wave 1: no manifest yet -> full sweep of the 1 landed file;
+    # wave 2: only the new file swept, 2 covered
+    assert calls == [(1, 1), (1, 2)]
+    live = {f for f, _ in list_data_files(spark, out)}
+    m = spark.read.parquet(f"{out}/_stats_manifest")
+    assert {r.file for r in m.select("file").distinct().collect()} == live
+
+    got = pruned_read(spark, out, {"v": (1000.0, 1200.0)})
+    want = spark.read.parquet(out).where(F.col("v").between(1000.0, 1200.0))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    assert want.count() > 0
+
+
 def test_prune_all_null_and_missing_stats(spark, tmp_path):
     """An all-null constrained column proves a file empty under a range
     predicate; a column with no stats at all keeps the file."""
