@@ -150,6 +150,31 @@ def test_compact_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == o.count()
 
 
+def test_compact_preserves_manifest(spark, tmp_path):
+    """Compaction rewrites every file — a persisted manifest must come
+    back covering the NEW files (same columns), and pruned reads stay
+    correct across the rewrite."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        list_data_files,
+    )
+
+    path = str(tmp_path / "cm")
+    o = load_table(spark, SF_DIR, "orders")
+    o.repartition(16).write.parquet(path)
+    assert write_manifest(spark, path, ["o_custkey"]) == 16
+    compact_files(spark, path, target_file_bytes=256 * 1024)
+
+    live = {f for f, _ in list_data_files(spark, path)}
+    m = spark.read.parquet(f"{path}/_stats_manifest")
+    assert {r.file for r in m.select("file").distinct().collect()} == live
+    assert {r.column for r in m.select("column").distinct().collect()} == {
+        "o_custkey"
+    }
+    got = pruned_read(spark, path, {"o_custkey": (100, None)})
+    want = spark.read.parquet(path).where(F.col("o_custkey") >= 100)
+    assert got.count() == want.count() > 0
+
+
 def test_skew_stats_salting_signal(spark):
     """A deliberately skewed frame reports the hot key first with
     vs_uniform >> 1."""

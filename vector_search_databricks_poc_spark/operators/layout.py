@@ -123,6 +123,11 @@ def compact_files(
     never a window where the data is gone (the previous
     rmtree-then-rename had exactly that window).
 
+    A persisted stats manifest (``_stats_manifest``) is rebuilt with its
+    previous column coverage after the swap — compaction rewrites every
+    data file, so the old manifest dies with the old directory and a
+    full resweep is the true incremental cost.
+
     The scratch directories are DOT-prefixed siblings
     (``.compact_stage__<name>``, ``.compact_old__<name>``), so when
     ``path`` is one partition directory of a table (the compact_index
@@ -135,6 +140,25 @@ def compact_files(
     dot-prefixed entries are always hidden.
     """
     import math
+
+    # A stats manifest lives INSIDE the directory being swapped, so it
+    # goes down with the old copy — remember its column coverage now and
+    # rebuild after the swap (the whole table was rewritten, so a full
+    # sweep IS the incremental cost here).
+    manifest_cols = None
+    if _manifest_dir_exists(spark, path):
+        manifest_cols = sorted(
+            {
+                r.column
+                for r in spark.read.parquet(
+                    f"{path.rstrip('/')}/{MANIFEST_DIRNAME}"
+                )
+                .select("column")
+                .distinct()
+                .collect()
+                if r.column is not None
+            }
+        )
 
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -158,6 +182,8 @@ def compact_files(
         fs.rename(old, p)  # roll back: original back in place
         raise IOError(f"compact_files: could not move staged copy into {path}")
     fs.delete(old, True)
+    if manifest_cols is not None:
+        write_manifest(spark, path, manifest_cols or None)
     return n
 
 
