@@ -475,6 +475,89 @@ def test_prunable_value_padding_is_outward():
     assert _prunable_value(b"bytes", -1) == (None, None)
 
 
+# --------------------------- per-file bloom index ---------------------------
+
+
+def test_bloom_point_lookup_prunes_and_matches(spark, tmp_path):
+    """Point lookups on an UNCLUSTERED high-cardinality column (the case
+    min/max cannot prune): bloom skipping drops most files, results are
+    identical to the full isin scan (no false negatives), and absent
+    values return zero rows."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        bloom_prune_files,
+        bloom_pruned_lookup,
+        write_file_blooms,
+    )
+
+    path = str(tmp_path / "bl")
+    o = load_table(spark, SF_DIR, "orders")
+    o.repartition(8).write.parquet(path)  # hash layout: keys scattered
+    assert write_file_blooms(spark, path, ["o_orderkey"], m_bits=1 << 14) == 8
+
+    probe = [3, 700, 1204]
+    keep, dropped = bloom_prune_files(spark, path, "o_orderkey", probe)
+    assert dropped, (len(keep), len(dropped))  # actually skips files
+    assert len(keep) <= len(probe) + 1  # ~1 file per key + rare FPs
+
+    got = bloom_pruned_lookup(spark, path, "o_orderkey", probe)
+    want = spark.read.parquet(path).where(F.col("o_orderkey").isin(probe))
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    ) == sorted(probe)
+
+    # absent keys: most/all files pruned, zero rows, schema intact
+    miss = bloom_pruned_lookup(spark, path, "o_orderkey", [10**7, 10**7 + 1])
+    assert miss.count() == 0 and miss.columns == want.columns
+
+
+def test_bloom_lookup_sound_without_index_and_under_append(spark, tmp_path):
+    """No bloom dir / unindexed column → nothing prunable, plain scan
+    semantics; files appended AFTER the build are always read."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        bloom_prune_files,
+        bloom_pruned_lookup,
+        write_file_blooms,
+    )
+
+    path = str(tmp_path / "bl2")
+    o = load_table(spark, SF_DIR, "orders")
+    o.where(F.col("o_orderkey") < 1000).repartition(4).write.parquet(path)
+
+    # no index at all
+    keep, dropped = bloom_prune_files(spark, path, "o_orderkey", [5])
+    assert len(keep) == 4 and not dropped
+
+    write_file_blooms(spark, path, ["o_orderkey"], m_bits=1 << 14)
+    # column without a bloom row
+    keep, dropped = bloom_prune_files(spark, path, "o_custkey", [5])
+    assert len(keep) == 4 and not dropped
+
+    # stale index: appended rows must still be found
+    o.where(F.col("o_orderkey") >= 1400).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    got = bloom_pruned_lookup(spark, path, "o_orderkey", [1450])
+    assert [r.o_orderkey for r in got.collect()] == [1450]
+
+
+def test_bloom_probe_casts_to_indexed_dtype(spark, tmp_path):
+    """xxhash64 is type-sensitive: an int-typed column probed with Python
+    ints (long literals) must still hit — the probe casts to the recorded
+    dtype, so a type mismatch can never cause a false negative."""
+    from vector_search_databricks_poc_spark.operators.layout import (
+        bloom_pruned_lookup,
+        write_file_blooms,
+    )
+
+    path = str(tmp_path / "bl3")
+    spark.range(0, 2000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.parquet(path)
+    write_file_blooms(spark, path, ["k"], m_bits=1 << 14)
+    got = bloom_pruned_lookup(spark, path, "k", [7, 1999])
+    assert sorted(r.k for r in got.collect()) == [7, 1999]
+
+
 def test_compact_scratch_paths_never_hit_fs_root():
     """r6 (r5 ADVICE): a bare relative path must stage its scratch dirs
     beside the target ('.'), not '/.compact_stage__<name>' at the fs root.

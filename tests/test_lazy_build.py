@@ -52,6 +52,8 @@ EAGER_BY_CONTRACT = {
     "streaming_funnel",
     "manifest_pruned_scan",  # zorder_write + write_manifest (CREATE INDEX
     #   analog) + the driver-side manifest read that IS the pruning step
+    "bloom_point_lookup",  # bloom build scan (CREATE INDEX analog) + the
+    #   driver-side bloom verdict read that IS the pruning step
     "stateful_user_stats",
     "near_dup_pairs_components",
     "quality_dedup_keepers",  # same iterative label propagation

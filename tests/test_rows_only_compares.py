@@ -1093,3 +1093,20 @@ def test_manifest_pruned_scan_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_bloom_point_lookup_matches_duckdb(spark):
+    """Bloom file skipping must be invisible to results: the point-lookup
+    rows equal DuckDB's isin scan over the original orders table (a key
+    absent from the data — 9999 at sf0.001 — must simply return nothing,
+    exercising the all-pruned path)."""
+    out = R.QUERIES["bloom_point_lookup"](spark, SF_DIR)
+    sql = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (3, 700, 1204, 9999)
+    ORDER BY o_orderkey
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

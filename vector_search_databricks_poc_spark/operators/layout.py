@@ -603,6 +603,228 @@ def pruned_read(
     return spark.read.parquet(*keep).where(cond)
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom indexes: point-lookup file skipping.  Min/max stats prune
+# RANGE predicates, but an equality probe on a high-cardinality column
+# that the layout is not clustered on (fetch these 500 doc_ids out of a
+# 100 TB corpus — the everyday "pull the flagged examples" op) intersects
+# every file's [min, max].  The standard fix is a per-file Bloom filter
+# over the column's hashes (Delta's bloom index, Parquet's optional bloom
+# pages): no false negatives, so pruning is sound; false positives only
+# cost reading a file the in-plan filter then empties.  Hashing uses
+# Spark's own xxhash64 on BOTH sides (build scan and probe-value job), so
+# the bitmap and the probe can never disagree on a hash function.
+# ---------------------------------------------------------------------------
+
+BLOOM_DIRNAME = "_bloom_index"  # '_'-prefixed: hidden from data scans
+
+
+def _canon_uri(u: str) -> str:
+    """Spark's input_file_name() renders local files as ``file:///x``
+    while the Hadoop listing renders ``file:/x`` — canonicalize to the
+    Hadoop form so bloom rows and live listings compare equal."""
+    if u.startswith("file:///"):
+        return "file:/" + u[len("file:///"):]
+    return u
+
+_BLOOM_SCHEMA = (
+    "file string, column string, dtype string, m_bits long, k int, "
+    "n_keys long, bitmap binary"
+)
+
+
+def write_file_blooms(
+    spark,
+    path: str,
+    cols: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> int:
+    """One data scan → one Bloom bitmap per (file, column), persisted at
+    ``<path>/_bloom_index``; returns the number of data files covered.
+
+    Build shape: the scan projects only ``input_file_name`` + the
+    xxhash64 of each indexed column (codegen, no Python until the
+    bitmaps), each task accumulates ONE partial bitmap per file it saw
+    (numpy bit ops over Arrow batches), and partials OR-merge in a tiny
+    ``(file, column)`` aggregation whose rows are ``m_bits/8`` bytes —
+    for the default 1 MiB-per-8-files bitmaps, KBs per task, never the
+    hashes themselves.  Fixed ``m_bits`` keeps bitmap size predictable
+    (128 KiB per file-column at the default): at 10 bits/key that is
+    ~10⁵ keys per file before the false-positive rate degrades — size up
+    for bigger files, the index just scales with file count."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits % 8 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    files = list_data_files(spark, path)
+    if not files:
+        raise ValueError(f"write_file_blooms: no parquet data files under {path!r}")
+    df = spark.read.parquet(path)
+    # Spark's xxhash64 is TYPE-sensitive (an int and a long with the same
+    # numeric value hash differently), so the probe side must cast to the
+    # exact data type the build hashed — record it per column.
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"write_file_blooms: columns not in table: {missing}")
+    sel = df.select(
+        F.input_file_name().alias("file"),
+        *[F.xxhash64(F.col(c)).alias(c) for c in cols],
+    )
+
+    def _partials(batches):
+        from .bloom import _probe_positions
+
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            for file, g in pdf.groupby("file"):
+                for c in cols:
+                    key = (file, c)
+                    if key not in acc:
+                        acc[key] = [np.zeros(m_bits // 8, np.uint8), 0]
+                    bm, _ = acc[key]
+                    pos = _probe_positions(g[c].to_numpy(np.int64), m_bits, k)
+                    pos = pos.ravel()
+                    np.bitwise_or.at(
+                        bm,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                    )
+                    acc[key][1] += len(g)
+        if acc:
+            yield pd.DataFrame(
+                [
+                    (_canon_uri(f), c, dtypes[c], m_bits, k, n, bm.tobytes())
+                    for (f, c), (bm, n) in acc.items()
+                ],
+                columns=[
+                    "file", "column", "dtype", "m_bits", "k", "n_keys", "bitmap"
+                ],
+            )
+
+    partials = sel.mapInPandas(_partials, _BLOOM_SCHEMA)
+
+    def _merge(key, pdf):
+        bm = np.zeros(m_bits // 8, np.uint8)
+        for b in pdf["bitmap"]:
+            bm |= np.frombuffer(b, np.uint8)
+        return pd.DataFrame(
+            [
+                (
+                    key[0],
+                    key[1],
+                    pdf["dtype"].iloc[0],
+                    m_bits,
+                    k,
+                    int(pdf["n_keys"].sum()),
+                    bm.tobytes(),
+                )
+            ],
+            columns=["file", "column", "dtype", "m_bits", "k", "n_keys", "bitmap"],
+        )
+
+    merged = partials.groupBy("file", "column").applyInPandas(_merge, _BLOOM_SCHEMA)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{path.rstrip('/')}/{BLOOM_DIRNAME}"
+    )
+    return len(files)
+
+
+def _xxhash64_values(spark, values: list, target_dtype: str) -> list[int]:
+    """Spark's xxhash64 of each probe value CAST to the indexed column's
+    recorded type, computed BY Spark on a literal one-column plan — the
+    only way to guarantee the probe hashes match what the build scan's
+    xxhash64 produced (xxhash64 is type-sensitive, and a Python
+    reimplementation drifting by a seed or a coercion would silently
+    break the no-false-negative guarantee).  Bounded metadata job:
+    len(values) rows."""
+    py_type = {int: "long", float: "double", str: "string", bool: "boolean"}.get(
+        type(values[0])
+    )
+    if py_type is None:
+        raise ValueError(
+            f"bloom probe values of type {type(values[0]).__name__} unsupported"
+        )
+    probe = spark.createDataFrame([(v,) for v in values], f"v {py_type}")
+    return [
+        r.h
+        for r in probe.select(
+            F.xxhash64(F.col("v").cast(target_dtype)).alias("h")
+        ).collect()
+    ]
+
+
+def bloom_prune_files(
+    spark, path: str, col: str, values: list
+) -> tuple[list[str], list[str]]:
+    """(keep, dropped) for a point lookup: a file is dropped only when its
+    Bloom bitmap proves NONE of the probe values can be present.  The
+    membership test runs DISTRIBUTED over the bloom table (each row tests
+    len(values)*k bit probes in numpy); only file names come back to the
+    driver — bitmaps never do.  Files without a bloom row (appended since
+    write_file_blooms, or an unindexed column) are kept."""
+    import numpy as np
+    import pandas as pd
+
+    if not values:
+        raise ValueError("bloom_prune_files: empty probe value list")
+    bdir = f"{path.rstrip('/')}/{BLOOM_DIRNAME}"
+    live = [f for f, _ in list_data_files(spark, path)]
+    jvm = spark.sparkContext._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(bdir)
+    if not bpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ).exists(bpath):
+        return sorted(live), []  # no index: nothing prunable
+
+    bloom_df = spark.read.parquet(bdir).where(F.col("column") == col)
+    first = bloom_df.select("dtype").first()
+    if first is None:
+        return sorted(live), []  # column not indexed: nothing prunable
+    hashes = np.array(
+        _xxhash64_values(spark, values, first.dtype), dtype=np.int64
+    )
+
+    def _test(batches):
+        from .bloom import _probe_positions
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                bm = np.frombuffer(r["bitmap"], np.uint8)
+                pos = _probe_positions(hashes, int(r["m_bits"]), int(r["k"]))
+                byte_i = (pos >> np.uint64(3)).astype(np.int64)
+                bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+                hit = ((bm[byte_i] & bit) != 0).all(axis=1).any()
+                out.append((r["file"], bool(hit)))
+            yield pd.DataFrame(out, columns=["file", "might"])
+
+    verdicts = bloom_df.mapInPandas(_test, "file string, might boolean").collect()
+    might = {_canon_uri(r.file): r.might for r in verdicts}
+    keep = [f for f in live if might.get(f, True)]
+    dropped = [f for f in live if not might.get(f, True)]
+    return sorted(keep), sorted(dropped)
+
+
+def bloom_pruned_lookup(spark, path: str, col: str, values: list) -> DataFrame:
+    """Point lookup with file-level Bloom skipping: read only the files
+    that might contain one of ``values``, re-applying the exact ``isin``
+    filter IN-PLAN — Bloom false positives die there, and no false
+    negatives means no missed rows.  Live-listing reconciliation as in
+    pruned_read: unindexed/appended files are always read."""
+    keep, dropped = bloom_prune_files(spark, path, col, values)
+    cond = F.col(col).isin(values)
+    if not keep:
+        if not dropped:
+            raise ValueError(
+                f"bloom_pruned_lookup: no parquet data files under {path!r}"
+            )
+        keep = dropped[:1]  # schema carrier; filter provably matches nothing
+    return spark.read.parquet(*keep).where(cond)
+
+
 def skew_stats(
     df: DataFrame, key_cols: list[str], top_n: int = 10
 ) -> DataFrame:

@@ -4344,6 +4344,36 @@ def manifest_pruned_scan(spark, sf_dir):
     )
 
 
+_BLOOM_BENCH_DIRS: dict[str, str] = {}
+
+
+@register("bloom_point_lookup")
+def bloom_point_lookup(spark, sf_dir):
+    """Data layout, point-lookup file skipping: fetch a fixed handful of
+    order keys from a hash-scattered multi-file copy of orders through a
+    per-file Bloom index — the case min/max stats cannot prune (every
+    file's [min, max] contains every key).  Bloom filters have no false
+    negatives and the exact isin filter is re-applied in-plan, so the
+    result is layout-independent; DuckDB-value-compared in
+    tests/test_rows_only_compares.py, skipping/soundness/type-cast
+    behavior in tests/test_layout.py.  Eager by contract: the bloom
+    build scan is the CREATE INDEX analog and the pruning decision is a
+    driver-side metadata read."""
+    from .operators.layout import bloom_pruned_lookup, write_file_blooms
+
+    if sf_dir not in _BLOOM_BENCH_DIRS:
+        out = f"{_scratch_dir('bloom_lookup_')}/orders_b"
+        load_table(spark, sf_dir, "orders").repartition(8).write.parquet(out)
+        write_file_blooms(spark, out, ["o_orderkey"], m_bits=1 << 16)
+        _BLOOM_BENCH_DIRS[sf_dir] = out
+    keys = [3, 700, 1204, 9999]
+    got = bloom_pruned_lookup(spark, _BLOOM_BENCH_DIRS[sf_dir], "o_orderkey", keys)
+    return got.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
