@@ -540,6 +540,55 @@ def test_bloom_lookup_sound_without_index_and_under_append(spark, tmp_path):
     assert [r.o_orderkey for r in got.collect()] == [1450]
 
 
+def test_refresh_file_blooms_incremental(spark, tmp_path):
+    """Bloom-index maintenance mirrors refresh_manifest: only uncovered
+    files get scanned, dead rows are dropped, and after a refresh the
+    appended keys both prune and resolve."""
+    import os
+    from pathlib import Path
+
+    from vector_search_databricks_poc_spark.operators.layout import (
+        bloom_prune_files,
+        bloom_pruned_lookup,
+        list_data_files,
+        refresh_file_blooms,
+        write_file_blooms,
+    )
+
+    (tmp_path / "no_idx").mkdir()
+    with pytest.raises(ValueError, match="no bloom index"):
+        refresh_file_blooms(spark, str(tmp_path / "no_idx"))
+
+    path = str(tmp_path / "blr")
+    o = load_table(spark, SF_DIR, "orders")
+    o.where(F.col("o_orderkey") < 1000).repartition(4).write.parquet(path)
+    assert write_file_blooms(spark, path, ["o_orderkey"], m_bits=1 << 14) == 4
+
+    o.where(F.col("o_orderkey") >= 1400).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert refresh_file_blooms(spark, path) == (1, 5)
+    assert refresh_file_blooms(spark, path) == (0, 5)
+
+    keep, dropped = bloom_prune_files(spark, path, "o_orderkey", [1450])
+    assert len(keep) == 1 and len(dropped) == 4  # appended key now prunes
+    assert [
+        r.o_orderkey
+        for r in bloom_pruned_lookup(spark, path, "o_orderkey", [1450]).collect()
+    ] == [1450]
+
+    victim = next(
+        f
+        for f in Path(path).glob("*.parquet")
+        if pq.read_metadata(f).row_group(0).column(0).statistics.max < 1000
+    )
+    os.remove(victim)
+    assert refresh_file_blooms(spark, path) == (0, 4)
+    m = spark.read.parquet(f"{path}/_bloom_index")
+    live = {f for f, _ in list_data_files(spark, path)}
+    assert {r.file for r in m.select("file").distinct().collect()} == live
+
+
 def test_bloom_probe_casts_to_indexed_dtype(spark, tmp_path):
     """xxhash64 is type-sensitive: an int-typed column probed with Python
     ints (long literals) must still hit — the probe casts to the recorded

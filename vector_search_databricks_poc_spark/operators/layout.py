@@ -653,22 +653,34 @@ def write_file_blooms(
     (128 KiB per file-column at the default): at 10 bits/key that is
     ~10⁵ keys per file before the false-positive rate degrades — size up
     for bigger files, the index just scales with file count."""
-    import numpy as np
-    import pandas as pd
-
     if m_bits % 8 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
     files = list_data_files(spark, path)
     if not files:
         raise ValueError(f"write_file_blooms: no parquet data files under {path!r}")
-    df = spark.read.parquet(path)
+    rows = _bloom_rows(spark, spark.read.parquet(path), cols, m_bits, k)
+    rows.coalesce(1).write.mode("overwrite").parquet(
+        f"{path.rstrip('/')}/{BLOOM_DIRNAME}"
+    )
+    return len(files)
+
+
+def _bloom_rows(
+    spark, df: DataFrame, cols: list[str], m_bits: int, k: int
+) -> DataFrame:
+    """The bloom build plan over an arbitrary parquet-backed frame —
+    shared by the full build and the incremental refresh (which feeds it
+    only the uncovered files)."""
+    import numpy as np
+    import pandas as pd
+
     # Spark's xxhash64 is TYPE-sensitive (an int and a long with the same
     # numeric value hash differently), so the probe side must cast to the
     # exact data type the build hashed — record it per column.
     dtypes = dict(df.dtypes)
     missing = [c for c in cols if c not in dtypes]
     if missing:
-        raise ValueError(f"write_file_blooms: columns not in table: {missing}")
+        raise ValueError(f"bloom build: columns not in table: {missing}")
     sel = df.select(
         F.input_file_name().alias("file"),
         *[F.xxhash64(F.col(c)).alias(c) for c in cols],
@@ -725,11 +737,61 @@ def write_file_blooms(
             columns=["file", "column", "dtype", "m_bits", "k", "n_keys", "bitmap"],
         )
 
-    merged = partials.groupBy("file", "column").applyInPandas(_merge, _BLOOM_SCHEMA)
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        f"{path.rstrip('/')}/{BLOOM_DIRNAME}"
-    )
-    return len(files)
+    return partials.groupBy("file", "column").applyInPandas(_merge, _BLOOM_SCHEMA)
+
+
+def refresh_file_blooms(spark, path: str) -> tuple[int, int]:
+    """Incrementally reconcile the bloom index with the live directory;
+    returns ``(files_scanned, files_covered)``.  Only files without bloom
+    rows get their data scanned (with the index's recorded columns,
+    m_bits and k, so bitmaps stay uniform), and rows for deleted files
+    are dropped — the per-batch maintenance twin of refresh_manifest,
+    with the same staged swap and the same staleness contract (a stale
+    or mid-swap index only ever costs extra reads in
+    bloom_pruned_lookup, never missed rows).  Requires an existing index
+    (the column choice is a design decision write_file_blooms owns)."""
+    bdir = f"{path.rstrip('/')}/{BLOOM_DIRNAME}"
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(bdir).getFileSystem(hconf)
+    if not fs.exists(hpath(bdir)):
+        raise ValueError(
+            f"refresh_file_blooms: no bloom index at {bdir!r}; run "
+            f"write_file_blooms first to choose the indexed columns"
+        )
+    live = list_data_files(spark, path)
+    if not live:
+        raise ValueError(f"refresh_file_blooms: no parquet data files under {path!r}")
+
+    old = spark.read.parquet(bdir)
+    meta = old.select("file", "column", "m_bits", "k").collect()
+    known = {r.file for r in meta}
+    cols = sorted({r.column for r in meta})
+    m_bits, k = int(meta[0].m_bits), int(meta[0].k)
+    live_paths = {f for f, _ in live}
+    new_files = [f for f, _ in live if f not in known]
+    dead = known - live_paths
+    if not new_files and not dead:
+        return 0, len(live_paths)
+
+    kept = old
+    if dead:
+        live_df = spark.createDataFrame(
+            [(f,) for f in sorted(live_paths)], "file string"
+        )
+        kept = old.join(F.broadcast(live_df), "file", "left_semi")
+    updated = kept
+    if new_files:
+        updated = kept.unionByName(
+            _bloom_rows(spark, spark.read.parquet(*new_files), cols, m_bits, k)
+        )
+    staged = f"{bdir}__stage"
+    updated.coalesce(1).write.mode("overwrite").parquet(staged)
+    fs.delete(hpath(bdir), True)
+    if not fs.rename(hpath(staged), hpath(bdir)):
+        raise IOError(f"refresh_file_blooms: could not swap {staged} into {bdir}")
+    return len(new_files), len(live_paths)
 
 
 def _xxhash64_values(spark, values: list, target_dtype: str) -> list[int]:
