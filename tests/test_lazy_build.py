@@ -25,6 +25,9 @@ from tests.conftest import SF_DIR
 #    driver-side convergence loop (count per round) IS the algorithm
 EAGER_BY_CONTRACT = {
     "ivf_index_search",
+    "graph_index_search",  # graph build (CREATE INDEX analog) + beam-search
+    #   driver loop (like near_dup_pairs_components: per-hop convergence
+    #   count IS the algorithm)
     "ivf_batch_search",
     "ivf_pq_batch_search",
     "incremental_index_refresh",

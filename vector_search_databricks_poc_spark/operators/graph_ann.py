@@ -1,0 +1,379 @@
+"""Graph-based ANN: a pruned k-NN graph as a partitioned adjacency table.
+
+Reference behavior: the Databricks Vector Search endpoint serves ANN from a
+managed index whose physical structure the reference never sees
+(`create_delta_sync_index`, syntetic_data.py:95-107; probed via
+`index.similarity_search`, query_endpoint.py:136-150).  The IVF family
+(operators/index.py) covers the coarse-quantizer design point; this module
+adds the GRAPH design point — the batch analog of HNSW layer-0 search
+(Malkov & Yashunin 2016) and NN-Descent graph construction (Dong, Moses &
+Li, WWW 2011) — expressed entirely as DataFrame ops:
+
+- **build**: candidate pairs come from overlapping IVF buckets (each
+  vector multi-assigned to its ``assign_n`` nearest centroids; pairs only
+  form inside a bucket, never all-pairs), kNN'd per bucket with blocked
+  BLAS inside ``applyInPandas``, pruned to the top ``deg`` neighbors per
+  node, symmetrized, and optionally repaired by NN-Descent rounds
+  (neighbor-of-neighbor self-join) that recover edges the bucketing cut.
+- **layout**: ONE table holds the graph — ``(id, vec, centroid_id,
+  neighbors array<struct<nbr_id, nbr_centroid>>)`` partitioned by the
+  node's nearest centroid.  Each neighbor struct carries the neighbor's
+  PARTITION, so a search hop knows which partitions it must read before
+  reading anything.
+- **search**: distributed best-first beam search.  Per-query state
+  (scored nodes, ≤ ``ef``·hops rows) lives in a localCheckpoint'd
+  DataFrame; each hop expands the top-``ef`` unexpanded nodes through
+  their neighbor arrays, then scores exactly the NEW ids via a
+  partition-pruned scan of the graph table broadcast-joined to the
+  candidate-id set.  The driver sees only bounded metadata — the hop's
+  partition-id list and a convergence count — never vectors.
+
+100 TB shape: the build's per-bucket kNN is the standard construction
+cost, bounded by bucket size (size ``k_centroids`` ≈ n / target_bucket;
+the group fn streams row blocks so memory is block×bucket, not bucket²);
+NN-Descent rounds cost n·deg² candidate scorings through one shuffle per
+round.  A search hop touches only the partitions named by the frontier's
+neighbor structs and broadcasts ≤ ef·deg candidate ids — the corpus-side
+table is never shuffled, exactly like the IVF probe path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import vectors as V
+from ..catalog import save_table
+from .index import _read_meta, _write_meta, assign_centroid, fit_centroids
+
+
+def _bucket_knn_fn(id_col: str, vec_col: str, deg: int, block: int = 1024):
+    """applyInPandas group fn: exact top-``deg`` neighbors inside one
+    bucket via blocked matrix products (rows scored ``block`` at a time so
+    peak memory is block×bucket, not bucket²).  Deterministic: ties on
+    score break on ascending neighbor id."""
+    import numpy as np
+    import pandas as pd
+
+    def knn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": "int64", "dst": "int64", "score": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        X = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        take = min(deg, n - 1)
+        out_src, out_dst, out_score = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            G = X[lo:hi] @ X.T  # [b, n]
+            for r in range(hi - lo):
+                row = G[r]
+                row[lo + r] = -np.inf  # no self-edge
+                # top-`take` by (-score, id): argpartition then stable order
+                cand = np.argpartition(row, -take)[-take:]
+                order = np.lexsort((ids[cand], -row[cand]))
+                sel = cand[order]
+                out_src.extend([ids[lo + r]] * take)
+                out_dst.extend(ids[sel])
+                out_score.extend(row[sel])
+        return pd.DataFrame(
+            {"src": out_src, "dst": out_dst, "score": out_score}
+        ).astype({"src": "int64", "dst": "int64", "score": "float64"})
+
+    return knn
+
+
+def _top_deg(edges: DataFrame, deg: int) -> DataFrame:
+    """Keep each node's ``deg`` best outgoing edges (score desc, dst asc)."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.col("dst"))
+    return (
+        edges.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= deg)
+        .drop("_r")
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Union each edge with its reverse (dot is symmetric, so the score
+    carries over) and dedupe — restores reachability of nodes that many
+    others point AT but that point elsewhere themselves."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    return (
+        edges.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+    )
+
+
+def _refine_round(
+    edges: DataFrame, vecs: DataFrame, id_col: str, vec_col: str, deg: int
+) -> DataFrame:
+    """One NN-Descent round: propose neighbor-of-neighbor pairs, score the
+    proposals exactly, merge into the edge set, re-prune to ``deg``.
+
+    Cost shape: ≤ n·deg² proposals through one (src,dst)-dedup shuffle +
+    two id-equi-joins to fetch the endpoint vectors.  The vector fetches
+    shuffle only the PROPOSAL rows, never the corpus."""
+    e1 = edges.select("src", F.col("dst").alias("_mid"))
+    e2 = edges.select(F.col("src").alias("_mid"), "dst")
+    cand = (
+        e1.join(e2, "_mid")
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        # only score pairs not already in the graph
+        .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    sv = vecs.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_sv"))
+    dv = vecs.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv"))
+    scored = (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .select("src", "dst", V.dot("_sv", "_dv").alias("score"))
+    )
+    return _top_deg(_symmetrize(edges.unionByName(scored)), deg)
+
+
+def build_graph_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deg: int = 8,
+    k_centroids: int = 16,
+    assign_n: int = 2,
+    refine_rounds: int = 1,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> "GraphIndex":
+    """Build the graph-ANN table: normalize → bucketed kNN → symmetrize →
+    NN-Descent repair → adjacency rows partitioned by nearest centroid.
+
+    Entry points (one per centroid: the node nearest that centroid) are
+    computed with one window and stored in the index ``_meta``, so a
+    search can start without any preliminary scan."""
+    if deg < 1:
+        raise ValueError(f"deg must be >= 1, got {deg}")
+    if assign_n < 1 or assign_n > k_centroids:
+        raise ValueError(
+            f"assign_n must be in [1, k_centroids={k_centroids}], got {assign_n}"
+        )
+    normalized = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias(id_col),
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
+    )
+    centroids = fit_centroids(normalized, vec_col, k_centroids, seed, sample_fraction)
+    assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
+
+    # multi-assignment: each row lands in its `assign_n` nearest buckets so
+    # near-boundary neighbors can still meet inside at least one bucket
+    cents = F.array(*[V.lit_vector(c) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), c, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(k_centroids - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    buckets_expr = F.transform(F.slice(ranked, 1, assign_n), lambda s: s["i"])
+    bucketed = assigned.select(
+        id_col, vec_col, F.explode(buckets_expr).alias("_bucket")
+    )
+    edges = bucketed.groupBy("_bucket").applyInPandas(
+        _bucket_knn_fn(id_col, vec_col, deg),
+        "src long, dst long, score double",
+    )
+    # the same pair can meet in several buckets (identical score) — dedupe,
+    # then prune to per-node deg and symmetrize for reachability
+    edges = _top_deg(
+        edges.groupBy("src", "dst").agg(F.max("score").alias("score")), deg
+    )
+    edges = _top_deg(_symmetrize(edges), deg)
+    for _ in range(refine_rounds):
+        edges = _refine_round(edges, normalized, id_col, vec_col, deg)
+
+    # neighbor structs carry the neighbor's partition so search hops can
+    # partition-prune before reading
+    nbr_cent = assigned.select(
+        F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
+    )
+    adjacency = (
+        edges.join(nbr_cent, "dst")
+        .groupBy(F.col("src").alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dst").alias("nbr_id"),
+                        F.col("nbr_centroid").alias("nbr_centroid"),
+                    )
+                )
+            ).alias("neighbors")
+        )
+    )
+    rows = assigned.join(adjacency, id_col, "left").select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.coalesce(
+            "neighbors",
+            F.array().cast("array<struct<nbr_id:bigint,nbr_centroid:int>>"),
+        ).alias("neighbors"),
+    )
+    save_table(rows, index_path, partition_by=["centroid_id"])
+
+    # entry points: the node nearest each centroid (min L2 to its own
+    # centroid, ties on id) — k_centroids rows of bounded metadata
+    wc = Window.partitionBy("centroid_id").orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    entry_rows = (
+        assigned.withColumn(
+            "_d", F.element_at(dists, F.col("centroid_id") + 1)
+        )
+        .withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") == 1)
+        .select("centroid_id", id_col)
+        .collect()
+    )
+    entries = {int(r["centroid_id"]): int(r[id_col]) for r in entry_rows}
+    _write_meta(
+        df.sparkSession,
+        index_path,
+        {
+            "kind": "graph",
+            "centroids": centroids,
+            "entries": [[c, n] for c, n in sorted(entries.items())],
+            "deg": deg,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+    return GraphIndex(index_path, centroids, entries, deg, id_col, vec_col)
+
+
+def load_graph_index(spark: SparkSession, index_path: str) -> "GraphIndex":
+    """Reconstruct a GraphIndex handle from a persisted index table (the
+    graph-kind counterpart of ``index.load_index``)."""
+    m = _read_meta(spark, index_path)
+    if m["kind"] != "graph":
+        raise ValueError(f"{index_path} holds a {m['kind']!r} index, not graph")
+    entries = {int(c): int(n) for c, n in m["entries"]}
+    return GraphIndex(
+        index_path, m["centroids"], entries, m["deg"], m["id_col"], m["vec_col"]
+    )
+
+
+class GraphIndex:
+    """Handle to a built graph-ANN table: path + centroids + per-centroid
+    entry nodes."""
+
+    def __init__(self, path, centroids, entries, deg, id_col="vec_id", vec_col="embedding"):
+        self.path = path
+        self.centroids = centroids
+        self.entries = entries  # {centroid_id: entry node id}
+        self.deg = deg
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vector: list[float],
+        k: int = 10,
+        ef: int = 32,
+        nprobe: int = 2,
+        max_hops: int = 8,
+        score_decimals: int | None = 6,
+    ) -> DataFrame:
+        """Best-first beam search from the entry nodes of the ``nprobe``
+        centroids nearest the query.
+
+        Eager by contract (an iterative driver loop, like
+        ``connected_components``): each hop runs a convergence count and a
+        tiny partition-list collect; data-plane state stays distributed and
+        localCheckpoint'd.  Returns the final (id, score) top-k, ordered
+        score desc, ties on id."""
+        ef = max(ef, k)
+        qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+        q = [x / qn for x in query_vector]
+        d = [
+            (sum((x - y) ** 2 for x, y in zip(q, c)), i)
+            for i, c in enumerate(self.centroids)
+        ]
+        probes = [i for _, i in sorted(d)[:nprobe]]
+        entry_ids = sorted({self.entries[p] for p in probes if p in self.entries})
+        if not entry_ids:
+            raise ValueError(f"index at {self.path} has no entry points")
+
+        scan = spark.read.parquet(self.path)
+        idc = F.col(self.id_col)
+        score = V.dot(self.vec_col, V.lit_vector(q))
+        state = (
+            scan.where(F.col("centroid_id").isin(probes) & idc.isin(entry_ids))
+            .select(idc, "neighbors", score.alias("_score"))
+            .withColumn("_expanded", F.lit(False))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.orderBy(F.desc("_score"), idc)
+        for _ in range(max_hops):
+            ranked = state.withColumn("_r", F.row_number().over(w))
+            frontier = ranked.where(~F.col("_expanded") & (F.col("_r") <= ef))
+            if frontier.count() == 0:
+                break
+            nbrs = (
+                frontier.select(F.explode("neighbors").alias("_nb"))
+                .select(
+                    F.col("_nb.nbr_id").alias("_cand"),
+                    F.col("_nb.nbr_centroid").alias("_cent"),
+                )
+                .distinct()
+                .join(
+                    state.select(idc.alias("_cand")), "_cand", "left_anti"
+                )
+                .localCheckpoint(eager=True)  # one hop = one candidate set
+            )
+            # bounded metadata: the hop's partition list (≤ k_centroids ints)
+            parts = [r["_cent"] for r in nbrs.select("_cent").distinct().collect()]
+            expanded = ranked.select(
+                idc,
+                "neighbors",
+                "_score",
+                (F.col("_expanded") | (F.col("_r") <= ef)).alias("_expanded"),
+            )
+            if parts:
+                fresh = (
+                    scan.where(F.col("centroid_id").isin(parts))
+                    .join(F.broadcast(nbrs.select(F.col("_cand").alias(self.id_col))), self.id_col)
+                    .select(idc, "neighbors", score.alias("_score"))
+                    .withColumn("_expanded", F.lit(False))
+                )
+                state = expanded.unionByName(fresh).localCheckpoint(eager=True)
+            else:
+                state = expanded.localCheckpoint(eager=True)
+                break  # nothing new reachable: the beam has converged
+
+        out_score = F.col("_score")
+        if score_decimals is not None:
+            out_score = F.round(out_score, score_decimals)
+        return (
+            state.select(idc, out_score.alias("score"))
+            .orderBy(F.desc("score"), idc)
+            .limit(k)
+        )

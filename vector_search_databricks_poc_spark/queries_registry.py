@@ -1635,6 +1635,32 @@ def ivf_index_search(spark, sf_dir):
 QUERIES["ivf_index_search"] = ivf_index_search
 
 
+def graph_index_search(spark, sf_dir):
+    """A9/B7 graph design point: build the pruned k-NN graph table
+    (operators/graph_ann.py — the batch analog of HNSW layer-0 search over
+    a NN-Descent-repaired graph), then beam-search it from the entry nodes
+    of the 4 centroids nearest the query (rows-only: KMeans bucketing makes
+    the reached id set engine-local; scores of reached ids are exact and
+    pytest-compared against brute force in tests/test_graph_ann.py).
+
+    The build is a sink write (CREATE INDEX analog) and the search is an
+    iterative driver loop (like connected_components) — eager by contract."""
+    from .operators.graph_ann import build_graph_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    idx = _cached_index(
+        "graph", sf_dir,
+        lambda: build_graph_index(
+            e, f"{_scratch_dir('graph_search_')}/graph", deg=8, k_centroids=8
+        ),
+    )
+    return idx.search(spark, qv, k=10, ef=48, nprobe=4)
+
+
+QUERIES["graph_index_search"] = graph_index_search
+
+
 # ---------------------------------------------------------------------------
 # B19-map, B4, B21: map accessors, ingest timestamp, incremental refresh
 # ---------------------------------------------------------------------------
