@@ -94,6 +94,26 @@ def test_wide_beam_from_all_entries_is_near_exhaustive(spark, gidx, emb):
     assert got == exact
 
 
+def test_batch_search_matches_per_query_search(spark, gidx, emb):
+    """batch_search IS the engine (search delegates to it with one query);
+    a multi-query batch must reproduce each query's solo result exactly —
+    beams share hop jobs but never state."""
+    vids = [0, 7, 101]
+    qdf = spark.createDataFrame(
+        [(v, [float(x) for x in _qv(emb, v)]) for v in vids],
+        "query_id long, query_vec array<double>",
+    )
+    batch = gidx.batch_search(spark, qdf, k=10, ef=48, nprobe=4).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+    assert set(by_q) == set(vids)
+    for v in vids:
+        solo = gidx.search(spark, _qv(emb, v), k=10, ef=48, nprobe=4).collect()
+        got = [(i, s) for _, i, s in sorted(by_q[v])]
+        assert got == [(r["vec_id"], r["score"]) for r in solo], f"query {v}"
+
+
 def test_reloaded_handle_gives_identical_results(spark, gidx, emb):
     reloaded = load_graph_index(spark, gidx.path)
     assert isinstance(reloaded, GraphIndex)

@@ -55,15 +55,22 @@ def test_recall_report_monotone_and_exact_at_full_probe(spark, emb, tmp_path):
     by_method = {}
     for r in rep:
         by_method.setdefault(r.method, []).append((r.nprobe, r.recall))
+    assert set(by_method) == {"ivf", "ivf_pq", "ivf_pq_rerank", "graph"}
     for method, rows in by_method.items():
         rows.sort()
         recalls = [rc for _, rc in rows]
-        assert recalls == sorted(recalls), (method, rows)
+        # graph/ADC legs can reorder at the margin (beam truncation /
+        # quantization noise); exact-scoring IVF is strictly monotone
+        slack = 0.0 if method == "ivf" else 0.05
+        assert all(b >= a - slack for a, b in zip(recalls, recalls[1:])), (
+            method, rows,
+        )
         assert all(0 <= rc <= 1 for rc in recalls)
     assert dict(by_method["ivf"])[4] == 1.0
     assert dict(by_method["ivf_pq"])[4] >= 0.2
     assert dict(by_method["ivf_pq_rerank"])[4] >= 0.7  # fetch_mult=8 curve
     assert dict(by_method["ivf_pq_rerank"])[4] >= dict(by_method["ivf_pq"])[4]
+    assert dict(by_method["graph"])[4] >= 0.9  # exact scores, wide beam
 
 
 def test_hard_negative_mining_excludes_positives(spark, emb, tmp_path):

@@ -578,7 +578,7 @@ def test_ann_recall_report_invariants(spark):
     rows = R.QUERIES["ann_recall_report"](spark, SF_DIR).collect()
     by = {(r["method"], r["nprobe"]): r["recall"] for r in rows}
     methods = {m for m, _ in by}
-    assert methods == {"ivf", "ivf_pq", "ivf_pq_rerank"}, methods
+    assert methods == {"ivf", "ivf_pq", "ivf_pq_rerank", "graph"}, methods
     assert by[("ivf", 8)] == 1.0, by  # full probe == exact
     # plain IVF scores exactly, so more probed partitions can only help;
     # ADC-ranked methods are NOT strictly monotone (an extra partition's
@@ -592,6 +592,15 @@ def test_ann_recall_report_invariants(spark):
         assert seq[-1] >= seq[0] - 1e-9, (method, seq)
     for np_ in (1, 2, 4, 8):
         assert by[("ivf_pq_rerank", np_)] >= by[("ivf_pq", np_)] - 1e-9, by
+    # graph beams widen with the grid knob (ef = 2·k·nprobe): same small
+    # noise bound as the ADC methods (beam truncation reorders at the
+    # margin), plus the exact-scored graph must beat raw quantized ADC
+    # and land near-exhaustive by the widest beam
+    gseq = [by[("graph", np_)] for np_ in (1, 2, 4, 8)]
+    assert all(b >= a - 0.05 for a, b in zip(gseq, gseq[1:])), gseq
+    assert gseq[-1] >= 0.9, gseq
+    for np_ in (1, 2, 4, 8):
+        assert by[("graph", np_)] >= by[("ivf_pq", np_)] - 1e-9, by
 
 
 def test_incremental_near_dup_equals_one_shot_on_fixture(spark):

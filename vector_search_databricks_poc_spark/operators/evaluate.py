@@ -62,8 +62,10 @@ def recall_report(
     fetch_mult: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_graph: bool = True,
+    graph_ef_mult: int = 2,
 ) -> DataFrame:
-    """Recall@k of the IVF and IVF-PQ indexes across an nprobe grid.
+    """Recall@k of the IVF, IVF-PQ, and graph-ANN indexes across a grid.
 
     Ground truth is the exact brute-force top-k for ``n_queries`` probe
     vectors drawn deterministically from the corpus (lowest ids).  Each
@@ -141,6 +143,28 @@ def recall_report(
             leg("ivf_pq", nprobe, pq.batch_search(spark, queries, k=k, nprobe=nprobe))
         )
         legs.append(leg("ivf_pq_rerank", nprobe, pq_rerank(nprobe)))
+    if include_graph:
+        # graph's recall knob is the beam width, so the grid scales ef WITH
+        # the probed-entry count (ef = graph_ef_mult·k·nprobe): both seed
+        # breadth and beam width widen together, making recall move the way
+        # an nprobe sweep does for IVF
+        from .graph_ann import build_graph_index
+
+        g = build_graph_index(
+            emb, f"{workdir}/graph", deg=8, k_centroids=k_centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
+        for nprobe in nprobes:
+            legs.append(
+                leg(
+                    "graph",
+                    nprobe,
+                    g.batch_search(
+                        spark, queries, k=k, ef=graph_ef_mult * k * nprobe,
+                        nprobe=nprobe,
+                    ),
+                )
+            )
     out = legs[0]
     for l in legs[1:]:
         out = out.unionByName(l)

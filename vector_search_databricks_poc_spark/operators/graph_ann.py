@@ -20,7 +20,10 @@ Li, WWW 2011) — expressed entirely as DataFrame ops:
   node's nearest centroid.  Each neighbor struct carries the neighbor's
   PARTITION, so a search hop knows which partitions it must read before
   reading anything.
-- **search**: distributed best-first beam search.  Per-query state
+- **search**: distributed best-first beam search, single-query and
+  batched (``batch_search`` advances EVERY query's beam through the same
+  hop jobs, so driver-loop depth amortizes across the batch).  Per-query
+  state
   (scored nodes, ≤ ``ef``·hops rows) lives in a localCheckpoint'd
   DataFrame; each hop expands the top-``ef`` unexpanded nodes through
   their neighbor arrays, then scores exactly the NEW ids via a
@@ -38,8 +41,6 @@ table is never shuffled, exactly like the IVF probe path.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -303,77 +304,173 @@ class GraphIndex:
         score_decimals: int | None = 6,
     ) -> DataFrame:
         """Best-first beam search from the entry nodes of the ``nprobe``
-        centroids nearest the query.
+        centroids nearest the query — the one-query wrapper over
+        ``batch_search`` (one beam engine, two call shapes, like the IVF
+        family's search/batch_search split).
 
         Eager by contract (an iterative driver loop, like
         ``connected_components``): each hop runs a convergence count and a
         tiny partition-list collect; data-plane state stays distributed and
         localCheckpoint'd.  Returns the final (id, score) top-k, ordered
         score desc, ties on id."""
-        ef = max(ef, k)
-        qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
-        q = [x / qn for x in query_vector]
-        d = [
-            (sum((x - y) ** 2 for x, y in zip(q, c)), i)
-            for i, c in enumerate(self.centroids)
-        ]
-        probes = [i for _, i in sorted(d)[:nprobe]]
-        entry_ids = sorted({self.entries[p] for p in probes if p in self.entries})
-        if not entry_ids:
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, query_vec array<double>",
+        )
+        hits = self.batch_search(
+            spark, q, k=k, ef=ef, nprobe=nprobe, max_hops=max_hops,
+            score_decimals=score_decimals,
+        )
+        idc = F.col(self.id_col)
+        return hits.select(idc, "score").orderBy(F.desc("score"), idc)
+
+    def batch_search(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        ef: int = 32,
+        nprobe: int = 2,
+        max_hops: int = 8,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        score_decimals: int | None = 6,
+    ) -> DataFrame:
+        """Many queries, ONE set of hop jobs: every query's beam advances
+        through the same window/explode/fetch stages, so hop count — the
+        serial driver-loop depth — amortizes across the whole query batch
+        instead of multiplying by it.
+
+        Per hop: rank the per-query state (window by query id), expand each
+        query's top-``ef`` unexpanded nodes through their neighbor structs,
+        anti-join out (query, id) pairs already scored, then fetch exactly
+        the NEW ids via one partition-pruned scan of the graph table
+        (partition list = the hop's distinct ``nbr_centroid`` values,
+        bounded driver metadata) and score them against the broadcast query
+        side.  State is O(queries × ef × hops) rows and localCheckpoint'd
+        per hop to keep lineage flat.
+
+        Returns (query_id, id, score, rank) with rank ≤ k per query,
+        ordered within a query by score desc, ties on id."""
+        if not self.entries:
             raise ValueError(f"index at {self.path} has no entry points")
+        ef = max(ef, k)
+        k_c = len(self.centroids)
+        nprobe = min(nprobe, k_c)
+        idc = F.col(self.id_col)
+
+        # tiny query side: normalized once, reused (broadcast) every hop
+        qn = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            V.l2_normalize(F.col(query_vec_col).cast("array<double>")).alias("_qv"),
+        ).localCheckpoint(eager=True)
+
+        # per-query probe centroids + entry seeds, all in-plan expressions
+        # over the literal centroid table (same shape as the build's
+        # multi-assignment ranking)
+        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_qv"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        ranked_cents = F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(k_c - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        probe_arr = F.transform(F.slice(ranked_cents, 1, nprobe), lambda s: s["i"])
+        ecs = sorted(self.entries)
+        entry_map = F.map_from_arrays(
+            F.array(*[F.lit(int(c)).cast("int") for c in ecs]),
+            F.array(*[F.lit(int(self.entries[c])).cast("long") for c in ecs]),
+        )
+        seeds = (
+            qn.select("_qid", F.explode(probe_arr).alias("_cent"))
+            .select(
+                "_qid",
+                F.element_at(entry_map, F.col("_cent").cast("int")).alias("_cand"),
+                "_cent",
+            )
+            .where(F.col("_cand").isNotNull())
+            .distinct()
+        )
 
         scan = spark.read.parquet(self.path)
-        idc = F.col(self.id_col)
-        score = V.dot(self.vec_col, V.lit_vector(q))
-        state = (
-            scan.where(F.col("centroid_id").isin(probes) & idc.isin(entry_ids))
-            .select(idc, "neighbors", score.alias("_score"))
-            .withColumn("_expanded", F.lit(False))
-            .localCheckpoint(eager=True)
-        )
-        w = Window.orderBy(F.desc("_score"), idc)
+
+        def fetch(pairs: DataFrame) -> DataFrame | None:
+            """Score the (query, candidate) pairs: one partition-pruned
+            scan for the candidate rows, pair/query sides broadcast (both
+            are bounded by queries × ef × deg)."""
+            # bounded metadata: the hop's partition list (≤ k_centroids ints)
+            parts = [r["_cent"] for r in pairs.select("_cent").distinct().collect()]
+            if not parts:
+                return None
+            cand_ids = pairs.select(F.col("_cand").alias(self.id_col)).distinct()
+            rows = (
+                scan.where(F.col("centroid_id").isin(parts))
+                .join(F.broadcast(cand_ids), self.id_col)
+                .select(idc, "neighbors", F.col(self.vec_col).alias("_v"))
+            )
+            return (
+                pairs.select("_qid", F.col("_cand").alias(self.id_col))
+                .join(rows, self.id_col)
+                .join(F.broadcast(qn), "_qid")
+                .select(
+                    "_qid", idc, "neighbors", V.dot("_v", "_qv").alias("_score")
+                )
+                .withColumn("_expanded", F.lit(False))
+            )
+
+        first = fetch(seeds)
+        if first is None:
+            raise ValueError(f"index at {self.path} resolved no entry seeds")
+        state = first.localCheckpoint(eager=True)
+        w = Window.partitionBy("_qid").orderBy(F.desc("_score"), idc)
         for _ in range(max_hops):
             ranked = state.withColumn("_r", F.row_number().over(w))
             frontier = ranked.where(~F.col("_expanded") & (F.col("_r") <= ef))
-            if frontier.count() == 0:
-                break
             nbrs = (
-                frontier.select(F.explode("neighbors").alias("_nb"))
+                frontier.select("_qid", F.explode("neighbors").alias("_nb"))
                 .select(
+                    "_qid",
                     F.col("_nb.nbr_id").alias("_cand"),
                     F.col("_nb.nbr_centroid").alias("_cent"),
                 )
                 .distinct()
                 .join(
-                    state.select(idc.alias("_cand")), "_cand", "left_anti"
+                    state.select("_qid", idc.alias("_cand")),
+                    ["_qid", "_cand"],
+                    "left_anti",
                 )
                 .localCheckpoint(eager=True)  # one hop = one candidate set
             )
-            # bounded metadata: the hop's partition list (≤ k_centroids ints)
-            parts = [r["_cent"] for r in nbrs.select("_cent").distinct().collect()]
             expanded = ranked.select(
+                "_qid",
                 idc,
                 "neighbors",
                 "_score",
                 (F.col("_expanded") | (F.col("_r") <= ef)).alias("_expanded"),
             )
-            if parts:
-                fresh = (
-                    scan.where(F.col("centroid_id").isin(parts))
-                    .join(F.broadcast(nbrs.select(F.col("_cand").alias(self.id_col))), self.id_col)
-                    .select(idc, "neighbors", score.alias("_score"))
-                    .withColumn("_expanded", F.lit(False))
-                )
-                state = expanded.unionByName(fresh).localCheckpoint(eager=True)
-            else:
+            fresh = fetch(nbrs)
+            if fresh is None:
                 state = expanded.localCheckpoint(eager=True)
-                break  # nothing new reachable: the beam has converged
+                break  # no beam reaches anything new: all queries converged
+            state = expanded.unionByName(fresh).localCheckpoint(eager=True)
 
         out_score = F.col("_score")
         if score_decimals is not None:
             out_score = F.round(out_score, score_decimals)
+        scored = state.select(
+            F.col("_qid").alias(query_id_col), idc, out_score.alias("score")
+        )
+        wk = Window.partitionBy(query_id_col).orderBy(F.desc("score"), idc)
         return (
-            state.select(idc, out_score.alias("score"))
-            .orderBy(F.desc("score"), idc)
-            .limit(k)
+            scored.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
         )

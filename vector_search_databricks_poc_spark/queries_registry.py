@@ -1661,6 +1661,28 @@ def graph_index_search(spark, sf_dir):
 QUERIES["graph_index_search"] = graph_index_search
 
 
+@register("filtered_vector_search")
+def filtered_vector_search(spark, sf_dir):
+    """B7/B14 extension — the reference client's similarity_search
+    ``filters=`` knob (public client surface the reference calls
+    unfiltered, query_endpoint.py:136-150): a metadata predicate dict
+    compiled to ONE Catalyst expression and applied BEFORE ranking
+    (operators/filters.py::filtered_top_k), so it pushes down to the
+    parquet scan.  One lazy plan.  Rows-only by slot budget; full DuckDB
+    value compare + index pre/post-filter equivalence in
+    tests/test_filters.py."""
+    from .operators.filters import filtered_top_k
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = _query_vector_df(spark, sf_dir, 0)
+    return filtered_top_k(
+        e.crossJoin(F.broadcast(qdf)),
+        F.col("_qv"),
+        {"label": [0, 1, 2], "vec_id >=": 10},
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # B19-map, B4, B21: map accessors, ingest timestamp, incremental refresh
 # ---------------------------------------------------------------------------
@@ -3290,11 +3312,12 @@ def hard_negative_mining_q(spark, sf_dir):
 
 @register("ann_recall_report")
 def ann_recall_report_q(spark, sf_dir):
-    """A9/B8 index-quality audit: recall@10 of IVF and IVF-PQ vs exact
-    brute force across an nprobe grid (operators/evaluate.py) — the audit
-    the reference's managed Vector Search service hides.  Rows-only
-    (eager index builds); monotonicity and full-probe exactness asserted
-    in tests/test_index_quantization.py."""
+    """A9/B8 index-quality audit: recall@10 of IVF, IVF-PQ, and graph-ANN
+    vs exact brute force across an nprobe grid (operators/evaluate.py;
+    the graph legs scale beam width with nprobe) — the audit the
+    reference's managed Vector Search service hides.  Rows-only (eager
+    index builds); monotonicity and full-probe exactness asserted in
+    tests/test_index_quantization.py + test_rows_only_compares.py."""
     from .operators.evaluate import recall_report
 
     # memoized like _cached_index: repeated bench/driver invocations must
