@@ -21,6 +21,16 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     }, cols
 
 
+def test_filtered_search_pushdown_and_take_ordered(spark, sf_dir):
+    """The similarity_search `filters=` path: the compiled predicate must
+    reach the parquet reader (pushed filters — at 100 TB the filter prunes
+    row groups before any scoring work), and the ranking must stay
+    TakeOrderedAndProject (no global sort appears because a filter did)."""
+    df = QUERIES["filtered_vector_search"](spark, sf_dir)
+    assert A.has_pushed_filters(df), A.plan_string(df)
+    assert A.uses_take_ordered(df), A.plan_string(df)
+
+
 def test_flagship_topk_no_global_sort(spark, sf_dir):
     df = QUERIES["topk_cosine_search"](spark, sf_dir)
     assert A.uses_take_ordered(df), A.plan_string(df)
