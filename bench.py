@@ -69,9 +69,11 @@ HEADLINE = [
     "crawl_corpus",             # r6: crawl front half end-to-end — WET decode
     #   -> gate -> clean -> dedup -> near-dup -> split (first call exports
     #   the WET shards once; timed reps measure the pipeline)
-    "graph_index_search",       # r6 A9/B7: graph-ANN beam probe (first call
-    #   builds+caches the k-NN graph; timed reps measure the beam search,
-    #   same treatment as ivf_index_search / indexed_chunk_search)
+    "graph_batch_search",       # r6 A9/B8: graph-ANN beam search, 16-query
+    #   batch (first call builds+caches the k-NN graph; timed reps measure
+    #   the amortized beam — the driver-loop hop depth is the serial cost,
+    #   so per-query time is the batch divided by 16, the shape that
+    #   matters at scale)
     "manifest_pruned_scan",     # r6 layout: manifest-pruned file-skipping box
     #   query (first call z-orders orders + persists the stats manifest;
     #   timed reps measure prune + surviving-file scan)

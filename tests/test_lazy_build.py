@@ -28,6 +28,8 @@ EAGER_BY_CONTRACT = {
     "graph_index_search",  # graph build (CREATE INDEX analog) + beam-search
     #   driver loop (like near_dup_pairs_components: per-hop convergence
     #   count IS the algorithm)
+    "graph_batch_search",  # same beam driver loop, batch shape
+    "graph_incremental_insert",  # graph build + search-based insert rewrite
     "ivf_batch_search",
     "ivf_pq_batch_search",
     "incremental_index_refresh",

@@ -49,6 +49,10 @@ from .. import vectors as V
 from ..catalog import save_table
 from .index import _read_meta, _write_meta, assign_centroid, fit_centroids
 
+# neighbor-array schema: each struct carries the neighbor's PARTITION so a
+# search hop can partition-prune before reading
+_NBR_T = "array<struct<nbr_id:bigint,nbr_centroid:int>>"
+
 
 def _bucket_knn_fn(id_col: str, vec_col: str, deg: int, block: int = 1024):
     """applyInPandas group fn: exact top-``deg`` neighbors inside one
@@ -86,6 +90,41 @@ def _bucket_knn_fn(id_col: str, vec_col: str, deg: int, block: int = 1024):
         ).astype({"src": "int64", "dst": "int64", "score": "float64"})
 
     return knn
+
+
+def _centroid_dists(vec_col: str, centroids: list[list[float]]):
+    """In-plan array of squared L2 distances from ``vec_col`` to every
+    literal centroid (index i = centroid i)."""
+    cents = F.array(*[V.lit_vector(c) for c in centroids])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), c, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ),
+    )
+
+
+def _multi_bucket(
+    df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str,
+    assign_n: int,
+) -> DataFrame:
+    """Explode each row into its ``assign_n`` nearest centroid buckets —
+    near-boundary neighbors can then still meet inside at least one
+    bucket.  Pure expressions over the literal centroid table."""
+    k_c = len(centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            _centroid_dists(vec_col, centroids),
+            F.sequence(F.lit(0), F.lit(k_c - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    buckets_expr = F.transform(F.slice(ranked, 1, assign_n), lambda s: s["i"])
+    return df.select(id_col, vec_col, F.explode(buckets_expr).alias("_bucket"))
 
 
 def _top_deg(edges: DataFrame, deg: int) -> DataFrame:
@@ -174,28 +213,7 @@ def build_graph_index(
 
     # multi-assignment: each row lands in its `assign_n` nearest buckets so
     # near-boundary neighbors can still meet inside at least one bucket
-    cents = F.array(*[V.lit_vector(c) for c in centroids])
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"), c, lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        ),
-    )
-    ranked = F.array_sort(
-        F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(k_centroids - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
-    buckets_expr = F.transform(F.slice(ranked, 1, assign_n), lambda s: s["i"])
-    bucketed = assigned.select(
-        id_col, vec_col, F.explode(buckets_expr).alias("_bucket")
-    )
+    bucketed = _multi_bucket(assigned, centroids, id_col, vec_col, assign_n)
     edges = bucketed.groupBy("_bucket").applyInPandas(
         _bucket_knn_fn(id_col, vec_col, deg),
         "src long, dst long, score double",
@@ -232,10 +250,7 @@ def build_graph_index(
         id_col,
         vec_col,
         "centroid_id",
-        F.coalesce(
-            "neighbors",
-            F.array().cast("array<struct<nbr_id:bigint,nbr_centroid:int>>"),
-        ).alias("neighbors"),
+        F.coalesce("neighbors", F.array().cast(_NBR_T)).alias("neighbors"),
     )
     save_table(rows, index_path, partition_by=["centroid_id"])
 
@@ -246,7 +261,8 @@ def build_graph_index(
     )
     entry_rows = (
         assigned.withColumn(
-            "_d", F.element_at(dists, F.col("centroid_id") + 1)
+            "_d",
+            F.element_at(_centroid_dists(vec_col, centroids), F.col("centroid_id") + 1),
         )
         .withColumn("_r", F.row_number().over(wc))
         .where(F.col("_r") == 1)
@@ -368,18 +384,9 @@ class GraphIndex:
         # per-query probe centroids + entry seeds, all in-plan expressions
         # over the literal centroid table (same shape as the build's
         # multi-assignment ranking)
-        cents = F.array(*[V.lit_vector(c) for c in self.centroids])
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_qv"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            ),
-        )
         ranked_cents = F.array_sort(
             F.zip_with(
-                dists,
+                _centroid_dists("_qv", self.centroids),
                 F.sequence(F.lit(0), F.lit(k_c - 1)),
                 lambda d, i: F.struct(d.alias("d"), i.alias("i")),
             )
@@ -474,3 +481,210 @@ class GraphIndex:
             scored.withColumn("rank", F.row_number().over(wk))
             .where(F.col("rank") <= k)
         )
+
+
+def insert_into_graph(
+    spark: SparkSession,
+    index: GraphIndex,
+    source: DataFrame,
+    ef: int = 32,
+    nprobe: int = 2,
+    assign_n: int = 2,
+) -> int:
+    """Append new vectors into an existing graph index — HNSW-style
+    search-based insertion (Malkov & Yashunin 2016 §4: insert = search
+    for neighbors, connect, re-prune), batched over Spark:
+
+    1. watermark: only rows with id beyond the stored max enter (same
+       append contract as the IVF family's ``incremental_refresh``,
+       operators/incremental.py:90; null / wrong-dimension vectors are
+       skipped, matching the build-time guard);
+    2. new→existing candidate edges come from the graph's OWN beam search
+       (one ``batch_search`` job set over the whole batch, exact scores);
+    3. new↔new edges from exact kNN inside the batch's centroid buckets
+       (the build's construction, restricted to the batch);
+    4. symmetrize: existing endpoints gain the reverse edges; their
+       neighbor lists are re-scored exactly and re-pruned to ``deg`` —
+       the affected set is bounded by batch·deg nodes, never the corpus;
+    5. only touched centroid partitions rewrite (dynamic partition
+       overwrite, same crash surface as ``incremental_upsert``); entry
+       points are recomputed for partitions that received new nodes and
+       the ``_meta`` file is rewritten.
+
+    Centroids are NOT refit (IVF-append contract) — rebuild or rebalance
+    when drift demands it.  Returns the number of nodes inserted;
+    ``index.entries`` is updated in place.
+    """
+    from .incremental import high_watermark
+
+    id_col, vec_col, deg = index.id_col, index.vec_col, index.deg
+    scan = spark.read.parquet(index.path)
+    wm = high_watermark(spark, index.path, id_col)  # bounded metadata
+    dim = len(index.centroids[0])
+    fresh = source.where(V.vec_dim_ok(vec_col, dim))
+    if wm is not None:
+        fresh = fresh.where(F.col(id_col) > wm)
+    fresh = fresh.select(
+        F.col(id_col).cast("long").alias(id_col),
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
+    )
+    assigned = assign_centroid(
+        fresh, index.centroids, vec_col=vec_col
+    ).localCheckpoint()
+    n = assigned.count()
+    if not n:
+        return 0
+
+    # 2. new -> existing: search-based neighbor discovery, exact scores
+    q = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    hits = index.batch_search(
+        spark, q, k=deg, ef=max(ef, 2 * deg), nprobe=nprobe, score_decimals=None
+    )
+    e_new_old = hits.select(
+        F.col("query_id").alias("src"), F.col(id_col).alias("dst"), "score"
+    )
+
+    # 3. new <-> new inside the batch's buckets (a batch of mutual
+    # near-duplicates must interconnect even before any existing node
+    # points at it)
+    bucketed = _multi_bucket(
+        assigned, index.centroids, id_col, vec_col,
+        min(assign_n, len(index.centroids)),
+    )
+    e_new_new = (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(
+            _bucket_knn_fn(id_col, vec_col, deg),
+            "src long, dst long, score double",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+    )
+    new_out = _top_deg(
+        _symmetrize(e_new_new)
+        .unionByName(e_new_old)
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score")),
+        deg,
+    )
+
+    # 4. existing endpoints gain reverse edges; re-score their current
+    # lists exactly (neighbor structs carry no score) and re-prune
+    rev = e_new_old.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    aff_ids = rev.select(F.col("src").alias(id_col)).distinct()
+    cur = scan.join(F.broadcast(aff_ids), id_col, "left_semi").localCheckpoint()
+    cur_edges = cur.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("_sv"),
+        F.explode("neighbors").alias("_nb"),
+    ).select("src", "_sv", F.col("_nb.nbr_id").alias("dst"))
+    dstv = scan.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv"))
+    cur_scored = cur_edges.join(dstv, "dst").select(
+        "src", "dst", V.dot("_sv", "_dv").alias("score")
+    )
+    upd_out = _top_deg(cur_scored.unionByName(rev), deg)
+
+    # partition lookup spans old + new nodes (a neighbor struct must name
+    # the neighbor's REAL partition or hop pruning reads the wrong files)
+    cent_all = scan.select(
+        F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
+    ).unionByName(
+        assigned.select(
+            F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
+        )
+    )
+
+    def to_adj(edges: DataFrame) -> DataFrame:
+        return (
+            edges.join(cent_all, "dst")
+            .groupBy(F.col("src").alias(id_col))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dst").alias("nbr_id"),
+                            F.col("nbr_centroid").alias("nbr_centroid"),
+                        )
+                    )
+                ).alias("neighbors")
+            )
+        )
+
+    empty_nbrs = F.array().cast(_NBR_T)
+    new_rows = assigned.join(to_adj(new_out), id_col, "left").select(
+        id_col, vec_col, "centroid_id",
+        F.coalesce("neighbors", empty_nbrs).alias("neighbors"),
+    )
+    upd_rows = (
+        cur.select(id_col, vec_col, "centroid_id")
+        .join(to_adj(upd_out), id_col, "left")
+        .select(
+            id_col, vec_col, "centroid_id",
+            F.coalesce("neighbors", empty_nbrs).alias("neighbors"),
+        )
+    )
+
+    # 5. rewrite only the touched partitions
+    touched = (
+        assigned.select("centroid_id")
+        .unionByName(cur.select("centroid_id"))
+        .distinct()
+    )
+    survivors = (
+        scan.join(F.broadcast(touched), "centroid_id", "left_semi")
+        .join(aff_ids, id_col, "left_anti")
+        .select(id_col, vec_col, "centroid_id", "neighbors")
+    )
+    # eager checkpoint breaks lineage to index.path — required: the write
+    # overwrites partitions of the very table the plan reads
+    out = survivors.unionByName(upd_rows).unionByName(new_rows).localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(index.path)
+    )
+
+    # entry points: a partition that received new nodes may have a new
+    # nearest-to-centroid node; recompute over just those partitions
+    new_parts = sorted(
+        r[0] for r in assigned.select("centroid_id").distinct().collect()
+    )
+    post = spark.read.parquet(index.path).where(
+        F.col("centroid_id").isin(new_parts)
+    )
+    wc = Window.partitionBy("centroid_id").orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    entry_rows = (
+        post.withColumn(
+            "_d",
+            F.element_at(
+                _centroid_dists(vec_col, index.centroids), F.col("centroid_id") + 1
+            ),
+        )
+        .withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") == 1)
+        .select("centroid_id", id_col)
+        .collect()
+    )
+    for r in entry_rows:
+        index.entries[int(r["centroid_id"])] = int(r[id_col])
+    _write_meta(
+        spark,
+        index.path,
+        {
+            "kind": "graph",
+            "centroids": index.centroids,
+            "entries": [[c, index.entries[c]] for c in sorted(index.entries)],
+            "deg": deg,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+    return n

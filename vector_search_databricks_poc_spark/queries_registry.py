@@ -1661,6 +1661,58 @@ def graph_index_search(spark, sf_dir):
 QUERIES["graph_index_search"] = graph_index_search
 
 
+@register("graph_batch_search")
+def graph_batch_search(spark, sf_dir):
+    """A9/B8 graph design point, batch shape: 16 query beams advance
+    through the SAME hop jobs (operators/graph_ann.py::batch_search), so
+    the driver-loop depth — the iterative cost of beam search — amortizes
+    across the batch instead of multiplying by it.  This is the 100 TB
+    serving shape; the single-query twin is `graph_index_search`.
+    Rows-only (engine-local bucketing); batch≡single equivalence asserted
+    in tests/test_graph_ann.py::test_batch_search_matches_per_query_search."""
+    from .operators.graph_ann import build_graph_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _cached_index(
+        "graph", sf_dir,
+        lambda: build_graph_index(
+            e, f"{_scratch_dir('graph_search_')}/graph", deg=8, k_centroids=8
+        ),
+    )
+    q = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return idx.batch_search(spark, q, k=10, ef=48, nprobe=4)
+
+
+@register("graph_incremental_insert")
+def graph_incremental_insert(spark, sf_dir):
+    """A6/B21 for the graph index: build on the sub-watermark half, then
+    HNSW-style search-based batch insert of the rest
+    (operators/graph_ann.py::insert_into_graph — new→existing edges from
+    the graph's own beam search, symmetrized re-prune of affected
+    existing nodes, touched-partitions-only rewrite).  Rows-only summary;
+    full invariants + search-quality-after-insert in
+    tests/test_graph_incremental.py."""
+    from .operators.graph_ann import build_graph_index, insert_into_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = _split_id(sf_dir, "embeddings")
+    tmp = _scratch_dir("graph_ins_")
+    idx = build_graph_index(
+        e.where(F.col("vec_id") < cut), f"{tmp}/graph", deg=8, k_centroids=8
+    )
+    n_ins = insert_into_graph(spark, idx, e.where(F.col("vec_id") >= cut))
+    rows = spark.read.parquet(idx.path)
+    return rows.agg(
+        F.count("*").alias("n_nodes"),
+        F.lit(n_ins).alias("n_inserted"),
+        F.max(F.size("neighbors")).alias("max_degree"),
+        F.sum(F.when(F.size("neighbors") == 0, 1).otherwise(0)).alias("n_isolated"),
+    )
+
+
 @register("filtered_vector_search")
 def filtered_vector_search(spark, sf_dir):
     """B7/B14 extension — the reference client's similarity_search
