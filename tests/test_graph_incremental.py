@@ -163,3 +163,96 @@ def test_insert_skips_null_and_missized_vectors(spark, emb, tmp_path):
     rows = spark.read.parquet(idx.path)
     assert rows.where(F.col("vec_id").isin(1000, 1001)).count() == 0
     assert rows.where(F.col("vec_id") == 1002).count() == 1
+
+
+def test_stream_graph_sync_matches_batch_insert(spark, sf_dir, tmp_path):
+    """Stream-landing documents into a graph index reaches EXACTLY the
+    state of the batch build+insert path (one micro-batch — insertion
+    order is part of the graph's state, so the equivalence is per-batch),
+    and a streamed document is findable afterwards."""
+    from vector_search_databricks_poc_spark.functions.embedding import embed_text
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_graph_sync,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    emb = lambda d: embed_text(d, dim=32).select(  # noqa: E731
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+
+    # twin A: batch insert
+    idx_a = build_graph_index(
+        emb(first), str(tmp_path / "ga"), deg=8, k_centroids=4, refine_rounds=0
+    )
+    insert_into_graph(spark, idx_a, emb(rest))
+
+    # twin B: identical initial graph, second half stream-landed
+    idx_b = build_graph_index(
+        emb(first), str(tmp_path / "gb"), deg=8, k_centroids=4, refine_rounds=0
+    )
+    stage = str(tmp_path / "incoming")
+    rest.coalesce(1).write.parquet(stage)  # one file -> one micro-batch
+    stream = spark.readStream.schema(rest.schema).parquet(stage)
+    q = stream_graph_sync(
+        stream, idx_b, id_col="doc_id", dim=32,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    rows = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], tuple(r["neighbors"]))
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(idx_a.path) == rows(idx_b.path)
+    assert idx_a.entries == idx_b.entries
+
+    # a streamed doc is findable by its own embedding through twin B
+    target = rest.where(F.col("doc_id") == 400).select("text")
+    qvec = list(embed_text(target, dim=32).first()["embedding"])
+    hits = idx_b.search(spark, qvec, k=3, ef=16, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == 400
+
+
+def test_graph_sync_batch_is_replay_safe(spark, emb, tmp_path):
+    """The marker dedupe: re-running a committed batch_id is a no-op; and
+    even WITHOUT the marker, the insert watermark refuses re-entry."""
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        _graph_sync_batch,
+    )
+
+    idx = build_graph_index(
+        emb.limit(100), str(tmp_path / "gr"), deg=4, k_centroids=2,
+        refine_rounds=0,
+    )
+    batch = emb.where(F.col("vec_id").between(100, 109))
+    _graph_sync_batch(batch, 7, idx)
+    after_first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(idx.path).select("vec_id", "neighbors").collect()
+    )
+    _graph_sync_batch(batch, 7, idx)  # marker hit: no-op
+    _graph_sync_batch(batch, 8, idx)  # new batch id, same ids: watermark no-op
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(idx.path).select("vec_id", "neighbors").collect()
+    )
+    assert after == after_first
+    assert len(after) == 110
+
+
+def test_stream_graph_sync_rejects_dim_mismatch(spark, emb, tmp_path):
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_graph_sync,
+    )
+
+    idx = build_graph_index(
+        emb.limit(50), str(tmp_path / "gd"), deg=4, k_centroids=2,
+        refine_rounds=0,
+    )
+    stage = tmp_path / "in"
+    stage.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(stage))
+    with pytest.raises(ValueError, match="dim"):
+        stream_graph_sync(stream, idx, dim=7)

@@ -94,6 +94,81 @@ def _sync_batch(batch_df: DataFrame, batch_id: int, index: IvfIndex) -> None:
     ).parquet(marker_path)
 
 
+def stream_graph_sync(
+    doc_stream: DataFrame,
+    index,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+):
+    """Keep a graph-ANN index (`operators/graph_ann.py::GraphIndex`) fresh
+    from a document stream: each micro-batch is embedded with the engine's
+    deterministic hashing encoder, then inserted with the HNSW-style
+    search-based batch insert inside ``foreachBatch`` — a batch's edges
+    come from beam searches against the CURRENT graph, so later batches
+    connect through earlier ones exactly like sequential HNSW insertion.
+
+    Replay safety is strictly stronger than the IVF append path: besides
+    the ``_stream_batches`` marker, ``insert_into_graph``'s own high
+    watermark makes a fully-replayed batch a no-op even without the marker
+    (ids at or below the stored max never re-enter).  The honest residual
+    window is a crash INSIDE the insert's multi-partition rewrite: the
+    dynamic partition overwrite is not atomic across partitions, so a
+    mid-write crash can leave the new nodes present but some affected
+    neighbors' re-prunes and the entry-point ``_meta`` refresh unapplied —
+    searches stay correct-but-weaker (recall, not wrongness) until the
+    next insert or a rebuild; the staged-dir swap used by
+    ``rebalance_ivf_index`` would close even that.
+
+    Returns the StreamingQuery.
+    """
+    cdim = len(index.centroids[0])
+    if dim != cdim:
+        raise ValueError(
+            f"dim={dim} does not match the index's centroid dim {cdim}"
+        )
+    embedded = doc_stream.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias(index.id_col),
+        hashing_embedding(text_col, dim=dim).cast("array<float>").alias(index.vec_col),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _graph_sync_batch(batch_df, batch_id, index)
+
+    writer = embedded.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _graph_sync_batch(batch_df: DataFrame, batch_id: int, index) -> None:
+    """One micro-batch graph insert with marker-based replay dedupe
+    (module-level so the idempotency contract is testable without running
+    a stream)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.graph_ann import insert_into_graph
+    from ..operators.incremental import _is_missing_path
+
+    spark = batch_df.sparkSession
+    marker_path = index.path.rstrip("/") + "_stream_batches"
+    try:
+        done = {
+            r[0] for r in spark.read.parquet(marker_path).select("batch_id").collect()
+        }
+    except AnalysisException as e:
+        if not _is_missing_path(e):
+            raise
+        done = set()
+    if batch_id in done:
+        return  # replayed batch: already inserted
+    insert_into_graph(spark, index, batch_df)
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(marker_path)
+
+
 def stream_change_log_sync(
     index: IvfIndex,
     source: DataFrame,
