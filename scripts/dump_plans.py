@@ -42,6 +42,7 @@ NAMES = [
     "packed_sequences",
     "token_budget_mixture",
     "manifest_pruned_scan",
+    "filtered_vector_search",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
