@@ -172,3 +172,60 @@ def test_ivf_search_filtered_rejects_bad_strategy(spark, emb, ivf):
         ivf_search_filtered(
             spark, ivf, _qv(emb, 0), emb, {}, strategy="sideways"
         )
+
+
+def test_auto_strategy_picks_by_selectivity(spark, emb, ivf):
+    from vector_search_databricks_poc_spark.operators.filters import _auto_strategy
+
+    n = emb.count()
+    # selective: only a handful of ids match -> prefilter
+    assert _auto_strategy(emb, {"vec_id <": 5}, over_fetch=4) == "prefilter"
+    # permissive: nearly everything matches -> postfilter
+    assert _auto_strategy(emb, {"vec_id >=": 0}, over_fetch=4) == "postfilter"
+    # auto end-to-end returns the same rows as the strategy it picks
+    q = _qv(emb, 0)
+    auto = [
+        tuple(r)
+        for r in ivf_search_filtered(
+            spark, ivf, q, emb, {"vec_id <": 5}, k=3, nprobe=4, strategy="auto"
+        ).collect()
+    ]
+    pre = [
+        tuple(r)
+        for r in ivf_search_filtered(
+            spark, ivf, q, emb, {"vec_id <": 5}, k=3, nprobe=4, strategy="prefilter"
+        ).collect()
+    ]
+    assert auto == pre
+
+
+def test_postfilter_batch_hits_per_query(spark, emb, ivf):
+    """Batched postfilter trims each query's list independently and
+    re-numbers ranks densely."""
+    from vector_search_databricks_poc_spark.operators.filters import (
+        postfilter_batch_hits,
+    )
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ivf.batch_search(spark, queries, k=30, nprobe=4)
+    got = postfilter_batch_hits(hits, emb, {"label NOT": 0}, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # dense 1..k
+        assert len(rows) <= 5
+        assert all(labels[r["vec_id"]] != 0 for r in rows)
+        # survivors are the TOP-scoring survivors of the original list
+        orig = sorted(
+            (r["score"], r["vec_id"])
+            for r in hits.where(F.col("query_id") == qid).collect()
+            if labels[r["vec_id"]] != 0
+        )[::-1][: len(rows)]
+        kept = sorted(((r["score"], r["vec_id"]) for r in rows))[::-1]
+        assert kept == orig

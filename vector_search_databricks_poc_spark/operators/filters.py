@@ -144,6 +144,50 @@ def postfilter_hits(
     )
 
 
+def postfilter_batch_hits(
+    hits: DataFrame,
+    meta: DataFrame,
+    filters: dict,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query postfilter for batched hits (IVF/graph ``batch_search``
+    output): filter the candidate lists against metadata, then re-rank to
+    the top ``k`` survivors WITHIN each query.  Same under-fill honesty as
+    ``postfilter_hits``; the window re-numbers ranks so consumers see a
+    dense 1..k per query."""
+    from pyspark.sql import Window
+
+    allowed = meta.where(filter_expr(filters)).select(id_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        hits.join(allowed, id_col, "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# Below this filtered fraction of the metadata, prefiltering beats
+# over-fetch postfiltering (the candidate list would mostly die); above
+# it the unfiltered probe + trim is cheaper.  The 1/over_fetch shape:
+# postfilter expects ~selectivity·over_fetch·k survivors, so it fills k
+# exactly when selectivity ≈ 1/over_fetch.
+def _auto_strategy(meta: DataFrame, filters: dict, over_fetch: int) -> str:
+    """Pick prefilter vs postfilter from measured selectivity: one
+    count-aggregate over the metadata with the predicate pushed down
+    (a planning probe, same class as the IVF centroid fetch — run once
+    per query shape, not per row)."""
+    agg = meta.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(filter_expr(filters), 1)).alias("_match"),
+    ).first()
+    n, match = agg["_n"], agg["_match"]
+    if not n:
+        return "prefilter"
+    return "prefilter" if (match / n) < (1.0 / over_fetch) else "postfilter"
+
+
 def ivf_search_filtered(
     spark: SparkSession,
     index,
@@ -167,9 +211,16 @@ def ivf_search_filtered(
     - ``strategy="postfilter"``: score the probe unfiltered, keep
       ``over_fetch``·k, then filter — cheaper for permissive filters, may
       under-fill below k (see module head).
+    - ``strategy="auto"``: measure the filter's selectivity with one
+      pushed-down count over ``meta`` and pick: selective (< 1/over_fetch
+      of rows match) → prefilter, permissive → postfilter.  Costs one
+      planning aggregate — eager by the same contract as the index's
+      centroid math.
     """
+    if strategy == "auto":
+        strategy = _auto_strategy(meta, filters, over_fetch)
     if strategy not in ("prefilter", "postfilter"):
-        raise ValueError(f"strategy must be prefilter|postfilter, got {strategy!r}")
+        raise ValueError(f"strategy must be prefilter|postfilter|auto, got {strategy!r}")
     idc = meta_id_col or index.id_col
     if strategy == "postfilter":
         hits = index.search(spark, query_vector, k=over_fetch * k, nprobe=nprobe)
