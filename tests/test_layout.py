@@ -629,3 +629,68 @@ def test_compact_scratch_paths_never_hit_fs_root():
     assert _compact_scratch_paths("/tbl") == (
         "/.compact_stage__tbl", "/.compact_old__tbl"
     )
+
+
+def test_vacuum_scratch_removes_only_aged_litter(spark, tmp_path):
+    """The vacuum deletes exactly the engine's own crash-litter names
+    older than the age guard; live data, fresh litter, and unknown names
+    survive untouched."""
+    import os
+    import time
+
+    from vector_search_databricks_poc_spark.operators.layout import vacuum_scratch
+
+    root = tmp_path / "store"
+    table = root / "idx"
+    spark.range(50).write.parquet(str(table))
+
+    # aged litter of every class
+    old = time.time() - 7 * 86400
+    litter = [
+        root / ".compact_stage__idx",
+        root / ".compact_old__idx",
+        root / "idx_rebuild_stage",
+        root / "idx_rebuild_old",
+        table / "_temporary",
+    ]
+    for d in litter:
+        d.mkdir(parents=True)
+        (d / "part-junk.parquet").write_bytes(b"x" * 128)
+        os.utime(d / "part-junk.parquet", (old, old))
+        os.utime(d, (old, old))
+    tmpfile = root / "wet" / "part-00001.warc.wet.gz.tmp-42"
+    tmpfile.parent.mkdir()
+    tmpfile.write_bytes(b"y" * 64)
+    os.utime(tmpfile, (old, old))
+    # fresh litter (in-flight swap) and an unknown name: both protected
+    fresh = root / ".compact_stage__other"
+    fresh.mkdir()
+    keepme = root / "notes_backup"
+    keepme.mkdir()
+    (keepme / "a.txt").write_text("keep")
+
+    report = vacuum_scratch(spark, str(root), min_age_seconds=86400, dry_run=True)
+    assert len(report["removed"]) == len(litter) + 1  # + the .tmp file
+    assert all(os.path.exists(p) for p in report["removed"])  # dry run
+
+    report2 = vacuum_scratch(spark, str(root), min_age_seconds=86400)
+    assert report2["removed"] == report["removed"]
+    assert report2["freed_bytes"] >= 128 * len(litter) + 64
+    for p in report2["removed"]:
+        assert not os.path.exists(p)
+    # survivors: the data, the fresh stage dir, the unknown dir
+    assert spark.read.parquet(str(table)).count() == 50
+    assert fresh.exists() and keepme.exists() and (keepme / "a.txt").exists()
+
+    # age guard zero: the fresh stage dir now goes too
+    report3 = vacuum_scratch(spark, str(root), min_age_seconds=0)
+    assert any(p.endswith(".compact_stage__other") for p in report3["removed"])
+
+
+def test_vacuum_scratch_missing_root_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from vector_search_databricks_poc_spark.operators.layout import vacuum_scratch
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        vacuum_scratch(spark, str(tmp_path / "nope"))

@@ -922,3 +922,93 @@ def skew_stats(
             ).alias("vs_uniform"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scratch vacuum: crash litter from the engine's stage-and-swap writers.
+# Every staged protocol here is crash-SAFE (a complete copy of the data
+# exists at every step) but not crash-CLEAN: an interrupted swap leaves
+# its scratch sibling behind, an interrupted WET export leaves attempt
+# files, and a killed Spark write job leaves `_temporary`.  None of them
+# corrupt reads (dot/underscore prefixes hide them from Spark's file
+# index; `.tmp-` files are invisible to the WET reader's glob), but at
+# 100 TB they hold real storage until something deletes them.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_VACUUM_DIR_PATTERNS = (
+    _re.compile(r"^\.compact_stage__"),   # compact_files swap scratch
+    _re.compile(r"^\.compact_old__"),
+    _re.compile(r"_rebuild_stage$"),      # rebalance_ivf_index staging
+    _re.compile(r"_rebuild_old$"),
+    _re.compile(r"^_temporary$"),         # crashed Spark write job attempts
+)
+_VACUUM_FILE_PATTERN = _re.compile(r"\.tmp-\d+$")  # write_wet attempt files
+
+
+def vacuum_scratch(
+    spark,
+    root: str,
+    min_age_seconds: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete crash litter under ``root``: stage/aside scratch dirs from
+    the swap protocols (`compact_files`, `rebalance_ivf_index`), Spark
+    `_temporary` job-attempt dirs, and `write_wet` ``.tmp-<attempt>``
+    files.  LIVE data is never matched — the patterns are exactly the
+    engine's own scratch names, and anything younger than
+    ``min_age_seconds`` is left alone so an in-flight swap or export is
+    never raced (default one day; an active stage dir keeps a fresh
+    modification time).
+
+    Hadoop FileSystem API throughout (works on anything Spark reaches).
+    Driver-side METADATA walk only — one listStatus sweep, no data read;
+    run it per table/prefix on a schedule, the same operational slot as
+    Delta VACUUM.  ``dry_run=True`` reports without deleting.
+
+    Returns ``{"removed": [paths], "freed_bytes": n, "entries_scanned": n}``.
+    """
+    import time
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    rp = hpath(root)
+    fs = rp.getFileSystem(hconf)
+    if not fs.exists(rp):
+        raise ValueError(f"vacuum_scratch: {root} does not exist")
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
+    removed: list[str] = []
+    freed = 0
+    scanned = 0
+    stack = [rp]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            scanned += 1
+            p = st.getPath()
+            name = p.getName()
+            is_dir = st.isDirectory()
+            doomed = (
+                any(pat.search(name) for pat in _VACUUM_DIR_PATTERNS)
+                if is_dir
+                else bool(_VACUUM_FILE_PATTERN.search(name))
+            )
+            if doomed and st.getModificationTime() <= cutoff_ms:
+                size = (
+                    fs.getContentSummary(p).getLength() if is_dir else st.getLen()
+                )
+                freed += int(size)
+                removed.append(str(p.toUri().getPath()))
+                if not dry_run:
+                    fs.delete(p, True)
+            elif is_dir and not doomed:
+                # keep walking; doomed dirs are never entered (a young one
+                # is an in-flight swap — leave its insides alone too)
+                stack.append(p)
+    return {
+        "removed": sorted(removed),
+        "freed_bytes": int(freed),
+        "entries_scanned": scanned,
+    }
