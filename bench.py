@@ -74,6 +74,8 @@ HEADLINE = [
     #   the amortized beam — the driver-loop hop depth is the serial cost,
     #   so per-query time is the batch divided by 16, the shape that
     #   matters at scale)
+    "filtered_vector_search",   # r6 B7: similarity_search filters= knob —
+    #   predicate pushed to the scan, zero shuffles, TakeOrdered ranking
     "manifest_pruned_scan",     # r6 layout: manifest-pruned file-skipping box
     #   query (first call z-orders orders + persists the stats manifest;
     #   timed reps measure prune + surviving-file scan)

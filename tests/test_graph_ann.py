@@ -166,3 +166,31 @@ def test_load_graph_index_refuses_other_kinds(spark, emb, tmp_path):
     build_ivf_index(emb.limit(100), str(tmp_path / "ivf"), k_centroids=2)
     with pytest.raises(ValueError, match="graph"):
         load_graph_index(spark, str(tmp_path / "ivf"))
+
+
+def test_hard_negative_mining_works_with_graph_index(spark, gidx, emb):
+    """evaluate.hard_negative_mining is index-kind-agnostic: the graph's
+    batch_search satisfies the same (spark, queries, k, nprobe) contract
+    as the IVF family, so mined negatives exclude positives and rank by
+    score with the graph as the candidate generator too."""
+    from vector_search_databricks_poc_spark.operators.evaluate import (
+        hard_negative_mining,
+    )
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    positives = queries.select("query_id", F.col("query_id").alias("vec_id"))
+    neg = hard_negative_mining(
+        spark, gidx, queries, positives, k_neg=3, fetch_mult=3, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in neg:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        assert all(r["vec_id"] != qid for r in rows)  # positives excluded
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["neg_rank"])]
+        assert scores == sorted(scores, reverse=True)
