@@ -30,6 +30,8 @@ EAGER_BY_CONTRACT = {
     #   count IS the algorithm)
     "graph_batch_search",  # same beam driver loop, batch shape
     "graph_incremental_insert",  # graph build + search-based insert rewrite
+    "similarity_search_endpoint",  # index build + driver-side query embed
+    #   (the reference embeds query text on the driver too)
     "ivf_batch_search",
     "ivf_pq_batch_search",
     "incremental_index_refresh",

@@ -1,0 +1,129 @@
+"""similarity_search facade: text≡vector modes, index-kind dispatch
+(brute / IVF / IVF-PQ / graph), filters, response shape, error contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_databricks_poc_spark.catalog import load_table
+from vector_search_databricks_poc_spark.functions.embedding import embed_text
+from vector_search_databricks_poc_spark.operators.serving import (
+    similarity_search,
+    to_response,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, docs):
+    """Corpus embedded with the same encoder the facade uses for query
+    text — id column named vec_id like the index family expects."""
+    return embed_text(docs, dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+
+
+def test_text_and_vector_modes_agree(spark, docs, vecs):
+    """query_text embeds through the SAME encoder as the corpus, so
+    searching by a document's text must equal searching by its stored
+    vector — the reference's two call modes (query_endpoint.py:126-147)."""
+    target = docs.where(F.col("doc_id") == 42).first()
+    by_text = similarity_search(
+        spark, vecs, docs, "text", query_text=target["text"],
+        num_results=5, dim=32,
+    ).collect()
+    qv = [r for r in vecs.where(F.col("vec_id") == 42).collect()][0]["embedding"]
+    by_vec = similarity_search(
+        spark, vecs, docs, "text", query_vector=list(qv),
+        num_results=5, dim=32,
+    ).collect()
+    assert [tuple(r) for r in by_text] == [tuple(r) for r in by_vec]
+    assert by_text[0]["vec_id"] == 42  # self-hit first
+    assert by_text[0]["text"] == target["text"]
+
+
+def test_index_kinds_converge_at_full_probe(spark, docs, vecs, tmp_path):
+    """Brute, IVF (full probe), IVF-PQ (full probe + exact rerank), and a
+    wide-beam graph all return the same top-3 ids for the same query."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import (
+        build_graph_index,
+    )
+    from vector_search_databricks_poc_spark.operators.index import (
+        build_ivf_index,
+        build_ivf_pq_index,
+    )
+
+    q = docs.where(F.col("doc_id") == 7).first()["text"]
+    kw = dict(query_text=q, num_results=3, dim=32)
+    brute = similarity_search(spark, vecs, docs, "text", **kw).collect()
+    ivf = build_ivf_index(vecs, str(tmp_path / "ivf"), k_centroids=4)
+    got_ivf = similarity_search(spark, ivf, docs, "text", nprobe=4, **kw).collect()
+    pq = build_ivf_pq_index(vecs, str(tmp_path / "pq"), k_centroids=4, pq_m=4)
+    got_pq = similarity_search(
+        spark, pq, docs, "text", nprobe=4, source=vecs, **kw
+    ).collect()
+    g = build_graph_index(vecs, str(tmp_path / "g"), deg=8, k_centroids=4)
+    got_g = similarity_search(spark, g, docs, "text", nprobe=4, **kw).collect()
+
+    ids = lambda rows: [r["vec_id"] for r in rows]  # noqa: E731
+    assert ids(got_ivf) == ids(brute)
+    assert ids(got_pq) == ids(brute)
+    assert ids(got_g) == ids(brute)
+
+
+def test_filters_trim_results(spark, docs, vecs):
+    q = docs.where(F.col("doc_id") == 7).first()["text"]
+    unfiltered = similarity_search(
+        spark, vecs, docs, ["text", "lang"], query_text=q, num_results=10, dim=32
+    ).collect()
+    langs = {r["lang"] for r in unfiltered}
+    assert len(langs) > 1 or langs  # fixture sanity
+    pick = sorted(langs)[0]
+    filtered = similarity_search(
+        spark, vecs, docs, ["text", "lang"], query_text=q, num_results=10,
+        dim=32, filters={"lang": pick},
+    ).collect()
+    assert filtered and all(r["lang"] == pick for r in filtered)
+    # filtered results are the top survivors of the same ranking
+    surv = [r["vec_id"] for r in unfiltered if r["lang"] == pick]
+    assert [r["vec_id"] for r in filtered][: len(surv)] == surv
+
+
+def test_response_shape(spark, docs, vecs):
+    df = similarity_search(
+        spark, vecs, docs, "text",
+        query_text=docs.first()["text"], num_results=2, dim=32,
+    )
+    resp = to_response(df)
+    assert resp["manifest"]["column_count"] == 3
+    assert [c["name"] for c in resp["manifest"]["columns"]] == [
+        "vec_id", "text", "score",
+    ]
+    assert resp["result"]["row_count"] == 2
+    assert len(resp["result"]["data_array"]) == 2
+    assert all(len(row) == 3 for row in resp["result"]["data_array"])
+
+
+def test_query_mode_contract(spark, docs, vecs):
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity_search(spark, vecs, docs, "text", num_results=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        similarity_search(
+            spark, vecs, docs, "text", query_text="x", query_vector=[1.0],
+        )
+    with pytest.raises(ValueError, match="unsupported index kind"):
+        similarity_search(spark, object(), docs, "text", query_text="x")
+    from vector_search_databricks_poc_spark.operators.index import IvfPqIndex
+
+    with pytest.raises(ValueError, match="source"):
+        similarity_search(
+            spark,
+            IvfPqIndex("/nope", [[0.0] * 32], None),
+            docs,
+            "text",
+            query_text="x",
+        )

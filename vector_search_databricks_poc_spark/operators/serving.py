@@ -1,0 +1,135 @@
+"""``similarity_search`` facade: the reference client's call shape over
+this engine's own indexes.
+
+Reference behavior: ``index.similarity_search(columns="summary",
+query_text=QUERY_TEXT | query_vector=vec, num_results=2)`` returning the
+endpoint's JSON response — a dict of ``manifest`` (column list) and
+``result`` (``row_count`` + ``data_array``) that the caller
+``json.dumps``s (query_endpoint.py:126-152; driver-side query embedding
+at query_endpoint.py:83-115).  This module is that surface re-expressed
+over the engine: one entry point that takes EITHER a query text (embedded
+on the driver through the same encoder as the corpus — the reference's
+contract) or a raw vector, dispatches to whichever index kind is handed
+in (brute corpus scan, IVF, IVF-PQ, graph), optionally applies the
+``filters`` dict (operators/filters.py mini-language, post-filter over
+the candidate list), joins the requested payload columns back, and
+returns a DataFrame — plus ``to_response`` to render the reference's
+response dict from it.
+
+100 TB shape: everything downstream of the index probe touches only the
+k-row (or over_fetch·k-row) hit list — the hits side broadcasts into the
+documents join, the filter trims candidates, and the payload fetch never
+scans the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedding import embed_text
+from .filters import postfilter_hits
+from .topk import top_k_similar
+
+
+def similarity_search(
+    spark: SparkSession,
+    index,
+    documents: DataFrame,
+    columns,
+    query_text: str | None = None,
+    query_vector=None,
+    num_results: int = 10,
+    filters: dict | None = None,
+    dim: int = 64,
+    nprobe: int = 4,
+    over_fetch: int = 4,
+    doc_id_col: str = "doc_id",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """One similarity query, reference call shape.
+
+    ``index`` dispatches on kind: a DataFrame is treated as the brute
+    corpus (id + vector columns, exact scan); an ``IvfIndex`` /
+    ``IvfPqIndex`` / ``GraphIndex`` handle probes its table
+    (``IvfPqIndex`` needs ``source`` — the float vectors for its exact
+    rerank).  ``columns`` is a name or list of names from ``documents``
+    to return alongside (id, score), exactly the reference's ``columns=``.
+
+    Exactly one of ``query_text`` / ``query_vector`` (the reference's two
+    call modes).  Text is embedded ON THE DRIVER through the same hashing
+    encoder as the corpus (dim must match the index build) — the
+    reference embeds query text driver-side the same way.
+
+    ``filters`` post-filters the candidate list (any index kind) with
+    ``over_fetch``·k candidates fetched to survive the trim; under-fill
+    below k is honest (see operators/filters.py).
+    """
+    if (query_text is None) == (query_vector is None):
+        raise ValueError("pass exactly one of query_text / query_vector")
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    if query_text is not None:
+        row = embed_text(
+            spark.createDataFrame([(query_text,)], "text string"), dim=dim
+        ).first()
+        query_vector = list(row["embedding"])
+    query_vector = [float(x) for x in query_vector]
+
+    k = num_results
+    fetch = over_fetch * k if filters else k
+    from .graph_ann import GraphIndex
+    from .index import IvfIndex, IvfPqIndex
+
+    if isinstance(index, DataFrame):
+        id_col = "vec_id"
+        hits = top_k_similar(index, query_vector, k=fetch, id_col=id_col)
+    elif isinstance(index, GraphIndex):
+        id_col = index.id_col
+        hits = index.search(
+            spark, query_vector, k=fetch, ef=max(32, 2 * fetch), nprobe=nprobe
+        )
+    elif isinstance(index, IvfPqIndex):
+        if source is None:
+            raise ValueError("IvfPqIndex needs source= (float vectors) for rerank")
+        id_col = index.id_col
+        hits = index.search(spark, query_vector, source, k=fetch, nprobe=nprobe)
+    elif isinstance(index, IvfIndex):
+        id_col = index.id_col
+        hits = index.search(spark, query_vector, k=fetch, nprobe=nprobe)
+    else:
+        raise ValueError(f"unsupported index kind {type(index).__name__}")
+
+    if filters:
+        meta = (
+            documents
+            if id_col == doc_id_col
+            else documents.withColumn(id_col, F.col(doc_id_col))
+        )
+        hits = postfilter_hits(hits, meta, filters, k, id_col=id_col)
+
+    payload = documents.select(F.col(doc_id_col).alias(id_col), *cols)
+    return (
+        payload.join(F.broadcast(hits), id_col)
+        .select(id_col, *cols, "score")
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def to_response(df: DataFrame) -> dict:
+    """Render a search result DataFrame as the endpoint response dict the
+    reference json.dumps's: ``{"manifest": {"column_count", "columns":
+    [{"name": ...}]}, "result": {"row_count", "data_array"}}``
+    (query_endpoint.py:132,147).  Collects — call on k-row results only."""
+    rows = df.collect()
+    cols = df.columns
+    return {
+        "manifest": {
+            "column_count": len(cols),
+            "columns": [{"name": c} for c in cols],
+        },
+        "result": {
+            "row_count": len(rows),
+            "data_array": [[r[c] for c in cols] for r in rows],
+        },
+    }

@@ -1713,6 +1713,38 @@ def graph_incremental_insert(spark, sf_dir):
     )
 
 
+@register("similarity_search_endpoint")
+def similarity_search_endpoint(spark, sf_dir):
+    """A10-A15 capstone — the reference client's exact call shape
+    (operators/serving.py::similarity_search, mirroring
+    index.similarity_search(columns=, query_text=, num_results=, filters=)
+    at query_endpoint.py:126-152): query text embedded driver-side through
+    the corpus encoder, IVF probe, filter trim, payload columns joined
+    back.  Eager by contract (index build + driver query embed).
+    Rows-only; mode-equivalence / kind-dispatch / filter / response-shape
+    tests in tests/test_serving.py."""
+    from .functions.embedding import embed_text
+    from .operators.index import build_ivf_index
+    from .operators.serving import similarity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build():
+        vecs = embed_text(docs, dim=64).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        return build_ivf_index(
+            vecs, f"{_scratch_dir('serving_ivf_')}/ivf", k_centroids=8
+        )
+
+    idx = _cached_index("serving_ivf", sf_dir, _build)
+    target = docs.where(F.col("doc_id") == 7).first()["text"]
+    return similarity_search(
+        spark, idx, docs, ["text", "lang"], query_text=target,
+        num_results=10, filters={"n_chars >=": 10}, dim=64, nprobe=4,
+    )
+
+
 @register("filtered_vector_search")
 def filtered_vector_search(spark, sf_dir):
     """B7/B14 extension — the reference client's similarity_search
