@@ -127,3 +127,42 @@ def test_query_mode_contract(spark, docs, vecs):
             "text",
             query_text="x",
         )
+
+
+def test_hybrid_query_type_fuses_lexical_and_vector(spark, docs, vecs):
+    """query_type='hybrid': RRF of BM25 + vector legs through the facade
+    equals the hybrid operator called directly, and a lexical-only match
+    (term present, vector dissimilar) can only surface in hybrid mode."""
+    from vector_search_databricks_poc_spark.operators.hybrid import hybrid_search
+
+    target = docs.where(F.col("doc_id") == 7).first()["text"]
+    got = similarity_search(
+        spark, vecs, docs, "text", query_text=target, num_results=5,
+        dim=32, query_type="hybrid",
+    ).collect()
+    terms = [t for t in target.lower().split() if t]
+    qv = [
+        float(x)
+        for x in embed_text(
+            spark.createDataFrame([(target,)], "text string"), dim=32
+        ).first()["embedding"]
+    ]
+    direct = hybrid_search(
+        docs.select(F.col("doc_id").alias("vec_id"), "text"),
+        vecs, terms, qv, k=5, id_col="vec_id", vec_id_col="vec_id",
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in direct]
+    assert [r["score"] for r in got] == [r["rrf"] for r in direct]
+    assert got[0]["vec_id"] == 7  # self-hit tops both legs
+
+
+def test_hybrid_contract_errors(spark, docs, vecs):
+    with pytest.raises(ValueError, match="query_type"):
+        similarity_search(
+            spark, vecs, docs, "text", query_text="x", query_type="sideways"
+        )
+    with pytest.raises(ValueError, match="hybrid needs query_text|needs query_text"):
+        similarity_search(
+            spark, vecs, docs, "text", query_vector=[0.0] * 32,
+            query_type="hybrid", dim=32,
+        )

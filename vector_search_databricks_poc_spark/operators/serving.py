@@ -46,6 +46,8 @@ def similarity_search(
     over_fetch: int = 4,
     doc_id_col: str = "doc_id",
     source: DataFrame | None = None,
+    query_type: str = "ann",
+    text_col: str = "text",
 ) -> DataFrame:
     """One similarity query, reference call shape.
 
@@ -64,9 +66,19 @@ def similarity_search(
     ``filters`` post-filters the candidate list (any index kind) with
     ``over_fetch``·k candidates fetched to survive the trim; under-fill
     below k is honest (see operators/filters.py).
+
+    ``query_type`` mirrors the endpoint's knob: ``"ann"`` (default,
+    vector-only) or ``"hybrid"`` — BM25 over ``documents[text_col]``
+    fused with the vector leg by reciprocal-rank fusion
+    (operators/hybrid.py), requiring ``query_text`` (the lexical leg
+    tokenizes it).  The hybrid vector leg scans the vectors the handle
+    holds (index tables carry them), exact over the corpus — hybrid is
+    a recall-first mode.
     """
     if (query_text is None) == (query_vector is None):
         raise ValueError("pass exactly one of query_text / query_vector")
+    if query_type not in ("ann", "hybrid"):
+        raise ValueError(f"query_type must be ann|hybrid, got {query_type!r}")
     cols = [columns] if isinstance(columns, str) else list(columns)
     if query_text is not None:
         row = embed_text(
@@ -80,7 +92,38 @@ def similarity_search(
     from .graph_ann import GraphIndex
     from .index import IvfIndex, IvfPqIndex
 
-    if isinstance(index, DataFrame):
+    if query_type == "hybrid":
+        if query_text is None:
+            raise ValueError("query_type='hybrid' needs query_text")
+        from .hybrid import hybrid_search
+
+        terms = [t for t in query_text.lower().split() if t]
+        if isinstance(index, DataFrame):
+            id_col, vectors = "vec_id", index
+        elif isinstance(index, (IvfIndex, IvfPqIndex, GraphIndex)):
+            id_col = index.id_col
+            if isinstance(index, IvfPqIndex):
+                if source is None:
+                    raise ValueError(
+                        "IvfPqIndex holds codes, not vectors — hybrid needs source="
+                    )
+                vectors = source.select(id_col, index.vec_col)
+            else:
+                vectors = spark.read.parquet(index.path).select(
+                    id_col, index.vec_col
+                )
+        else:
+            raise ValueError(f"unsupported index kind {type(index).__name__}")
+        hits = hybrid_search(
+            documents.select(F.col(doc_id_col).alias(id_col), text_col),
+            vectors,
+            terms,
+            query_vector,
+            k=fetch,
+            id_col=id_col,
+            vec_id_col=id_col,
+        ).select(id_col, F.col("rrf").alias("score"))
+    elif isinstance(index, DataFrame):
         id_col = "vec_id"
         hits = top_k_similar(index, query_vector, k=fetch, id_col=id_col)
     elif isinstance(index, GraphIndex):
