@@ -256,3 +256,46 @@ def test_stream_graph_sync_rejects_dim_mismatch(spark, emb, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(stage))
     with pytest.raises(ValueError, match="dim"):
         stream_graph_sync(stream, idx, dim=7)
+
+
+def test_insert_dedupes_batch_ids(spark, emb, tmp_path):
+    """An id sent twice in one batch becomes ONE node."""
+    idx = build_graph_index(
+        emb.limit(100), str(tmp_path / "gdup"), deg=4, k_centroids=2,
+        refine_rounds=0,
+    )
+    batch = emb.where(F.col("vec_id").between(100, 104))
+    doubled = batch.unionByName(batch)
+    assert insert_into_graph(spark, idx, doubled) == 5
+    rows = spark.read.parquet(idx.path)
+    assert rows.count() == 105
+    assert rows.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_load_index_dispatches_graph_kind(spark, emb, tmp_path):
+    """operators.index.load_index returns a GraphIndex for a graph table
+    (pre-r6 it silently came back as an IvfIndex)."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import GraphIndex
+    from vector_search_databricks_poc_spark.operators.index import load_index
+
+    built = build_graph_index(
+        emb.limit(100), str(tmp_path / "gload"), deg=4, k_centroids=2,
+        refine_rounds=0,
+    )
+    got = load_index(spark, built.path)
+    assert isinstance(got, GraphIndex)
+    assert got.entries == built.entries
+
+
+def test_batch_search_drops_null_query_vectors(spark, emb, tmp_path):
+    idx = build_graph_index(
+        emb.limit(100), str(tmp_path / "gnull"), deg=4, k_centroids=2,
+        refine_rounds=0,
+    )
+    q = spark.createDataFrame(
+        [(0, [r for r in emb.where(F.col("vec_id") == 0).first()["embedding"]]),
+         (1, None)],
+        "query_id long, query_vec array<double>",
+    )
+    got = idx.batch_search(spark, q, k=3, ef=8, nprobe=2).collect()
+    assert {r["query_id"] for r in got} == {0}

@@ -375,8 +375,10 @@ class GraphIndex:
         nprobe = min(nprobe, k_c)
         idc = F.col(self.id_col)
 
-        # tiny query side: normalized once, reused (broadcast) every hop
-        qn = queries.select(
+        # tiny query side: normalized once, reused (broadcast) every hop.
+        # A NULL query vector has no defined result (same contract as
+        # IvfIndex.batch_search) — dropped, not propagated as null probes.
+        qn = queries.where(F.col(query_vec_col).isNotNull()).select(
             F.col(query_id_col).alias("_qid"),
             V.l2_normalize(F.col(query_vec_col).cast("array<double>")).alias("_qv"),
         ).localCheckpoint(eager=True)
@@ -527,7 +529,7 @@ def insert_into_graph(
     fresh = fresh.select(
         F.col(id_col).cast("long").alias(id_col),
         V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
-    )
+    ).dropDuplicates([id_col])  # a twice-sent id must not become two nodes
     assigned = assign_centroid(
         fresh, index.centroids, vec_col=vec_col
     ).localCheckpoint()

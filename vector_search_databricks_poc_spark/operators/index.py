@@ -82,16 +82,25 @@ def _read_meta(spark: SparkSession, index_path: str) -> dict:
 
 
 def load_index(spark: SparkSession, index_path: str):
-    """Reconstruct an IvfIndex / IvfPqIndex handle from a persisted index
-    table — the missing half of index persistence: the TABLE survives the
-    session, and with ``_meta`` so do the centroids/codebook, so a new
-    session (or another job entirely) can probe an index it didn't build."""
+    """Reconstruct an index handle of WHATEVER kind the persisted ``_meta``
+    declares (IvfIndex / IvfPqIndex / GraphIndex) — the missing half of
+    index persistence: the TABLE survives the session, and with ``_meta``
+    so do the centroids/codebook/entry-points, so a new session (or
+    another job entirely) can probe an index it didn't build.  Pre-r6 a
+    graph table silently came back as an IvfIndex whose first probe would
+    fail on the adjacency schema; kind now dispatches."""
     from ..functions.quantization import PqCodebook
 
     m = _read_meta(spark, index_path)
     if m["kind"] == "ivf_pq":
         cb = PqCodebook(m["pq_m"], m["pq_k"], m["dim"], m["pq_centroids"])
         return IvfPqIndex(index_path, m["centroids"], cb, id_col=m["id_col"], vec_col=m["vec_col"])
+    if m["kind"] == "graph":
+        from .graph_ann import load_graph_index
+
+        return load_graph_index(spark, index_path)
+    if m["kind"] != "ivf":
+        raise ValueError(f"{index_path} holds unknown index kind {m['kind']!r}")
     return IvfIndex(index_path, m["centroids"], id_col=m["id_col"], vec_col=m["vec_col"])
 
 
