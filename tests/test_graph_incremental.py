@@ -299,3 +299,24 @@ def test_batch_search_drops_null_query_vectors(spark, emb, tmp_path):
     )
     got = idx.batch_search(spark, q, k=3, ef=8, nprobe=2).collect()
     assert {r["query_id"] for r in got} == {0}
+
+
+def test_pipeline_graph_backend_end_to_end(spark, sf_dir, tmp_path):
+    """§3.1/§3.2 with kind='graph': build over cleaned+embedded docs,
+    search by query text, context contains the self document."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import GraphIndex
+    from vector_search_databricks_poc_spark.pipelines import (
+        build_index_pipeline,
+        search_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    idx = build_index_pipeline(
+        docs, str(tmp_path / "gidx"), kind="graph", k_centroids=4, dim=32
+    )
+    assert isinstance(idx, GraphIndex)
+    target = docs.where(F.col("doc_id") == 11).first()["text"]
+    out = search_pipeline(spark, idx, docs, target, k=3, nprobe=4, dim=32)
+    row = out.first()
+    assert "context" in out.columns
+    assert "[11]" in row["context"]

@@ -36,8 +36,10 @@ def build_index_pipeline(
 ):
     """§3.1 as one lazy DataFrame job: no intermediate materialization
     except the final partitioned index write.  ``kind`` picks the index
-    layout: ``"ivf"`` (float vectors, exact in-partition rescoring) or
-    ``"ivf_pq"`` (residual PQ codes — the smaller-at-rest scale path)."""
+    layout: ``"ivf"`` (float vectors, exact in-partition rescoring),
+    ``"ivf_pq"`` (residual PQ codes — the smaller-at-rest scale path), or
+    ``"graph"`` (pruned k-NN adjacency, beam-searched —
+    operators/graph_ann.py)."""
     from .operators.text import collapse_whitespace
 
     cleaned = docs.select(
@@ -52,8 +54,15 @@ def build_index_pipeline(
             embedded, index_path, id_col=id_col, vec_col="embedding",
             k_centroids=k_centroids,
         )
+    if kind == "graph":
+        from .operators.graph_ann import build_graph_index
+
+        return build_graph_index(
+            embedded, index_path, id_col=id_col, vec_col="embedding",
+            k_centroids=k_centroids,
+        )
     if kind != "ivf":
-        raise ValueError(f"kind must be 'ivf' or 'ivf_pq', got {kind!r}")
+        raise ValueError(f"kind must be 'ivf', 'ivf_pq' or 'graph', got {kind!r}")
     return build_ivf_index(
         embedded, index_path, id_col=id_col, vec_col="embedding",
         k_centroids=k_centroids,
@@ -657,21 +666,30 @@ def search_pipeline(
     (A7=A12 unification), probe the index, join text back, dedup, assemble
     the RAG context.  Returns a 1-row DataFrame with the context string.
 
-    ``index`` is either handle :func:`build_index_pipeline` returns:
-    ``IvfIndex`` (exact cosine over float vectors) or ``IvfPqIndex``
-    (ADC approximation over codes — relabeled ``score`` here so the two
-    §3.1 layouts compose with the same §3.2 tail).
+    ``index`` is any handle :func:`build_index_pipeline` returns:
+    ``IvfIndex`` (exact cosine over float vectors), ``IvfPqIndex``
+    (ADC approximation over codes — relabeled ``score`` here so the
+    §3.1 layouts compose with the same §3.2 tail), or ``GraphIndex``
+    (beam search; eager by the graph's driver-loop nature, unlike the
+    IVF branches below).
 
-    Fully lazy: the query embedding never leaves the plan — it flows into
-    ``batch_search`` as a one-row DataFrame whose probe set and scores are
-    pure expressions over the broadcast literal centroids."""
+    Fully lazy on the IVF branches: the query embedding never leaves the
+    plan — it flows into ``batch_search`` as a one-row DataFrame whose
+    probe set and scores are pure expressions over the broadcast literal
+    centroids."""
+    from .operators.graph_ann import GraphIndex
     from .operators.index import IvfPqIndex
 
     qdf = spark.createDataFrame([(0, query_text)], ["query_id", text_col])
     queries = embed_text(qdf, text_col=text_col, encoder=encoder, dim=dim).select(
         "query_id", F.col("embedding").alias("query_vec")
     )
-    if isinstance(index, IvfPqIndex):
+    if isinstance(index, GraphIndex):
+        hits = index.batch_search(
+            spark, queries, k=k, ef=max(32, 2 * k), nprobe=nprobe,
+            score_decimals=None,
+        ).drop("query_id", "rank")
+    elif isinstance(index, IvfPqIndex):
         hits = (
             index.batch_search(spark, queries, k=k, nprobe=nprobe)
             .withColumnRenamed("adc", "score")
