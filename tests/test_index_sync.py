@@ -415,3 +415,74 @@ def test_jsonl_quarantine_counts_both_legs(spark, tmp_path):
     # query (storage blocks are ContextCleaner-managed instead)
     jcat = spark._jsparkSession.sharedState().cacheManager()
     assert jcat.isEmpty(), "read_jsonl_quarantine must not pin catalog cache"
+
+
+def test_truncate_change_log_retention(spark, tmp_path):
+    """Log retention: batches <= up_to_seq drop; replaying the truncated
+    log onto a pre-image that already includes them reaches the exact
+    state of the full-log replay; dropping the newest batch is refused."""
+    import pytest
+
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        changes_path,
+        incremental_upsert,
+        truncate_change_log,
+    )
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_change_log_sync,
+    )
+
+    src, idx_a = _two_cluster_index(spark, tmp_path, name="idx_trunc_a")
+    log = changes_path(idx_a.path)
+    b1 = spark.createDataFrame(
+        [(3, [0.0, 1.0, 0.0, 3e-3]), (100, [1.0, 0.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    incremental_upsert(spark, idx_a, b1, log_path=log)  # seq 0
+    gone = spark.createDataFrame([(5,)], "vec_id long")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    incremental_upsert(spark, idx_a, empty, deleted=gone, log_path=log)  # seq 1
+    b3 = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0, 0.25])], "vec_id long, embedding array<float>"
+    )
+    incremental_upsert(spark, idx_a, b3, log_path=log)  # seq 2
+
+    # refusal: dropping everything would reset sequence numbering
+    with pytest.raises(ValueError, match="newest batch"):
+        truncate_change_log(spark, log, up_to_seq=2)
+
+    # drop seq 0 (2 rows); seqs 1-2 survive
+    assert truncate_change_log(spark, log, up_to_seq=0) == 2
+    left = spark.read.parquet(log)
+    assert {r.batch_seq for r in left.collect()} == {1, 2}
+
+    # consumer whose pre-image already includes batch 0: replay the
+    # truncated log, must reach idx_a's exact state
+    _, idx_b = _two_cluster_index(spark, tmp_path, name="idx_trunc_b")
+    incremental_upsert(spark, idx_b, b1)  # apply batch 0, NO log
+    post = {r.vec_id: list(r.embedding) for r in src.collect()}
+    post.update({3: [0.0, 1.0, 0.0, 3e-3], 100: [0.0, 1.0, 0.0, 0.25]})
+    post.pop(5)
+    post_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(post.items())],
+        "vec_id long, embedding array<float>",
+    )
+    q = stream_change_log_sync(
+        idx_b, post_df, log, checkpoint_dir=str(tmp_path / "trunc_ckpt")
+    )
+    q.awaitTermination(120)
+
+    def contents(path):
+        return sorted(
+            (r.vec_id, tuple(round(x, 6) for x in r.embedding), r.centroid_id)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert contents(idx_b.path) == contents(idx_a.path)
+    # a NEW logged batch continues the monotone numbering past the
+    # truncation (high-water batch kept => _next_batch_seq unaffected)
+    b4 = spark.createDataFrame(
+        [(101, [1.0, 0.0, 0.0, 0.9])], "vec_id long, embedding array<float>"
+    )
+    incremental_upsert(spark, idx_a, b4, log_path=log)
+    assert spark.read.parquet(log).agg({"batch_seq": "max"}).first()[0] == 3

@@ -502,3 +502,57 @@ def rebalance_ivf_index(
         raise IOError(f"rebalance: could not move staged copy into {index.path}")
     fs.delete(old, True)
     return IvfIndex(index.path, cents, id_col=index.id_col, vec_col=index.vec_col), True
+
+
+def truncate_change_log(
+    spark: SparkSession, log_path: str, up_to_seq: int
+) -> int:
+    """Retention for the self-written change feed: drop log rows with
+    ``batch_seq <= up_to_seq``.  Safe once every consumer's index state
+    already includes those batches — the replay contract
+    (``streaming/index_sync.py::stream_change_log_sync``) starts from a
+    pre-image at least that fresh, and replaying the truncated log onto
+    such a pre-image reaches the exact same state as replaying the full
+    log onto the original (asserted in tests/test_index_sync.py).
+
+    Refuses to drop the NEWEST batch: an emptied log would reset
+    ``_next_batch_seq`` to 0 and re-issue already-used sequence numbers —
+    ``max_by(op, batch_seq)`` replay ordering would then be ambiguous
+    between old and new epochs.  Keeping at least the high-water batch
+    preserves the monotone seq contract through any retention schedule.
+
+    Rewrite is the staged-swap protocol (stage sibling + aside rename,
+    same as ``layout.compact_files``): a complete log copy exists at
+    every step.  Returns the number of rows dropped.
+    """
+    remaining = spark.read.parquet(log_path).where(
+        F.col("batch_seq") > up_to_seq
+    )
+    all_rows = spark.read.parquet(log_path)
+    max_seq_row = all_rows.agg(F.max("batch_seq")).first()
+    max_seq = max_seq_row[0] if max_seq_row[0] is not None else -1
+    if up_to_seq >= max_seq:
+        raise ValueError(
+            f"truncate_change_log: up_to_seq={up_to_seq} would drop the "
+            f"newest batch (max batch_seq={max_seq}) and reset sequence "
+            "numbering; keep at least the high-water batch"
+        )
+    n_total = all_rows.count()
+    # stage the surviving rows, then swap (crash leaves a complete copy)
+    stage = log_path.rstrip("/") + "_truncate_stage"
+    old = log_path.rstrip("/") + "_truncate_old"
+    remaining.localCheckpoint().write.mode("overwrite").parquet(stage)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p, s, o = hpath(log_path), hpath(stage), hpath(old)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(o):  # leftover from an interrupted previous truncate
+        fs.delete(o, True)
+    if not fs.rename(p, o):
+        raise IOError(f"truncate_change_log: could not move {log_path} aside")
+    if not fs.rename(s, p):
+        fs.rename(o, p)  # roll back
+        raise IOError(f"truncate_change_log: could not move staged copy in")
+    fs.delete(o, True)
+    return n_total - spark.read.parquet(log_path).count()

@@ -942,6 +942,8 @@ _VACUUM_DIR_PATTERNS = (
     _re.compile(r"^\.compact_old__"),
     _re.compile(r"_rebuild_stage$"),      # rebalance_ivf_index staging
     _re.compile(r"_rebuild_old$"),
+    _re.compile(r"_truncate_stage$"),     # truncate_change_log staging
+    _re.compile(r"_truncate_old$"),
     _re.compile(r"^_temporary$"),         # crashed Spark write job attempts
 )
 _VACUUM_FILE_PATTERN = _re.compile(r"\.tmp-\d+$")  # write_wet attempt files
