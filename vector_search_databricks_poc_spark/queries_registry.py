@@ -3817,7 +3817,7 @@ perdoc AS (
 SELECT COUNT(*) AS n_docs,
        SUM(CASE WHEN dup_line_frac > 0.30 OR dup_para_frac > 0.30
                  OR top_2gram_char_frac > 0.20 OR dup_5gram_char_frac > 0.15
-                 OR alpha_word_frac < 0.80 THEN 1 ELSE 0 END) AS n_would_drop,
+                 OR alpha_word_frac < 0.80 THEN 1 ELSE 0 END)::BIGINT AS n_would_drop,
        ROUND(AVG(dup_line_frac), 5) AS avg_dup_line_frac,
        ROUND(AVG(dup_para_frac), 5) AS avg_dup_para_frac,
        ROUND(AVG(top_2gram_char_frac), 5) AS avg_top_2gram_char_frac,
@@ -3979,11 +3979,11 @@ docs AS (
          COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.n_dropped, 0) AS n_dropped
   FROM base b LEFT JOIN rebuilt r USING (doc_id)
 )
-SELECT SUM(CASE WHEN contains(text, 'shared legal disclaimer') THEN 1 ELSE 0 END) AS disclaimer_survivors,
-       SUM(CASE WHEN contains(text, 'promo block') THEN 1 ELSE 0 END) AS promo_survivors,
-       SUM(n_kept) AS paras_kept,
-       SUM(n_dropped) AS paras_dropped,
-       SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS nonempty_docs,
+SELECT SUM(CASE WHEN contains(text, 'shared legal disclaimer') THEN 1 ELSE 0 END)::BIGINT AS disclaimer_survivors,
+       SUM(CASE WHEN contains(text, 'promo block') THEN 1 ELSE 0 END)::BIGINT AS promo_survivors,
+       SUM(n_kept)::BIGINT AS paras_kept,
+       SUM(n_dropped)::BIGINT AS paras_dropped,
+       SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)::BIGINT AS nonempty_docs,
        COUNT(*) AS n_docs
 FROM docs
 """
