@@ -229,3 +229,34 @@ def test_postfilter_batch_hits_per_query(spark, emb, ivf):
         )[::-1][: len(rows)]
         kept = sorted(((r["score"], r["vec_id"]) for r in rows))[::-1]
         assert kept == orig
+
+
+def test_postfilter_meta_id_rename_binds_filters_to_meta_columns(spark, emb, ivf):
+    """meta_id_col != index.id_col with a filter key that collides with
+    index.id_col: the predicate must bind to META's own column, not the
+    renamed id (r6 ADVICE — the old code projected the id first and
+    resolved the filter through the Project)."""
+    n = emb.count()
+    q = _qv(emb, 0)
+    # meta keyed by doc_id; its OWN vec_id column is the parity flag
+    meta = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") % 2).alias("vec_id"),
+        "label",
+    )
+    hits = ivf_search_filtered(
+        spark, ivf, q, meta, {"vec_id": 1}, k=10, nprobe=4,
+        strategy="postfilter", over_fetch=(n // 10) + 1,
+        meta_id_col="doc_id",
+    ).collect()
+    got = [r["vec_id"] for r in hits]
+    assert len(got) == 10
+    assert all(v % 2 == 1 for v in got)  # odd doc ids only
+    # exact answer over the odd half for the same deep fetch
+    expect = [
+        r["vec_id"]
+        for r in filtered_top_k(
+            emb.where(F.col("vec_id") % 2 == 1), q, {}, k=10
+        ).collect()
+    ]
+    assert got == expect

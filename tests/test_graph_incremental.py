@@ -107,7 +107,10 @@ def test_insert_below_watermark_is_noop(spark, inserted, split, emb):
         tuple(r)
         for r in spark.read.parquet(idx.path).select("vec_id", "neighbors").collect()
     )
-    assert insert_into_graph(spark, idx, first) == 0
+    res = insert_into_graph(spark, idx, first)
+    assert res == 0
+    # discarded updates are reported, never silent (r6 ADVICE)
+    assert res.skipped == first.count()
     after = sorted(
         tuple(r)
         for r in spark.read.parquet(idx.path).select("vec_id", "neighbors").collect()
@@ -159,7 +162,9 @@ def test_insert_skips_null_and_missized_vectors(spark, emb, tmp_path):
         [(1000, None), (1001, [1.0, 2.0]), (1002, [float(i) for i in range(dim)])],
         f"vec_id long, embedding array<float>",
     )
-    assert insert_into_graph(spark, idx, bad) == 1
+    res = insert_into_graph(spark, idx, bad)
+    assert res == 1
+    assert res.skipped == 2  # null vec + wrong dim, reported not silent
     rows = spark.read.parquet(idx.path)
     assert rows.where(F.col("vec_id").isin(1000, 1001)).count() == 0
     assert rows.where(F.col("vec_id") == 1002).count() == 1

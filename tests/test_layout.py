@@ -694,3 +694,41 @@ def test_vacuum_scratch_missing_root_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="does not exist"):
         vacuum_scratch(spark, str(tmp_path / "nope"))
+
+
+def test_vacuum_scratch_spares_temporary_with_fresh_attempts(spark, tmp_path):
+    """A live Spark write refreshes mtimes only in _temporary's nested
+    task-attempt subdirs — the top-level _temporary stays stale, so aging
+    it by its own mtime would delete an in-flight job's files and fail it
+    at commit (r6 ADVICE).  The vacuum must age the NEWEST entry in the
+    subtree instead."""
+    import os
+    import time
+
+    from vector_search_databricks_poc_spark.operators.layout import vacuum_scratch
+
+    root = tmp_path / "store"
+    table = root / "idx"
+    spark.range(10).write.parquet(str(table))
+
+    old = time.time() - 7 * 86400
+    live = table / "_temporary"
+    attempt = live / "0" / "_temporary" / "attempt_0001_m_000000_0"
+    attempt.mkdir(parents=True)
+    taskfile = attempt / "part-00000.parquet"
+    taskfile.write_bytes(b"z" * 32)  # freshly written by a running task
+    # stale everywhere EXCEPT the task file the running attempt just wrote
+    for d in (live, live / "0", live / "0" / "_temporary", attempt):
+        os.utime(d, (old, old))
+
+    report = vacuum_scratch(spark, str(root), min_age_seconds=86400)
+    assert not report["removed"], report["removed"]
+    assert taskfile.exists()
+
+    # once the whole subtree is aged, the crash litter does go
+    os.utime(taskfile, (old, old))
+    for d in (live, live / "0", live / "0" / "_temporary", attempt):
+        os.utime(d, (old, old))
+    report2 = vacuum_scratch(spark, str(root), min_age_seconds=86400)
+    assert any(p.endswith("_temporary") for p in report2["removed"])
+    assert not live.exists()

@@ -122,6 +122,16 @@ def test_query_mode_contract(spark, docs, vecs):
     with pytest.raises(ValueError, match="source"):
         similarity_search(
             spark,
+            IvfPqIndex("/nope", [[0.0] * 64], None),
+            docs,
+            "text",
+            query_text="x",
+        )
+    # query_text at a dim that doesn't match the index's centroids must
+    # fail up front, not deep inside zip_with (r6 ADVICE)
+    with pytest.raises(ValueError, match="centroid"):
+        similarity_search(
+            spark,
             IvfPqIndex("/nope", [[0.0] * 32], None),
             docs,
             "text",
@@ -166,3 +176,36 @@ def test_hybrid_contract_errors(spark, docs, vecs):
             spark, vecs, docs, "text", query_vector=[0.0] * 32,
             query_type="hybrid", dim=32,
         )
+
+
+def test_brute_filters_prefilter_fills_k(spark, docs, vecs):
+    """Brute DataFrame corpus + filters must dispatch to an exact
+    prefiltered scan: a selective filter that would gut the over-fetch
+    candidate list still fills k, and the answer equals exact top-k over
+    the filtered corpus (r6 ADVICE — the old over-fetch+postfilter path
+    could under-fill)."""
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    target = docs.where(F.col("doc_id") == 42).first()
+    # only every 17th doc survives — over_fetch*k unfiltered candidates
+    # would mostly die
+    filters = {"doc_id >=": 100}
+    allowed_vecs = vecs.join(
+        docs.where(F.col("doc_id") >= 100).select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    qv = [float(x) for x in vecs.where(F.col("vec_id") == 42).first()["embedding"]]
+    expect = [
+        r["vec_id"]
+        for r in top_k_similar(allowed_vecs, qv, k=10, id_col="vec_id").collect()
+    ]
+    got = similarity_search(
+        spark, vecs, docs, "text", query_vector=qv,
+        num_results=10, filters=filters, dim=32, over_fetch=1,
+    ).collect()
+    assert len(got) == 10  # fills k even at over_fetch=1
+    assert [r["vec_id"] for r in got] == expect
+    assert all(r["vec_id"] >= 100 for r in got)

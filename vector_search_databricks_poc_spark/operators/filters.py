@@ -224,12 +224,17 @@ def ivf_search_filtered(
     idc = meta_id_col or index.id_col
     if strategy == "postfilter":
         hits = index.search(spark, query_vector, k=over_fetch * k, nprobe=nprobe)
-        return postfilter_hits(
-            hits,
-            meta.select(F.col(idc).alias(index.id_col)),
-            filters,
-            k,
-            id_col=index.id_col,
+        # Filter BEFORE projecting/renaming the id: projecting first only
+        # worked via Spark's missing-reference resolution through the
+        # Project, and when meta_id_col != index.id_col a filter key named
+        # index.id_col would silently bind to the RENAMED meta id.
+        allowed_ids = meta.where(filter_expr(filters)).select(
+            F.col(idc).alias(index.id_col)
+        )
+        return (
+            hits.join(allowed_ids, index.id_col, "left_semi")
+            .orderBy(F.desc("score"), F.col(index.id_col))
+            .limit(k)
         )
     allowed = meta.where(filter_expr(filters)).select(
         F.col(idc).alias(index.id_col)

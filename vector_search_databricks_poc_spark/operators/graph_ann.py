@@ -490,6 +490,21 @@ class GraphIndex:
         )
 
 
+class GraphInsertResult(int):
+    """Inserted-node count that also carries how many source rows were
+    NOT inserted (``.skipped``: at/below the id watermark, failed the
+    dimension guard, or collapsed by in-batch id dedup).  An ``int``
+    subclass so existing ``== n`` call sites keep working while sync
+    operators can detect discarded updates."""
+
+    skipped: int = 0
+
+    def __new__(cls, inserted: int, skipped: int = 0):
+        obj = super().__new__(cls, inserted)
+        obj.skipped = int(skipped)
+        return obj
+
+
 def insert_into_graph(
     spark: SparkSession,
     index: GraphIndex,
@@ -497,7 +512,7 @@ def insert_into_graph(
     ef: int = 32,
     nprobe: int = 2,
     assign_n: int = 2,
-) -> int:
+) -> GraphInsertResult:
     """Append new vectors into an existing graph index — HNSW-style
     search-based insertion (Malkov & Yashunin 2016 §4: insert = search
     for neighbors, connect, re-prune), batched over Spark:
@@ -519,8 +534,11 @@ def insert_into_graph(
        the ``_meta`` file is rewritten.
 
     Centroids are NOT refit (IVF-append contract) — rebuild or rebalance
-    when drift demands it.  Returns the number of nodes inserted;
-    ``index.entries`` is updated in place.
+    when drift demands it.  Returns a ``GraphInsertResult`` (``int`` =
+    nodes inserted, ``.skipped`` = source rows discarded by the
+    watermark / dim guard / in-batch dedup — an update or re-embed of an
+    EXISTING id lands in ``.skipped``, never silently); ``index.entries``
+    is updated in place.
     """
     from .incremental import high_watermark
 
@@ -528,6 +546,7 @@ def insert_into_graph(
     scan = spark.read.parquet(index.path)
     wm = high_watermark(spark, index.path, id_col)  # bounded metadata
     dim = len(index.centroids[0])
+    total = source.count()  # micro-batch-sized; needed to report skips
     fresh = source.where(V.vec_dim_ok(vec_col, dim))
     if wm is not None:
         fresh = fresh.where(F.col(id_col) > wm)
@@ -540,7 +559,7 @@ def insert_into_graph(
     ).localCheckpoint()
     n = assigned.count()
     if not n:
-        return 0
+        return GraphInsertResult(0, skipped=total)
 
     # 2. new -> existing: search-based neighbor discovery, exact scores
     q = assigned.select(
@@ -694,4 +713,4 @@ def insert_into_graph(
             "vec_col": vec_col,
         },
     )
-    return n
+    return GraphInsertResult(n, skipped=total - n)

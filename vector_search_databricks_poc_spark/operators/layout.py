@@ -949,6 +949,22 @@ _VACUUM_DIR_PATTERNS = (
 _VACUUM_FILE_PATTERN = _re.compile(r"\.tmp-\d+$")  # write_wet attempt files
 
 
+def _subtree_max_mtime(fs, path, floor_ms: float) -> float:
+    """Newest modification time anywhere under ``path`` (inclusive).
+    Metadata-only walk; used to age `_temporary` dirs whose top-level
+    mtime stays stale while task attempts write underneath."""
+    newest = floor_ms
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            if st.getModificationTime() > newest:
+                newest = st.getModificationTime()
+            if st.isDirectory():
+                stack.append(st.getPath())
+    return newest
+
+
 def vacuum_scratch(
     spark,
     root: str,
@@ -997,7 +1013,14 @@ def vacuum_scratch(
                 if is_dir
                 else bool(_VACUUM_FILE_PATTERN.search(name))
             )
-            if doomed and st.getModificationTime() <= cutoff_ms:
+            age_stamp_ms = st.getModificationTime()
+            if doomed and is_dir and name == "_temporary":
+                # A live Spark write refreshes mtimes only in the nested
+                # task-attempt subdirs (FileOutputCommitter), not on the
+                # top-level _temporary itself — age the NEWEST entry in the
+                # subtree so an in-flight job is never raced at commit.
+                age_stamp_ms = _subtree_max_mtime(fs, p, age_stamp_ms)
+            if doomed and age_stamp_ms <= cutoff_ms:
                 size = (
                     fs.getContentSummary(p).getLength() if is_dir else st.getLen()
                 )

@@ -81,6 +81,18 @@ def similarity_search(
         raise ValueError(f"query_type must be ann|hybrid, got {query_type!r}")
     cols = [columns] if isinstance(columns, str) else list(columns)
     if query_text is not None:
+        # The query must be embedded at the index's dimension — validate
+        # dim against the handle's centroids up front (stream_graph_sync
+        # does the same) instead of failing deep inside zip_with.
+        idx_centroids = getattr(index, "centroids", None)
+        if idx_centroids:
+            cdim = len(idx_centroids[0])
+            if dim != cdim:
+                raise ValueError(
+                    f"dim={dim} does not match the index centroid "
+                    f"dimension {cdim} — embed the query at the dim the "
+                    "index was built with"
+                )
         row = embed_text(
             spark.createDataFrame([(query_text,)], "text string"), dim=dim
         ).first()
@@ -125,7 +137,27 @@ def similarity_search(
         ).select(id_col, F.col("rrf").alias("score"))
     elif isinstance(index, DataFrame):
         id_col = "vec_id"
-        hits = top_k_similar(index, query_vector, k=fetch, id_col=id_col)
+        if filters:
+            # Brute scan + filters: prefilter is EXACT and fills k at the
+            # same single-scan cost, while over-fetch+postfilter can
+            # under-fill below k — semi-join the allowed doc ids into the
+            # corpus before ranking and skip the postfilter entirely.
+            from .filters import filter_expr
+
+            allowed = documents.where(filter_expr(filters)).select(
+                F.col(doc_id_col).alias(id_col)
+            )
+            # No broadcast hint: a permissive filter keeps most ids, and
+            # AQE picks broadcast itself when the survivor set is small.
+            hits = top_k_similar(
+                index.join(allowed, id_col, "left_semi"),
+                query_vector,
+                k=k,
+                id_col=id_col,
+            )
+            filters = None
+        else:
+            hits = top_k_similar(index, query_vector, k=fetch, id_col=id_col)
     elif isinstance(index, GraphIndex):
         id_col = index.id_col
         hits = index.search(

@@ -11,8 +11,12 @@ micro-batch only touches the partitions its rows land in.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from ..functions.embedding import hashing_embedding
 from ..operators.index import IvfIndex, assign_centroid
@@ -163,10 +167,21 @@ def _graph_sync_batch(batch_df: DataFrame, batch_id: int, index) -> None:
         done = set()
     if batch_id in done:
         return  # replayed batch: already inserted
-    insert_into_graph(spark, index, batch_df)
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-        "append"
-    ).parquet(marker_path)
+    res = insert_into_graph(spark, index, batch_df)
+    skipped = int(getattr(res, "skipped", 0))
+    if skipped:
+        # An update/re-embed of an existing id (or a bad vector) was
+        # discarded by the insert's watermark/dim guard — surface it, the
+        # batch is still marked consumed.
+        _LOG.warning(
+            "stream_graph_sync batch %s: inserted %d, skipped %d rows "
+            "(at/below watermark, dim-guard, or in-batch dup)",
+            batch_id, int(res), skipped,
+        )
+    spark.createDataFrame(
+        [(int(batch_id), int(res), skipped)],
+        "batch_id long, inserted long, skipped long",
+    ).write.mode("append").parquet(marker_path)
 
 
 def stream_change_log_sync(
