@@ -325,10 +325,10 @@ class GraphIndex:
         family's search/batch_search split).
 
         Eager by contract (an iterative driver loop, like
-        ``connected_components``): each hop runs a convergence count and a
-        tiny partition-list collect; data-plane state stays distributed and
-        localCheckpoint'd.  Returns the final (id, score) top-k, ordered
-        score desc, ties on id."""
+        ``connected_components``): each hop is one shuffle-free
+        partition-pruned scan job; the frontier bookkeeping lives on the
+        driver (bounded by ef × deg × hops tuples).  Returns the final
+        (id, score) top-k, ordered score desc, ties on id."""
         q = spark.createDataFrame(
             [(0, [float(x) for x in query_vector])],
             "query_id long, query_vec array<double>",
@@ -357,14 +357,23 @@ class GraphIndex:
         serial driver-loop depth — amortizes across the whole query batch
         instead of multiplying by it.
 
-        Per hop: rank the per-query state (window by query id), expand each
-        query's top-``ef`` unexpanded nodes through their neighbor structs,
-        anti-join out (query, id) pairs already scored, then fetch exactly
-        the NEW ids via one partition-pruned scan of the graph table
-        (partition list = the hop's distinct ``nbr_centroid`` values,
-        bounded driver metadata) and score them against the broadcast query
-        side.  State is O(queries × ef × hops) rows and localCheckpoint'd
-        per hop to keep lineage flat.
+        Per hop (exactly TWO Spark jobs — the serial loop's cost is job
+        count, not data volume): (1) rank the per-query state (window by
+        query id), expand each query's top-``ef`` unexpanded nodes through
+        their neighbor structs, anti-join out (query, id) pairs already
+        scored, and collect the surviving candidate tuples — bounded by
+        queries × ef × deg, the same volume the fetch join broadcasts
+        through the driver regardless (for million-query batches, shard
+        the query batch); (2) fetch exactly the NEW ids via one
+        partition-pruned scan of the graph table (partition list = the
+        hop's distinct ``nbr_centroid`` values, now free driver metadata)
+        and checkpoint the unioned state.  A query whose hop proposes NO
+        unseen candidates can never change its beam again (scores are
+        fixed, new rows only worsen existing ranks), so it retires
+        immediately: its top-k is set aside lazily and later hops' windows
+        and explodes carry only still-moving queries.  State stays
+        O(active queries × ef × hops) rows and localCheckpoint'd per hop
+        to keep lineage flat.
 
         Returns (query_id, id, score, rank) with rank ≤ k per query,
         ordered within a query by score desc, ties on id."""
@@ -412,14 +421,19 @@ class GraphIndex:
 
         scan = spark.read.parquet(self.path)
 
-        def fetch(pairs: DataFrame) -> DataFrame | None:
-            """Score the (query, candidate) pairs: one partition-pruned
-            scan for the candidate rows, pair/query sides broadcast (both
-            are bounded by queries × ef × deg)."""
-            # bounded metadata: the hop's partition list (≤ k_centroids ints)
-            parts = [r["_cent"] for r in pairs.select("_cent").distinct().collect()]
-            if not parts:
-                return None
+        import pandas as pd
+
+        def fetch(pair_rows: list) -> pd.DataFrame:
+            """ONE shuffle-free distributed job per hop: partition-pruned
+            scan for the candidate rows, broadcast joins, dot scores
+            computed executor-side (bit-identical to every other index
+            family's scoring), and the bounded (≤ batch × ef × deg)
+            result Arrow-batched back to the driver."""
+            parts = sorted({c for _, _, c in pair_rows})
+            pairs = spark.createDataFrame(
+                pd.DataFrame(pair_rows, columns=["_qid", "_cand", "_cent"]),
+                "_qid long, _cand long, _cent int",
+            )
             cand_ids = pairs.select(F.col("_cand").alias(self.id_col)).distinct()
             rows = (
                 scan.where(F.col("centroid_id").isin(parts))
@@ -427,62 +441,85 @@ class GraphIndex:
                 .select(idc, "neighbors", F.col(self.vec_col).alias("_v"))
             )
             return (
-                pairs.select("_qid", F.col("_cand").alias(self.id_col))
+                F.broadcast(pairs.select("_qid", F.col("_cand").alias(self.id_col)))
                 .join(rows, self.id_col)
                 .join(F.broadcast(qn), "_qid")
                 .select(
-                    "_qid", idc, "neighbors", V.dot("_v", "_qv").alias("_score")
-                )
-                .withColumn("_expanded", F.lit(False))
-            )
-
-        first = fetch(seeds)
-        if first is None:
-            raise ValueError(f"index at {self.path} resolved no entry seeds")
-        state = first.localCheckpoint(eager=True)
-        w = Window.partitionBy("_qid").orderBy(F.desc("_score"), idc)
-        for _ in range(max_hops):
-            ranked = state.withColumn("_r", F.row_number().over(w))
-            frontier = ranked.where(~F.col("_expanded") & (F.col("_r") <= ef))
-            # one hop = one candidate set: the checkpoint is deliberate —
-            # nbrs is consumed twice (partition-list collect + fetch join)
-            # and letting it recompute lazily re-runs the distinct and
-            # anti-join shuffles per consumer (measured ~8% SLOWER at
-            # sf0.1 than materializing once)
-            nbrs = (
-                frontier.select("_qid", F.explode("neighbors").alias("_nb"))
-                .select(
                     "_qid",
-                    F.col("_nb.nbr_id").alias("_cand"),
-                    F.col("_nb.nbr_centroid").alias("_cent"),
+                    idc,
+                    V.dot("_v", "_qv").alias("_score"),
+                    F.transform("neighbors", lambda s: s["nbr_id"]).alias("_nids"),
+                    F.transform("neighbors", lambda s: s["nbr_centroid"]).alias(
+                        "_ncents"
+                    ),
                 )
-                .distinct()
-                .join(
-                    state.select("_qid", idc.alias("_cand")),
-                    ["_qid", "_cand"],
-                    "left_anti",
-                )
-                .localCheckpoint(eager=True)
+                .toPandas()
             )
-            expanded = ranked.select(
-                "_qid",
-                idc,
-                "neighbors",
-                "_score",
-                (F.col("_expanded") | (F.col("_r") <= ef)).alias("_expanded"),
-            )
-            fresh = fetch(nbrs)
-            if fresh is None:
-                state = expanded.localCheckpoint(eager=True)
-                break  # no beam reaches anything new: all queries converged
-            state = expanded.unionByName(fresh).localCheckpoint(eager=True)
 
-        out_score = F.col("_score")
-        if score_decimals is not None:
-            out_score = F.round(out_score, score_decimals)
-        scored = state.select(
-            F.col("_qid").alias(query_id_col), idc, out_score.alias("score")
+        # ≤ batch × nprobe tuples — the hop loop's driver-side bound class
+        seed_rows = [
+            (r["_qid"], r["_cand"], r["_cent"]) for r in seeds.collect()
+        ]
+        if not seed_rows:
+            raise ValueError(f"index at {self.path} resolved no entry seeds")
+
+        # Driver-side beam bookkeeping: sets and sorts over ≤ batch × ef ×
+        # deg × hops tuples — the SAME volume the fetch join broadcasts
+        # through the driver regardless, so this adds no new scale bound
+        # (shard million-query batches).  Scoring and scanning stay in
+        # Spark; only the sequential frontier logic (inherently tiny and
+        # serial — it IS the hop loop) moves out of per-hop shuffle jobs.
+        beams: dict[int, list] = {}      # qid -> [(fp_score, id), ...]
+        expanded: dict[int, set] = {}    # qid -> expanded node ids
+        seen: dict[int, set] = {}        # qid -> proposed-or-scored ids
+        nbrs_of: dict[int, list] = {}    # node id -> [(nbr_id, nbr_cent)]
+
+        pending = seed_rows
+        for qid, cand, _ in pending:
+            seen.setdefault(qid, set()).add(cand)
+        for _ in range(max_hops + 1):  # seeds score on iteration 0
+            if not pending:
+                break  # every query converged: no beam reaches anything new
+            fetched = fetch(pending)
+            for qid, nid, score, nids, ncents in zip(
+                fetched["_qid"], fetched[self.id_col], fetched["_score"],
+                fetched["_nids"], fetched["_ncents"],
+            ):
+                beams.setdefault(int(qid), []).append((float(score), int(nid)))
+                if nid not in nbrs_of:
+                    nbrs_of[int(nid)] = list(
+                        zip((int(x) for x in nids), (int(x) for x in ncents))
+                    )
+            # next frontier: per query, expand the top-ef unexpanded nodes
+            # (full-precision score desc, ties on id — the exact ordering
+            # the window gave) and propose their unseen neighbors
+            pending = []
+            for qid, rows_ in beams.items():
+                rows_.sort(key=lambda t: (-t[0], t[1]))
+                exp = expanded.setdefault(qid, set())
+                sn = seen[qid]
+                for fp, nid in rows_[:ef]:
+                    if nid in exp:
+                        continue
+                    exp.add(nid)
+                    for nb, nc in nbrs_of.get(nid, ()):
+                        if nb not in sn:
+                            sn.add(nb)
+                            pending.append((qid, nb, nc))
+
+        out_rows = [
+            (qid, nid, fp) for qid, rows_ in beams.items() for fp, nid in rows_
+        ]
+        scored = spark.createDataFrame(
+            pd.DataFrame(
+                out_rows, columns=[query_id_col, self.id_col, "score"]
+            ),
+            f"{query_id_col} long, {self.id_col} long, score double",
         )
+        if score_decimals is not None:
+            scored = scored.withColumn(
+                "score", F.round(F.col("score"), score_decimals)
+            )
         wk = Window.partitionBy(query_id_col).orderBy(F.desc("score"), idc)
         return (
             scored.withColumn("rank", F.row_number().over(wk))
