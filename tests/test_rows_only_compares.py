@@ -1119,3 +1119,37 @@ def test_bloom_point_lookup_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_exact_substring_dedup_pathological_self_dup_doc(spark):
+    """A fully self-duplicated long doc (one block looping for thousands
+    of tokens) must vanish to '' — and the interval-union rebuild merges
+    its thousands of duplicated window starts into ONE covered range
+    instead of probing every token against every span (the r6 watch item:
+    the old per-position F.exists rebuild was O(tokens × spans))."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    L = 50
+    block = " ".join(f"w{i}" for i in range(L))
+    looped = " ".join([block] * 40)  # 2000 tokens, every window duplicated
+    df = spark.createDataFrame(
+        [
+            (1, looped),
+            (2, looped),
+            # interleaved: unique prose around two copies of the block
+            (3, "intro text here " + block + " middle part " + block + " outro"),
+            (4, "totally unique document with nothing repeated inside it"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, window_tokens=L).collect()}
+    n = 40 * L
+    assert out[1]["text"] == "" and out[1]["n_tokens_kept"] == 0
+    assert out[1]["n_tokens_removed"] == n
+    assert out[1]["n_dup_spans"] == n - L + 1  # every start, merged to 1 range
+    assert out[2]["text"] == ""
+    assert out[3]["text"] == "intro text here middle part outro"
+    assert out[3]["n_tokens_removed"] == 2 * L
+    assert out[4]["n_tokens_removed"] == 0

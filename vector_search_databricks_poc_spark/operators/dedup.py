@@ -1027,9 +1027,12 @@ def exact_substring_dedup(
     3. left-semi join windows against the >=min_count set on (h1, h2)
        [AQE co-partitions with the count shuffle; a mega-duplicated
        window is a hot key here — AQE skew-join splits it].
-    4. per doc: collect duplicated window starts (small), mark covered
-       token positions [start, start+L), rebuild the text from uncovered
-       tokens — pure expressions, one narrow shuffle on doc_id.
+    4. per doc: collect duplicated window starts (small), merge them into
+       disjoint covered intervals (sorted same-length spans merge with one
+       predecessor comparison each), and rebuild the text by slicing the
+       UNCOVERED gaps between intervals — O(tokens + spans) pure
+       expressions (a fully self-duplicated doc merges to ONE interval),
+       one narrow shuffle on doc_id.
 
     Cost honesty: step 1 hashes O(n_tokens x L) bytes (map-parallel CPU,
     no shuffle amplification) and step 2 shuffles ~one row per corpus
@@ -1090,17 +1093,66 @@ def exact_substring_dedup(
         "_dup_starts", F.coalesce("_dup_starts", F.array().cast("array<int>"))
     )
     tok2 = _toks(text_col)
-    covered = lambda p: F.exists(  # noqa: E731
-        F.col("_dup_starts"), lambda s: (p >= s) & (p < s + L)
+    # Interval-union rebuild, O(tokens + spans): starts are sorted and all
+    # spans share length L, so a start opens a NEW covered interval iff it
+    # sits more than L past its immediate predecessor (the running
+    # interval's hi always tracks the last start).  Kept text = the gaps
+    # between merged intervals, sliced straight out of the token array —
+    # a pathologically self-duplicated doc merges to ONE interval instead
+    # of exploding into per-position F.exists probes (O(tokens × spans)).
+    s_arr = F.col("_dup_starts")
+    heads = F.filter(
+        s_arr,
+        lambda s, i: F.when(i == 0, F.lit(True)).otherwise(
+            # 1-based element i == 0-based predecessor of i
+            (s - F.element_at(s_arr, i)) > F.lit(L)
+        ),
     )
-    indexed = F.transform(tok2, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
-    kept = F.filter(indexed, lambda s: ~covered(s["i"]))
-    return out.select(
-        id_col,
-        F.coalesce(
-            F.array_join(F.transform(kept, lambda s: s["t"]), " "), F.lit("")
-        ).alias(text_col),
-        F.coalesce(F.size(kept), F.lit(0)).alias("n_tokens_kept"),
-        F.coalesce(F.size(tok2) - F.size(kept), F.lit(0)).alias("n_tokens_removed"),
-        F.size("_dup_starts").alias("n_dup_spans"),
+    tails = F.filter(
+        s_arr,
+        lambda s, i: F.when(i == F.size(s_arr) - 1, F.lit(True)).otherwise(
+            (F.element_at(s_arr, i + 2) - s) > F.lit(L)
+        ),
+    )
+    ranges = F.zip_with(
+        heads, tails, lambda lo, t: F.struct(lo.alias("lo"), (t + L).alias("hi"))
+    )
+    n2 = F.size(tok2)
+    gaps = F.transform(
+        F.sequence(F.lit(0), F.size(ranges)),
+        lambda j: F.struct(
+            F.when(j == 0, F.lit(0))
+            .otherwise(F.element_at(ranges, j)["hi"])
+            .alias("lo"),
+            F.when(j == F.size(ranges), n2)
+            .otherwise(F.element_at(ranges, j + 1)["lo"])
+            .alias("hi"),
+        ),
+    )
+    # NB: gaps/kept are materialized as named columns, NOT inlined into
+    # each output expression — duplicating this nested-HOF tree across
+    # select items trips a Catalyst mis-evaluation (size() of the
+    # duplicated copy came back wrong while array_join of its twin was
+    # right; single-instance column references are immune).
+    kept = F.flatten(
+        F.transform(
+            F.col("_gaps"),
+            lambda g: F.when(
+                g["hi"] > g["lo"],
+                F.slice(tok2, g["lo"] + 1, g["hi"] - g["lo"]),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        out.withColumn("_gaps", gaps)
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.coalesce(F.array_join("_kept", " "), F.lit("")).alias(text_col),
+            F.coalesce(F.size("_kept"), F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce(F.size(tok2) - F.size("_kept"), F.lit(0)).alias(
+                "n_tokens_removed"
+            ),
+            F.size("_dup_starts").alias("n_dup_spans"),
+        )
     )
