@@ -22,8 +22,8 @@ assert E.entry(spark).count() > 0
 sf = "/root/testdata/sf0.001"
 con = duck_connection(sf)
 # events-dependent queries are the config-sensitive ones + a vector query
-for name in ["event_window_suite", "tumbling_sliding_window", "session_windows",
-             "topk_cosine_search", "pricing_summary"]:
+for name in ["event_window_suite", "stream_window_suite",
+             "topk_cosine_search", "agg_stats_suite"]:
     r = compare(E.queries()[name](spark, sf), con, E.oracle_sql()[name])
     assert r["values_match"], (name, r)
 print("DRIVER_SIM_OK")

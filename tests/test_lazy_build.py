@@ -25,6 +25,8 @@ from tests.conftest import SF_DIR
 #    driver-side convergence loop (count per round) IS the algorithm
 EAGER_BY_CONTRACT = {
     "ivf_index_search",
+    "graph_exact_search",  # graph build + beam hop loop + driver-side
+    #   query-vector fetch (the exact-rescore projection itself is lazy)
     "graph_index_search",  # graph build (CREATE INDEX analog) + beam-search
     #   driver loop (like near_dup_pairs_components: per-hop convergence
     #   count IS the algorithm)

@@ -76,7 +76,7 @@ def test_codegen_alive_on_relational_path(spark, sf_dir):
     # explain; plan once without it to assert codegen coverage.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df = QUERIES["pricing_summary"](spark, sf_dir)
+        df = R.pricing_summary(spark, sf_dir)
         assert A.whole_stage_codegen_spans(df) >= 1, A.plan_string(df, "simple")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -308,25 +308,9 @@ def join_anti(spark, sf_dir):
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
 
 
-@register(
-    "join_semi_anti",
-    """
-    SELECT 'semi' AS kind, c_mktsegment AS grp, COUNT(*) AS n
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
-    GROUP BY c_mktsegment
-    UNION ALL
-    SELECT 'anti' AS kind, c.c_name AS grp, CAST(c.c_custkey AS BIGINT) AS n
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-    """,
-)
 def join_semi_anti(spark, sf_dir):
-    """B14 semi + anti joins, one declared query (both legs exercised,
-    tagged by kind — consolidation keeps every oracle query inside the
-    driver's 50-slot check window)."""
+    """B14 semi + anti joins, tagged by kind.  Oracle-checked inside
+    ``join_variants_suite`` since the r7 window rotation."""
     semi = join_semi(spark, sf_dir).select(
         F.lit("semi").alias("kind"),
         F.col("c_mktsegment").alias("grp"),
@@ -355,18 +339,9 @@ def join_range(spark, sf_dir):
     return l.join(o, cond).groupBy("o_orderpriority").agg(F.count("*").alias("n_fast_items"))
 
 
-@register(
-    "join_outer_coalesce",
-    """
-    SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS n_suppliers,
-           COALESCE({}, 0.0) AS total_bal
-    FROM nation n
-    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """.format(_dsum_sql("s.s_acctbal")),
-)
 def join_outer_coalesce(spark, sf_dir):
-    """B14 left-outer join with null-aware aggregation."""
+    """B14 left-outer join with null-aware aggregation.  Oracle-checked
+    inside ``join_variants_suite`` since the r7 window rotation."""
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -379,29 +354,56 @@ def join_outer_coalesce(spark, sf_dir):
     )
 
 
+@register(
+    "join_variants_suite",
+    """
+    SELECT 'semi' AS kind, c_mktsegment AS grp, COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'anti', c.c_name, CAST(c.c_custkey AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    UNION ALL
+    SELECT 'outer', n.n_name, COUNT(s.s_suppkey),
+           COALESCE({}, 0.0)
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.format(_dsum_sql("s.s_acctbal")),
+)
+def join_variants_suite(spark, sf_dir):
+    """B14 merged oracle slot (r7 window rotation): semi + anti
+    (``join_semi_anti``) and the null-aware left-outer aggregation
+    (``join_outer_coalesce``) as one tagged union — three join strategies
+    through one declared query; each leg keeps its own plan (the union is
+    a no-op above three independent joins)."""
+    sa = join_semi_anti(spark, sf_dir).withColumn(
+        "bal", F.lit(None).cast("double")
+    )
+    outer = join_outer_coalesce(spark, sf_dir).select(
+        F.lit("outer").alias("kind"),
+        F.col("nation").alias("grp"),
+        F.col("n_suppliers").cast("long").alias("n"),
+        F.col("total_bal").alias("bal"),
+    )
+    return sa.unionByName(outer)
+
+
 # ---------------------------------------------------------------------------
 # B15: aggregations — hash agg, distinct, rollup/cube/grouping sets
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "pricing_summary",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity')} AS sum_qty,
-           {_dsum_sql('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
 def pricing_summary(spark, sf_dir):
     """B15 (TPC-H Q1 shape): partial+final hash aggregation; decimal-exact
-    money sums, rounded float means."""
+    money sums, rounded float means.  Oracle-checked inside
+    ``agg_stats_suite`` since the r7 window rotation; kept as a module
+    function for plan tests, bench, and the scaling probe."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
@@ -419,24 +421,11 @@ def pricing_summary(spark, sf_dir):
     )
 
 
-@register(
-    "order_status_stats",
-    """
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           ROUND(MIN(o_totalprice), 2) AS min_price,
-           ROUND(MAX(o_totalprice), 2) AS max_price
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
 def order_status_stats(spark, sf_dir):
     """B15: exact distinct aggregation (expand + two-phase agg) + exact
     interpolated percentiles (median/p90) per group — one aggregation
-    pass (merged r1 queries count_distinct + percentiles)."""
+    pass (merged r1 queries count_distinct + percentiles).  Oracle-checked
+    inside ``agg_stats_suite`` since the r7 window rotation."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -449,6 +438,65 @@ def order_status_stats(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "agg_stats_suite",
+    f"""
+    SELECT 'pricing' AS kind, l_returnflag AS g1, l_linestatus AS g2,
+           {_dsum_sql('l_quantity')} AS num1,
+           {_dsum_sql('l_extendedprice')} AS num2,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS num3,
+           ROUND(AVG(l_quantity), 4) AS num4,
+           ROUND(AVG(l_discount), 6) AS num5,
+           CAST(NULL AS DOUBLE) AS num6,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'status', o_orderstatus, CAST(NULL AS VARCHAR),
+           ROUND(quantile_cont(o_totalprice, 0.5), 4),
+           ROUND(quantile_cont(o_totalprice, 0.9), 4),
+           ROUND(MIN(o_totalprice), 2),
+           ROUND(MAX(o_totalprice), 2),
+           CAST(NULL AS DOUBLE),
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE),
+           COUNT(*)
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_stats_suite(spark, sf_dir):
+    """B15 merged oracle slot (r7 window rotation): the TPC-H Q1 pricing
+    aggregation (``pricing_summary``) and the distinct+percentile order
+    stats (``order_status_stats``) as one tagged union over normalized
+    numeric slots; both legs keep their own aggregation plans."""
+    p = pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("kind"),
+        F.col("l_returnflag").alias("g1"),
+        F.col("l_linestatus").alias("g2"),
+        F.col("sum_qty").alias("num1"),
+        F.col("sum_base_price").alias("num2"),
+        F.col("sum_disc_price").alias("num3"),
+        F.col("avg_qty").alias("num4"),
+        F.col("avg_disc").alias("num5"),
+        F.lit(None).cast("double").alias("num6"),
+        F.col("count_order").alias("cnt"),
+    )
+    s = order_status_stats(spark, sf_dir).select(
+        F.lit("status").alias("kind"),
+        F.col("o_orderstatus").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        F.col("median_price").alias("num1"),
+        F.col("p90_price").alias("num2"),
+        F.col("min_price").alias("num3"),
+        F.col("max_price").alias("num4"),
+        F.lit(None).cast("double").alias("num5"),
+        F.col("n_customers").cast("double").alias("num6"),
+        F.col("n_orders").alias("cnt"),
+    )
+    return p.unionByName(s)
 
 
 def approx_distinct(spark, sf_dir):
@@ -716,24 +764,9 @@ def set_ops(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "scalar_date_math",
-    """
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INTEGER) AS yr,
-           CAST(month(o_orderdate) AS INTEGER) AS mo,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
-           ROUND(abs(o_totalprice - 200000.0), 2) AS dist_from_200k,
-           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
-           ROUND(ln(o_totalprice), 6) AS log_price,
-           CASE WHEN o_orderpriority LIKE '1-%' THEN 1
-                WHEN o_orderpriority LIKE '2-%' THEN 2 ELSE 9 END AS prio_class
-    FROM orders WHERE o_orderkey < 1000
-    """,
-)
 def scalar_date_math(spark, sf_dir):
-    """B19: date extraction/truncation/diff + math + CASE."""
+    """B19: date extraction/truncation/diff + math + CASE.  Oracle-checked
+    inside ``order_scalar_pivot_suite`` since the r7 window rotation."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
     return o.select(
         "o_orderkey",
@@ -1045,43 +1078,21 @@ QUERIES["ngram_jaccard_dedup"] = ngram_jaccard_dedup
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "term_frequencies",
-    """
-    SELECT token, COUNT(*) AS freq
-    FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
-          FROM documents)
-    GROUP BY token
-    """,
-)
-def term_frequencies_q(spark, sf_dir):
-    """B12: corpus term frequency (explode + partial agg)."""
-    from .operators.text import term_frequencies
+def term_frequencies(spark, sf_dir):
+    """B12: corpus term frequency (explode + partial agg).  Oracle-checked
+    inside ``corpus_term_stats`` since the r7 window rotation; kept as a
+    module function for bench regression tracking."""
+    from .operators import text as X
 
-    return term_frequencies(load_table(spark, sf_dir, "documents"))
+    return X.term_frequencies(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_quality_stats",
-    """
-    SELECT doc_id,
-           len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
-           length(text) AS n_chars_check,
-           ROUND(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''),
-                                          t -> length(t)))::DOUBLE
-                 / len(list_filter(string_split(text, ' '), t -> t != '')), 6) AS avg_token_len,
-           ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text), 6) AS ws_ratio,
-           ROUND(len(list_filter(string_split(lower(text), ' '),
-                     t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
-                 / len(list_filter(string_split(lower(text), ' '), t -> t != '')), 6) AS stopword_ratio
-    FROM documents WHERE doc_id < 300
-    """,
-)
 def text_quality_stats(spark, sf_dir):
     """B12: token/char counts, mean token length, whitespace ratio, and the
     stopword-ratio quality signal — all pure expressions from
     operators.text, one scan (merged r1 queries text_stats +
-    stopword_quality)."""
+    stopword_quality).  Oracle-checked inside ``doc_signal_suite`` since
+    the r7 window rotation (same doc_id<300 grain)."""
     from .operators import text as X
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -1096,17 +1107,48 @@ def text_quality_stats(spark, sf_dir):
 
 
 @register(
-    "language_filter_stats",
+    "doc_signal_suite",
     """
-    SELECT lang, source, COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE lang IN ('en', 'fr')
-    GROUP BY lang, source
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+           length(text) AS n_chars_check,
+           ROUND(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+                                          t -> length(t)))::DOUBLE
+                 / len(list_filter(string_split(text, ' '), t -> t != '')), 6) AS avg_token_len,
+           ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text), 6) AS ws_ratio,
+           ROUND(len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))::DOUBLE
+                 / len(list_filter(string_split(lower(text), ' '), t -> t != '')), 6) AS stopword_ratio,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+                              t -> CAST(ascii(substr(t,1,1)) * 7 + length(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents WHERE doc_id < 300
     """,
 )
+def doc_signal_suite(spark, sf_dir):
+    """B12 merged oracle slot (r7 window rotation, freeing slots for the
+    r6 selection family + graph): per-doc quality signals
+    (``text_quality_stats``) and the rolling-hash fingerprint + BPE-ish
+    token count (``doc_fingerprint_tokens``) — same doc_id<300 grain, ONE
+    scan, both legs kept as module functions for their plan/bench uses."""
+    from .operators import text as X
+
+    q = text_quality_stats(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    fp = d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        X.bpe_token_count("text").alias("bpe_ish_tokens"),
+    )
+    return q.join(fp, "doc_id")
+
+
 def language_filter_stats(spark, sf_dir):
-    """B12: language filter + per-source corpus stats."""
+    """B12: language filter + per-source corpus stats.  Oracle-checked
+    inside ``corpus_term_stats`` since the r7 window rotation."""
     from .operators.text import language_filter
 
     d = language_filter(load_table(spark, sf_dir, "documents"), ["en", "fr"])
@@ -1116,24 +1158,48 @@ def language_filter_stats(spark, sf_dir):
 
 
 @register(
-    "doc_fingerprint_tokens",
+    "corpus_term_stats",
     """
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(list_filter(string_split(text, ' '), t -> t != ''),
-                              t -> CAST(ascii(substr(t,1,1)) * 7 + length(t) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
-           len(list_filter(string_split(text, ' '), t -> t != '')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
-    FROM documents WHERE doc_id < 300
+    SELECT 'tf' AS kind, token AS s1, CAST(NULL AS VARCHAR) AS s2,
+           COUNT(*) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+          FROM documents)
+    GROUP BY token
+    UNION ALL
+    SELECT 'lang', lang, source, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    WHERE lang IN ('en', 'fr')
+    GROUP BY lang, source
     """,
 )
+def corpus_term_stats(spark, sf_dir):
+    """B12 merged oracle slot (r7 window rotation): the corpus term
+    frequency table (``term_frequencies``) and the language-filtered
+    per-source stats (``language_filter_stats``) as one tagged union;
+    both legs keep their own explode/agg plans."""
+    tf = term_frequencies(spark, sf_dir).select(
+        F.lit("tf").alias("kind"),
+        F.col("token").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("freq").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+    )
+    lf = language_filter_stats(spark, sf_dir).select(
+        F.lit("lang").alias("kind"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("total_chars").cast("long").alias("n2"),
+    )
+    return tf.unionByName(lf)
+
+
 def doc_fingerprint_tokens(spark, sf_dir):
     """B12: polynomial rolling-hash document fingerprint (engine-portable —
     no murmur/xxhash — so the oracle can recompute it) + token counting two
     ways (whitespace and a BPE-ish regex, the LLM-pipeline cost signal) —
-    merged r1 queries doc_fingerprint + token_counting."""
+    merged r1 queries doc_fingerprint + token_counting.  Oracle-checked
+    inside ``doc_signal_suite`` since the r7 window rotation."""
     from .operators import text as X
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -1248,29 +1314,11 @@ def sliding_window(spark, sf_dir):
     return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
 
 
-@register(
-    "tumbling_sliding_window",
-    """
-    SELECT 'tumble' AS kind, date_trunc('hour', ts::TIMESTAMP) AS win_start,
-           event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY win_start, event_type
-    UNION ALL
-    SELECT 'slide', win_start, CAST(NULL AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
-    FROM (
-      SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL (k * 30) MINUTE AS win_start,
-             ts::TIMESTAMP AS ts
-      FROM events, (SELECT unnest([0, 1]) AS k)
-    )
-    WHERE ts < win_start + INTERVAL '1 hour'
-    GROUP BY win_start
-    """,
-)
 def tumbling_sliding_window(spark, sf_dir):
     """B20 batch event-time windows, tumbling + sliding legs tagged by kind
     (merged r1 queries tumbling_window + sliding_window; the streaming
-    twins remain rows-only declared queries)."""
+    twins remain rows-only declared queries).  Oracle-checked inside
+    ``stream_window_suite`` since the r7 window rotation."""
     tum = tumbling_window(spark, sf_dir).select(
         F.lit("tumble").alias("kind"), "win_start", "event_type", "n_events", "sum_value"
     )
@@ -1284,12 +1332,39 @@ def tumbling_sliding_window(spark, sf_dir):
     return tum.unionByName(sli)
 
 
+def session_windows(spark, sf_dir):
+    """B20 batch sessionization (30-min gap) — lag + cumulative-sum rewrite;
+    the streaming twin uses native session_window (pytest equivalence).
+    Oracle-checked inside ``stream_window_suite`` since the r7 window
+    rotation."""
+    from .streaming.windows import session_windows_batch
+
+    return session_windows_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
 @register(
-    "session_windows",
+    "stream_window_suite",
     """
-    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+    SELECT 'tumble' AS kind, event_type AS grp, CAST(NULL AS BIGINT) AS seq,
+           date_trunc('hour', ts::TIMESTAMP) AS ts1,
+           CAST(NULL AS TIMESTAMP) AS ts2,
            COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ts1, event_type
+    UNION ALL
+    SELECT 'slide', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), win_start,
+           CAST(NULL AS TIMESTAMP), COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL (k * 30) MINUTE AS win_start,
+             ts::TIMESTAMP AS ts
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    WHERE ts < win_start + INTERVAL '1 hour'
+    GROUP BY win_start
+    UNION ALL
+    SELECT 'session', CAST(user_id AS VARCHAR), CAST(session_seq AS BIGINT),
+           MIN(ts), MAX(ts), COUNT(*), CAST(NULL AS DOUBLE)
     FROM (
       SELECT user_id, event_id, ts,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1306,12 +1381,32 @@ def tumbling_sliding_window(spark, sf_dir):
     GROUP BY user_id, session_seq
     """,
 )
-def session_windows(spark, sf_dir):
-    """B20 batch sessionization (30-min gap) — lag + cumulative-sum rewrite;
-    the streaming twin uses native session_window (pytest equivalence)."""
-    from .streaming.windows import session_windows_batch
-
-    return session_windows_batch(load_table(spark, sf_dir, "events"), gap_minutes=30)
+def stream_window_suite(spark, sf_dir):
+    """B20 merged oracle slot (r7 window rotation): tumbling + sliding
+    event-time windows (``tumbling_sliding_window``) and 30-min-gap
+    sessionization (``session_windows``) as one tagged union over
+    normalized (grp, seq, ts1, ts2, n_events, sum_value) slots; each leg
+    keeps its own window plan, and the streaming twins stay rows-only
+    declared queries with pytest batch-equivalence."""
+    tsw = tumbling_sliding_window(spark, sf_dir).select(
+        "kind",
+        F.col("event_type").alias("grp"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("win_start").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+    sess = session_windows(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("session_seq").cast("long").alias("seq"),
+        F.col("session_start").alias("ts1"),
+        F.col("session_end").alias("ts2"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tsw.unionByName(sess)
 
 
 def _events_stream(spark, sf_dir):
@@ -1686,6 +1781,50 @@ def graph_batch_search(spark, sf_dir):
     return idx.batch_search(spark, q, k=10, ef=48, nprobe=4)
 
 
+_GRAPH_EXACT_ORACLE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+SELECT e.vec_id, {_COSINE_DUCK} AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("graph_exact_search", _GRAPH_EXACT_ORACLE)
+def graph_exact_search_q(spark, sf_dir):
+    """A9/B7 graph ANN, oracle-exact leg (r7 rotation — the graph family's
+    first driver-hash-checked row; reference capability anchor: top-k
+    similarity_search, /root/reference/src/databricks/query_endpoint.py:136-150).
+    Full-probe (nprobe = k_centroids) wide-beam search is EXACT — the
+    beam expands every partition's entry and tests/test_graph_ann.py
+    asserts wide-beam ≡ brute force — so its candidate set is rescored
+    in float64 from the source embeddings (the graph table stores
+    float32; rescoring through the same expression as the flagship makes
+    scores engine-portable) and the exact top-10 must equal DuckDB's
+    brute cosine top-10.  The 3× candidate margin (30 for k=10) makes
+    the float32→float64 boundary immaterial.  Eager by contract (index
+    build + beam hop loop, like graph_index_search)."""
+    from .operators.graph_ann import build_graph_index
+    from .operators.similarity_join import brute_force_topk_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _cached_index(
+        "graph", sf_dir,
+        lambda: build_graph_index(
+            e, f"{_scratch_dir('graph_search_')}/graph", deg=8, k_centroids=8
+        ),
+    )
+    qv = _query_vector(spark, sf_dir, 7)
+    cand = idx.search(
+        spark, qv, k=30, ef=96, nprobe=8, score_decimals=None
+    ).select("vec_id")
+    corpus = e.join(F.broadcast(cand), "vec_id", "left_semi")
+    queries = e.where(F.col("vec_id") == 7).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk_join(queries, corpus, k=10).select("vec_id", "score")
+
+
 @register("graph_incremental_insert")
 def graph_incremental_insert(spark, sf_dir):
     """A6/B21 for the graph index: build on the sub-watermark half, then
@@ -1929,19 +2068,10 @@ def local_supplier_volume(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "pivot_status_by_priority",
-    """
-    SELECT o_orderpriority,
-           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
 def pivot_status_by_priority(spark, sf_dir):
-    """B15: pivot (wide aggregation) — status counts per priority."""
+    """B15: pivot (wide aggregation) — status counts per priority.
+    Oracle-checked inside ``order_scalar_pivot_suite`` since the r7
+    window rotation."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -1949,6 +2079,64 @@ def pivot_status_by_priority(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@register(
+    "order_scalar_pivot_suite",
+    """
+    SELECT 'scalar' AS kind, o_orderkey AS id,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS s1,
+           CAST(year(o_orderdate) AS BIGINT) AS i1,
+           CAST(month(o_orderdate) AS BIGINT) AS i2,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS i3,
+           CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
+                     WHEN o_orderpriority LIKE '2-%' THEN 2 ELSE 9 END AS BIGINT) AS i4,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS n1,
+           ROUND(abs(o_totalprice - 200000.0), 2) AS d1,
+           ROUND(ln(o_totalprice), 6) AS d2
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT 'pivot', NULL, o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END),
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END),
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_scalar_pivot_suite(spark, sf_dir):
+    """B19+B15 merged oracle slot (r7 window rotation): the scalar
+    date/math/CASE projection (``scalar_date_math``) and the wide pivot
+    aggregation (``pivot_status_by_priority``) as one tagged union over
+    normalized slots (the DATE column rides as its ISO string — identical
+    cast rules both engines); each leg keeps its own plan."""
+    sc = scalar_date_math(spark, sf_dir).select(
+        F.lit("scalar").alias("kind"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("month_start").cast("string").alias("s1"),
+        F.col("yr").cast("long").alias("i1"),
+        F.col("mo").cast("long").alias("i2"),
+        F.col("days_to_2002").cast("long").alias("i3"),
+        F.col("prio_class").cast("long").alias("i4"),
+        F.col("price_k").cast("long").alias("n1"),
+        F.col("dist_from_200k").alias("d1"),
+        F.col("log_price").alias("d2"),
+    )
+    pv = pivot_status_by_priority(spark, sf_dir).select(
+        F.lit("pivot").alias("kind"),
+        F.lit(None).cast("long").alias("id"),
+        F.col("o_orderpriority").alias("s1"),
+        F.col("F").cast("long").alias("i1"),
+        F.col("O").cast("long").alias("i2"),
+        F.col("P").cast("long").alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+    )
+    return sc.unionByName(pv)
 
 
 @register(
@@ -2737,16 +2925,43 @@ def near_dup_pairs_components(spark, sf_dir):
     return pair_leg.unionByName(comp_leg)
 
 
-@register("quality_dedup_keepers")
+_QUALITY_KEEPERS_ORACLE_TMPL = """
+WITH RECURSIVE edges AS ({edges}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+         FROM reach GROUP BY a),
+lab AS (
+  SELECT d.doc_id, LENGTH(d.text) AS quality,
+         COALESCE(c.component, d.doc_id) AS representative
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, quality, representative,
+       ROW_NUMBER() OVER (
+         PARTITION BY representative ORDER BY quality DESC, doc_id
+       ) = 1 AS is_keeper
+FROM lab
+"""
+
+
+@register(
+    "quality_dedup_keepers",
+    _QUALITY_KEEPERS_ORACLE_TMPL.format(edges=_NEAR_DUP_EDGES_SQL),
+)
 def quality_dedup_keepers_q(spark, sf_dir):
     """Quality-aware cluster representative selection
     (operators/components.py::quality_dedup_keepers): near-dup clusters
     keep their HIGHEST-quality member (min id on ties) instead of the
     min id — pairs from the exact cosine>=0.4 graph, quality = text
-    length joined from documents.  Rows-only (iterative components +
-    window full); the full row set is DuckDB-value-compared against a
-    WITH RECURSIVE closure + window re-derivation in
-    tests/test_components.py."""
+    length joined from documents.  Driver-checked since the r7 window
+    rotation: the oracle recomputes the cluster labels with a WITH
+    RECURSIVE closure over the same cosine edges and the keepers with a
+    window (the same re-derivation tests/test_components.py runs)."""
     from .operators.components import quality_dedup_keepers
     from .operators.dedup import embedding_near_dup_pairs
 
@@ -4249,7 +4464,66 @@ def bpe_tokenize_q(spark, sf_dir):
     return totals.crossJoin(distinct)
 
 
-@register("exact_substring_dedup")
+_EXACT_SUBSTR_BLOCK = ("licensed under the apache license version "
+                       "two point zero all rights reserved")
+
+_EXACT_SUBSTR_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' {_EXACT_SUBSTR_BLOCK}' ELSE '' END AS text
+  FROM documents WHERE doc_id < 300
+),
+tokl AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM planted
+),
+wins AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) >= 12 THEN range(0, len(l) - 12 + 1)
+                     ELSE [] END) AS pos,
+         l
+  FROM tokl
+),
+wtext AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(l, pos + 1, pos + 12), ' ') AS w
+  FROM wins
+),
+dupw AS (SELECT w FROM wtext GROUP BY w HAVING COUNT(*) >= 2),
+marked AS (SELECT t.doc_id, t.pos FROM wtext t JOIN dupw USING (w)),
+tokpos AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS p
+  FROM tokl
+),
+keptt AS (
+  SELECT tp.doc_id, tp.tok, tp.p,
+         NOT EXISTS (SELECT 1 FROM marked m
+                     WHERE m.doc_id = tp.doc_id
+                       AND tp.p >= m.pos AND tp.p < m.pos + 12) AS keep
+  FROM tokpos tp
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep), '') AS text,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_tokens_kept,
+         SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_tokens_removed
+  FROM keptt GROUP BY doc_id
+),
+spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM marked GROUP BY doc_id)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN COALESCE(s.n_dup_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_touched,
+       SUM(COALESCE(r.n_tokens_kept, 0))::BIGINT AS tokens_kept,
+       SUM(COALESCE(r.n_tokens_removed, 0))::BIGINT AS tokens_removed,
+       SUM(COALESCE(s.n_dup_spans, 0))::BIGINT AS dup_spans,
+       SUM(CASE WHEN contains(COALESCE(r.text, ''), 'apache license')
+                THEN 1 ELSE 0 END)::BIGINT AS residual_marker_docs
+FROM planted p
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN spans s USING (doc_id)
+"""
+
+
+@register("exact_substring_dedup", _EXACT_SUBSTR_ORACLE)
 def exact_substring_dedup_q(spark, sf_dir):
     """Sub-document dedup: exact duplicated-substring removal (Lee et al.
     2021 ExactSubstr — operators/dedup.py::exact_substring_dedup).  A
@@ -4257,16 +4531,15 @@ def exact_substring_dedup_q(spark, sf_dir):
     no natural cross-doc substrings); after dedup NO document may still
     contain it, every other token survives, and the removal accounting
     must balance.  Output: corpus totals (docs, touched docs, kept/
-    removed tokens, spans, residual marker count — must be 0).  Rows-only
-    (xxhash64 shuffle keys); the FULL per-doc output is value-compared
-    against a DuckDB re-derivation that groups window TEXT instead of
-    hashes in tests/test_rows_only_compares.py."""
+    removed tokens, spans, residual marker count — must be 0).
+    Driver-checked since the r7 window rotation: the oracle re-derives
+    the whole removal by grouping window TEXT (the Spark side's
+    double-xxhash64 keys are a shuffle optimization, not a semantic);
+    the FULL per-doc output is additionally value-compared in
+    tests/test_rows_only_compares.py."""
     from .operators.dedup import exact_substring_dedup
 
-    block = " ".join(
-        ["licensed", "under", "the", "apache", "license", "version",
-         "two", "point", "zero", "all", "rights", "reserved"]
-    )
+    block = _EXACT_SUBSTR_BLOCK
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     planted = d.select(
         "doc_id",
@@ -4287,13 +4560,46 @@ def exact_substring_dedup_q(spark, sf_dir):
     )
 
 
-@register("token_budget_mixture")
+_TOKEN_BUDGET_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, LENGTH(text) AS n_tokens FROM documents
+),
+w AS (
+  SELECT * FROM (VALUES ('src1', 0.5::DOUBLE), ('src2', 0.3::DOUBLE),
+                        ('src3', 0.2::DOUBLE)) t(dom, w)
+),
+totals AS (
+  SELECT w.w, COALESCE(SUM(d.n_tokens), 0) AS tok
+  FROM w LEFT JOIN docs d ON d.source = w.dom GROUP BY w.w
+),
+b AS (SELECT MIN(FLOOR(tok / w)) AS b FROM totals),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         SUM(d.n_tokens) OVER (
+           PARTITION BY d.source
+           ORDER BY ((d.doc_id % 2147483647) * 2654435761) % 2147483647, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens,
+         w.w
+  FROM docs d JOIN w ON w.dom = d.source
+),
+kept AS (SELECT * FROM ranked, b WHERE cum_tokens <= FLOOR(w * b))
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_tokens)::BIGINT AS kept_tokens,
+       MAX(cum_tokens)::BIGINT AS max_cum_tokens
+FROM kept GROUP BY source
+"""
+
+
+@register("token_budget_mixture", _TOKEN_BUDGET_ORACLE)
 def token_budget_mixture_q(spark, sf_dir):
     """Domain mixture measured in TOKENS (operators/packing.py::
     token_budget_mixture_sample): largest feasible token budget computed
     in-plan, per-domain mixed-hash prefix kept strictly under
-    floor(w_d*B).  Output: per-domain kept doc/token census.  Rows-only
-    (window full); the full row set is DuckDB-value-compared in
+    floor(w_d*B).  Output: per-domain kept doc/token census.
+    Driver-checked since the r7 window rotation (the oracle re-derives
+    totals, feasible budget, mixed-hash prefix, and quota cut); the full
+    row set is additionally DuckDB-value-compared in
     tests/test_packing.py."""
     from .operators.packing import token_budget_mixture_sample
 
@@ -4310,17 +4616,55 @@ def token_budget_mixture_q(spark, sf_dir):
     )
 
 
-@register("packed_sequences")
+_PACKED_SEQUENCES_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_append(
+           list_transform(
+             list_filter(string_split(text, ' '), t -> t <> ''),
+             t -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(t) + 1),
+                                     i -> CAST(ascii(t[i]) AS BIGINT))),
+                    (a, b) -> (a * 131 + b) % 2147483647) % 32000),
+           0) AS ids,
+         ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8 AS g
+  FROM documents
+),
+started AS (
+  SELECT *,
+         SUM(len(ids)) OVER (
+           PARTITION BY g ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - len(ids) AS start
+  FROM docs
+),
+toks AS (
+  SELECT g, start + u.i - 1 AS gpos, ids[u.i] AS tok
+  FROM started, UNNEST(range(1, len(ids) + 1)) u(i)
+),
+seqs AS (
+  SELECT g * 8796093022208 + CAST(FLOOR(gpos / 512) AS BIGINT) AS seq_id,
+         COUNT(*) AS n_tokens, SUM(tok) AS ids_sum
+  FROM toks GROUP BY 1
+)
+SELECT seq_id, CAST(n_tokens AS INT) AS n_tokens, ids_sum::BIGINT AS ids_sum
+FROM seqs WHERE n_tokens = 512
+"""
+
+
+@register("packed_sequences", _PACKED_SEQUENCES_ORACLE)
 def packed_sequences_q(spark, sf_dir):
     """Packed training examples: fixed-length token-id sequences cut from
     the eos-terminated document stream (operators/packing.py::
     pack_token_ids) — the tensor format a pretraining job consumes.
     Token ids here are portable-hashed whitespace tokens so the WHOLE
     pipeline (ids, group order, cuts, contents) is engine-portable;
-    output per sequence: id, length, token-id checksum.  Rows-only (the
-    driver window is full); re-derived end-to-end in DuckDB SQL in
-    tests/test_packing.py, and the BPE-id composition is covered in
-    tests/test_bpe.py."""
+    output per sequence: id, length, token-id checksum.  Driver-checked
+    since the r7 window rotation (the oracle re-derives hashing, eos
+    termination, per-group running offsets, budget cuts, and checksums
+    end to end); also compared in tests/test_packing.py, with the BPE-id
+    composition covered in tests/test_bpe.py."""
     from .operators.dedup import portable_string_hash
     from .operators.packing import pack_token_ids
 
@@ -4365,7 +4709,61 @@ def semantic_dedup_q(spark, sf_dir):
     )
 
 
-@register("dsir_selection")
+_DSIR_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(g) + 1), i -> CAST(ascii(g[i]) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647)"
+)
+
+_DSIR_SELECTION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0b]+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         list_concat(t, list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS gs
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, lang, {_DSIR_POLY} % 2048 AS b
+  FROM (SELECT doc_id, lang, unnest(gs) AS g FROM grams)
+),
+rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS c FROM feats WHERE lang = 'fr' GROUP BY b),
+dense AS (
+  SELECT r.range AS b,
+         COALESCE(rc.c, 0) AS rcc, COALESCE(tc.c, 0) AS tcc
+  FROM range(0, 2048) r
+  LEFT JOIN rc ON rc.b = r.range LEFT JOIN tc ON tc.b = r.range
+),
+w AS (
+  SELECT b,
+         ln((tcc + 1.0) / ((SELECT SUM(tcc) FROM dense) + 1.0 * 2048))
+       - ln((rcc + 1.0) / ((SELECT SUM(rcc) FROM dense) + 1.0 * 2048)) AS w
+  FROM dense
+),
+scored AS (
+  SELECT f.doc_id, ROUND(SUM(w.w), 6) AS score
+  FROM feats f JOIN w ON w.b = f.b GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT d.doc_id,
+         ROUND(COALESCE(s.score, 0.0)
+               + (- ln(- ln((((d.doc_id % 2147483647) * 2654435761) % 2147483647 + 0.5)
+                            / 2147483647.0))), 6) AS gk
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+),
+topn AS (SELECT doc_id, gk FROM keyed ORDER BY gk DESC, doc_id LIMIT 50)
+SELECT t.doc_id, LENGTH(d.text) AS n_chars, ROUND(t.gk, 2) AS sel_key
+FROM topn t JOIN documents d USING (doc_id)
+"""
+
+
+@register("dsir_selection", _DSIR_SELECTION_ORACLE)
 def dsir_selection_q(spark, sf_dir):
     """Domain-targeted data selection: DSIR importance resampling (Xie et
     al. 2023 — operators/dsir.py).  Raw distribution = the documents
@@ -4374,16 +4772,26 @@ def dsir_selection_q(spark, sf_dir):
     every doc scored by summed log-likelihood ratio, and the Gumbel-top-n
     kept via TakeOrderedAndProject.  Fully lazy, deterministic on any
     engine (portable polynomial hash + hash-derived Gumbel noise).
-    Rows-only (the driver window is full); the ENTIRE pipeline — scores
-    and kept set — is re-derived in DuckDB SQL and compared in
+    Driver-checked since the r7 window rotation: the oracle re-derives
+    the WHOLE pipeline in SQL.  Cross-engine ln() differs in the last
+    ulps (summed deltas ≤1e-5 — tests/test_dsir.py measures), so the
+    checked output is the kept SET (top-n boundary margin ≈0.077 at
+    sf0.01, 4 orders above the delta) plus the selection key at 2
+    decimals (measured min distance of a kept key to its rounding
+    midpoint: 2.9e-5 at sf0.01 / 7.1e-5 at sf0.001 — above the engine
+    delta, and both engines are deterministic on the fixed fixture);
+    full-precision scores are compared with tolerance in
     tests/test_dsir.py."""
     from .operators.dsir import dsir_select
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     target = d.where(F.col("lang") == "fr").select("doc_id", "text")
-    return dsir_select(
+    sel = dsir_select(
         d.select("doc_id", "text"), target, n=50, buckets=2048, ns=(1, 2)
     )
+    return sel.join(
+        d.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    ).select("doc_id", "n_chars", F.round("gumbel_key", 2).alias("sel_key"))
 
 
 _WET_BENCH_DIRS: dict = {}
