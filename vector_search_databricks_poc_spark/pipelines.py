@@ -198,6 +198,11 @@ def prepare_training_data(
     # Python-UDF stage (Gopher gate / quality classifier / LM scorer)
     # re-runs its Arrow batches once PER BRANCH — checkpoint the
     # survivors once in that case (lazy: materializes on first action).
+    # Fan-out is structural, never single-consumer: every path below
+    # consumes `kept` at least twice — once inside
+    # minhash_near_dup_pairs (signature legs) and once as the join /
+    # anti-join left side of whichever keeper policy runs — so the
+    # materialization is never paid without a second consumer to save.
     if gopher_gate or quality_model is not None or lm_model is not None:
         kept = kept.localCheckpoint(eager=False)
     pairs = minhash_near_dup_pairs(kept, id_col=id_col, text_col=text_col,
