@@ -43,6 +43,8 @@ NAMES = [
     "token_budget_mixture",
     "manifest_pruned_scan",
     "filtered_vector_search",
+    "exact_substring_dedup",
+    "graph_exact_search",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -4789,8 +4789,10 @@ def dsir_selection_q(spark, sf_dir):
     sel = dsir_select(
         d.select("doc_id", "text"), target, n=50, buckets=2048, ns=(1, 2)
     )
-    return sel.join(
-        d.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    # the 50-row selection broadcasts into the payload join (the scan
+    # side never shuffles for it)
+    return d.select("doc_id", F.length("text").alias("n_chars")).join(
+        F.broadcast(sel), "doc_id"
     ).select("doc_id", "n_chars", F.round("gumbel_key", 2).alias("sel_key"))
 
 
