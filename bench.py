@@ -143,7 +143,12 @@ def main() -> None:
         # best-of-3, extended to best-of-5 for sub-second (overhead-bound)
         # queries where scheduler noise dominates the signal — and for any
         # query currently >20% above its floor, so a drift flag is only
-        # raised after the extra reps failed to close the gap
+        # raised after the extra reps failed to close the gap.  A
+        # sub-second query STILL above its threshold after 5 gets up to 8:
+        # at ~0.2s/rep the measurement is nearly all scheduler jitter, and
+        # a flag that three further reps couldn't clear is then a real
+        # signal rather than one unlucky draw (r6 shipped 5 such flags
+        # that a re-run cleared).
         # drift threshold scales with how much slower this host measured
         # vs the floor-recording host (never tightens below the raw 1.2)
         margin = 1.2 * max(speed, 1.0)
@@ -151,6 +156,12 @@ def main() -> None:
             best is not None
             and reps < 5
             and (best < 1.0 or (floor is not None and best > floor * margin))
+        ) or (
+            best is not None
+            and reps < 8
+            and best < 1.0
+            and floor is not None
+            and best > floor * margin
         ):
             t = time.time()
             n = fn(spark, SF_DIR).count()
