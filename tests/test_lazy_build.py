@@ -32,6 +32,7 @@ EAGER_BY_CONTRACT = {
     #   count IS the algorithm)
     "graph_batch_search",  # same beam driver loop, batch shape
     "graph_incremental_insert",  # graph build + search-based insert rewrite
+    "graph_delete_repair",  # graph build + delete rewrite with local repair
     "similarity_search_endpoint",  # index build + driver-side query embed
     #   (the reference embeds query text on the driver too)
     "ivf_batch_search",

@@ -751,3 +751,223 @@ def insert_into_graph(
         },
     )
     return GraphInsertResult(n, skipped=total - n)
+
+
+def delete_from_graph(
+    spark: SparkSession,
+    index: GraphIndex,
+    ids,
+    repair: bool = True,
+) -> GraphInsertResult:
+    """Remove nodes from an existing graph index and repair the hole —
+    the delete half of the B21 lifecycle the IVF family gets from
+    ``incremental_upsert`` tombstones (FreshDiskANN-style local repair:
+    Singh et al. 2021 §4.2 — a node that lost an edge to a deleted
+    neighbor is offered that neighbor's OWN out-edges as replacement
+    candidates, exact-rescored and re-pruned to ``deg``).
+
+    ``ids`` is a bounded maintenance batch (list, or a DataFrame whose
+    first column is collected — same driver-side bound class as the
+    insert batch).  Work touches only the partitions holding victims or
+    pointers at them: one scan finds the pointers (no shuffle — an
+    ``exists`` filter over the neighbor structs), the rewrite rebuilds
+    exactly those partitions with dynamic partition overwrite, emptied
+    partitions have their directories removed and their entry dropped,
+    and entry points are recomputed for every touched partition.
+
+    Deleted ids fall back below the insert watermark only if they WERE
+    the max — id reuse after a delete is the caller's contract to avoid
+    (same uniqueness contract as ``stream_near_dup_gate``).
+
+    Returns a ``GraphInsertResult``: int = nodes deleted, ``.skipped`` =
+    requested ids not present in the index.
+    """
+    from .incremental import _delete_partition_dirs
+
+    id_col, vec_col, deg = index.id_col, index.vec_col, index.deg
+    idc = F.col(id_col)
+    if isinstance(ids, DataFrame):
+        first_col = ids.columns[0]
+        ids = [r[0] for r in ids.select(first_col).collect()]
+    ids = sorted({int(x) for x in ids})
+    if not ids:
+        return GraphInsertResult(0, skipped=0)
+
+    scan = spark.read.parquet(index.path)
+    # victims, with their adjacency — the repair candidate pool is the
+    # deleted nodes' own out-edges (bounded: |ids| × deg tuples)
+    victims = scan.where(idc.isin(ids)).select(
+        idc, F.col("centroid_id"), F.col("neighbors")
+    ).collect()
+    if not victims:
+        return GraphInsertResult(0, skipped=len(ids))
+    found = {int(r[id_col]) for r in victims}
+    vic_parts = {int(r["centroid_id"]) for r in victims}
+    cand_rows = [
+        (int(r[id_col]), int(nb["nbr_id"]), int(nb["nbr_centroid"]))
+        for r in victims
+        for nb in r["neighbors"]
+        if int(nb["nbr_id"]) not in found
+    ]
+
+    # pointers: nodes anywhere whose adjacency names a victim (one
+    # exists-filter scan, no shuffle; the literal id list is the bounded
+    # delete batch)
+    is_victim = lambda c: c.isin(ids)  # noqa: E731
+    ptr = (
+        scan.where(F.exists("neighbors", lambda s: is_victim(s["nbr_id"])))
+        .where(~is_victim(idc))  # a victim pointing at a victim just dies
+        .select(idc, "centroid_id", vec_col, "neighbors")
+    )
+    ptr_parts = {
+        int(r["centroid_id"])
+        for r in ptr.select("centroid_id").distinct().collect()
+    }
+    touched = sorted(vic_parts | ptr_parts)
+
+    base = (
+        scan.where(F.col("centroid_id").isin(touched))
+        .where(~is_victim(idc))
+    )
+    cleaned_nbrs = F.filter("neighbors", lambda s: ~is_victim(s["nbr_id"]))
+
+    if repair and cand_rows:
+        # u lost u->v: offer v's surviving out-edges as candidates for u
+        lost = (
+            ptr.select(idc.alias("src"), F.explode("neighbors").alias("_nb"))
+            .where(is_victim(F.col("_nb.nbr_id")))
+            .select("src", F.col("_nb.nbr_id").alias("_victim"))
+        )
+        vic_nbrs = spark.createDataFrame(
+            cand_rows, "_victim long, dst long, _dcent int"
+        )
+        cand = (
+            lost.join(F.broadcast(vic_nbrs), "_victim")
+            .where(F.col("dst") != F.col("src"))
+            .select("src", "dst", "_dcent")
+            .distinct()
+        )
+        # exact rescore: candidate dst vectors via partition-pruned scan,
+        # u's own surviving edges re-scored the same way (structs carry
+        # no score — the insert path's step-4 contract)
+        cand_parts = sorted({c for _, _, c in cand_rows})
+        dstv = (
+            scan.where(F.col("centroid_id").isin(cand_parts))
+            .select(idc.alias("dst"), F.col(vec_col).alias("_dv"),
+                    F.col("centroid_id").alias("_dcent2"))
+        )
+        uvec = ptr.select(idc.alias("src"), F.col(vec_col).alias("_sv"))
+        cand_scored = (
+            cand.join(dstv, "dst")
+            .join(F.broadcast(uvec), "src")
+            .select("src", "dst", V.dot("_sv", "_dv").alias("score"),
+                    F.col("_dcent2").alias("_dcent"))
+        )
+        cur_edges = (
+            ptr.select(
+                idc.alias("src"), F.col(vec_col).alias("_sv"),
+                F.explode(cleaned_nbrs).alias("_nb"),
+            )
+            .select(
+                "src", "_sv",
+                F.col("_nb.nbr_id").alias("dst"),
+                F.col("_nb.nbr_centroid").alias("_dcent"),
+            )
+        )
+        all_dstv = scan.select(idc.alias("dst"), F.col(vec_col).alias("_dv"))
+        cur_scored = cur_edges.join(all_dstv, "dst").select(
+            "src", "dst", V.dot("_sv", "_dv").alias("score"), "_dcent"
+        )
+        merged = _top_deg(
+            cur_scored.unionByName(cand_scored)
+            .groupBy("src", "dst", "_dcent")
+            .agg(F.max("score").alias("score")),
+            deg,
+        )
+        adj = merged.groupBy(F.col("src").alias(id_col)).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dst").alias("nbr_id"),
+                        F.col("_dcent").alias("nbr_centroid"),
+                    )
+                )
+            ).alias("_new_nbrs")
+        )
+        ptr_ids = ptr.select(idc).distinct()
+        rewritten = (
+            base.join(F.broadcast(ptr_ids), id_col, "left_semi")
+            .join(adj, id_col, "left")
+            .select(
+                id_col, vec_col, "centroid_id",
+                F.coalesce("_new_nbrs", F.array().cast(_NBR_T)).alias("neighbors"),
+            )
+        )
+        untouched_rows = base.join(
+            F.broadcast(ptr_ids), id_col, "left_anti"
+        ).select(id_col, vec_col, "centroid_id", "neighbors")
+        out = untouched_rows.unionByName(rewritten)
+    else:
+        out = base.select(
+            id_col, vec_col, "centroid_id", cleaned_nbrs.alias("neighbors")
+        )
+
+    # eager checkpoint breaks lineage to index.path (the write overwrites
+    # partitions of the very table the plan reads)
+    out = out.localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(index.path)
+    )
+    # a fully-emptied partition writes no files under dynamic overwrite —
+    # drop its directory (and entry) explicitly, the incremental_upsert
+    # cleanup contract
+    survivors_per_part = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in out.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    emptied = [p for p in touched if survivors_per_part.get(p, 0) == 0]
+    _delete_partition_dirs(spark, index.path, emptied)
+    for p in emptied:
+        index.entries.pop(p, None)
+
+    # entry points: recompute for every touched, surviving partition (a
+    # deleted node may have BEEN the entry)
+    alive = [p for p in touched if p not in emptied]
+    if alive:
+        post = spark.read.parquet(index.path).where(
+            F.col("centroid_id").isin(alive)
+        )
+        wc = Window.partitionBy("centroid_id").orderBy(
+            F.col("_d").asc(), idc.asc()
+        )
+        entry_rows = (
+            post.withColumn(
+                "_d",
+                F.element_at(
+                    _centroid_dists(vec_col, index.centroids),
+                    F.col("centroid_id") + 1,
+                ),
+            )
+            .withColumn("_r", F.row_number().over(wc))
+            .where(F.col("_r") == 1)
+            .select("centroid_id", id_col)
+            .collect()
+        )
+        for r in entry_rows:
+            index.entries[int(r["centroid_id"])] = int(r[id_col])
+    _write_meta(
+        spark,
+        index.path,
+        {
+            "kind": "graph",
+            "centroids": index.centroids,
+            "entries": [[c, index.entries[c]] for c in sorted(index.entries)],
+            "deg": deg,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+    return GraphInsertResult(len(found), skipped=len(ids) - len(found))

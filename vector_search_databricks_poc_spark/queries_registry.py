@@ -1781,6 +1781,42 @@ def graph_batch_search(spark, sf_dir):
     return idx.batch_search(spark, q, k=10, ef=48, nprobe=4)
 
 
+@register("graph_delete_repair")
+def graph_delete_repair(spark, sf_dir):
+    """B21 delete leg for the graph index (r7;
+    operators/graph_ann.py::delete_from_graph — FreshDiskANN-style local
+    repair: pointers at a deleted node inherit its surviving out-edges,
+    exact-rescored and re-pruned).  Builds a fresh small graph, deletes
+    the 8 most-pointed-at nodes, and returns the post-delete adjacency
+    census (rows-only: KMeans bucketing is engine-local; full invariants
+    in tests/test_graph_delete.py).  Eager by contract (index build +
+    delete rewrite, like graph_incremental_insert)."""
+    from .operators.graph_ann import build_graph_index, delete_from_graph
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    idx = build_graph_index(
+        e, f"{_scratch_dir('graph_delete_')}/graph", deg=4, k_centroids=4,
+        refine_rounds=0,
+    )
+    t = spark.read.parquet(idx.path)
+    victims = [
+        int(r["vec_id"])
+        for r in t.select(F.explode("neighbors").alias("_nb"))
+        .groupBy(F.col("_nb.nbr_id").alias("vec_id"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(8)
+        .collect()
+    ]
+    delete_from_graph(spark, idx, victims)
+    post = spark.read.parquet(idx.path)
+    return post.groupBy("centroid_id").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.size("neighbors")).alias("n_edges"),
+        F.max(F.size("neighbors")).alias("max_deg"),
+    ).orderBy("centroid_id")
+
+
 _GRAPH_EXACT_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
 SELECT e.vec_id, {_COSINE_DUCK} AS score
