@@ -209,3 +209,131 @@ def test_brute_filters_prefilter_fills_k(spark, docs, vecs):
     assert len(got) == 10  # fills k even at over_fetch=1
     assert [r["vec_id"] for r in got] == expect
     assert all(r["vec_id"] >= 100 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# similarity_search_batch: the batch shape of the facade
+# ---------------------------------------------------------------------------
+
+
+def _qdf(spark, docs, ids):
+    texts = {r["doc_id"]: r["text"] for r in docs.where(F.col("doc_id").isin(ids)).collect()}
+    return spark.createDataFrame(
+        [(i, texts[i]) for i in ids], "query_id long, query_text string"
+    )
+
+
+def test_batch_facade_equals_single_per_kind(spark, docs, vecs, tmp_path):
+    """For every index kind, the batch facade's per-query slice equals the
+    single-query facade called with the same text."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import (
+        build_graph_index,
+    )
+    from vector_search_databricks_poc_spark.operators.index import (
+        build_ivf_index,
+        build_ivf_pq_index,
+    )
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+
+    qids = [3, 7, 42]
+    qdf = _qdf(spark, docs, qids)
+    ivf = build_ivf_index(vecs, str(tmp_path / "bivf"), k_centroids=4)
+    pq = build_ivf_pq_index(vecs, str(tmp_path / "bpq"), k_centroids=4, pq_m=4)
+    g = build_graph_index(vecs, str(tmp_path / "bg"), deg=8, k_centroids=4)
+
+    kinds = [
+        ("brute", vecs, {}),
+        ("ivf", ivf, {"nprobe": 4}),
+        ("pq", pq, {"nprobe": 4, "source": vecs}),
+        ("graph", g, {"nprobe": 4}),
+    ]
+    for name, idx, kw in kinds:
+        batch = similarity_search_batch(
+            spark, idx, docs, "text", qdf, num_results=5, dim=32, **kw
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in qids:
+            target = docs.where(F.col("doc_id") == qid).first()["text"]
+            single = similarity_search(
+                spark, idx, docs, "text", query_text=target, num_results=5,
+                dim=32, **kw,
+            ).collect()
+            got = sorted((r["vec_id"], r["score"]) for r in by_q[qid])
+            want = sorted((r["vec_id"], r["score"]) for r in single)
+            assert got == want, (name, qid)
+            assert [r["rank"] for r in sorted(by_q[qid], key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_batch_facade_filters(spark, docs, vecs, tmp_path):
+    """Brute + filters prefilters exactly (fills k); IVF + filters
+    postfilters per query (every row passes the predicate)."""
+    from vector_search_databricks_poc_spark.operators.index import build_ivf_index
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+    from vector_search_databricks_poc_spark.operators.topk import top_k_similar
+
+    qids = [3, 42]
+    qdf = _qdf(spark, docs, qids)
+    filters = {"doc_id >=": 100}
+    out = similarity_search_batch(
+        spark, vecs, docs, "text", qdf, num_results=8, dim=32,
+        filters=filters, over_fetch=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    allowed = vecs.join(
+        docs.where(F.col("doc_id") >= 100).select(F.col("doc_id").alias("vec_id")),
+        "vec_id", "left_semi",
+    )
+    for qid in qids:
+        assert len(by_q[qid]) == 8  # prefilter fills k even at over_fetch=1
+        assert all(r["vec_id"] >= 100 for r in by_q[qid])
+        from vector_search_databricks_poc_spark.functions.embedding import (
+            embed_text as _embed,
+        )
+
+        qv = [float(x) for x in vecs.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [r["vec_id"] for r in top_k_similar(allowed, qv, k=8, id_col="vec_id").collect()]
+        assert [r["vec_id"] for r in sorted(by_q[qid], key=lambda r: r["rank"])] == want
+
+    ivf = build_ivf_index(vecs, str(tmp_path / "fivf"), k_centroids=4)
+    out2 = similarity_search_batch(
+        spark, ivf, docs, ["text", "lang"], qdf, num_results=5, dim=32,
+        filters={"lang": "en"}, nprobe=4,
+    ).collect()
+    assert out2 and all(r["lang"] == "en" for r in out2)
+
+
+def test_batch_facade_contract_and_response(spark, docs, vecs):
+    import pytest as _pytest
+
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+        to_response_batch,
+    )
+
+    qdf = _qdf(spark, docs, [3, 7])
+    with _pytest.raises(ValueError, match="exactly one"):
+        similarity_search_batch(
+            spark, vecs, docs, "text",
+            spark.createDataFrame([(1,)], "query_id long"), dim=32,
+        )
+    with _pytest.raises(ValueError, match="unsupported index kind"):
+        similarity_search_batch(spark, object(), docs, "text", qdf, dim=32)
+    df = similarity_search_batch(
+        spark, vecs, docs, "text", qdf, num_results=2, dim=32
+    )
+    resp = to_response_batch(df)
+    assert set(resp) == {3, 7}
+    for qid, r in resp.items():
+        assert [c["name"] for c in r["manifest"]["columns"]] == [
+            "vec_id", "text", "score",
+        ]
+        assert r["result"]["row_count"] == 2
+        assert all(len(row) == 3 for row in r["result"]["data_array"])

@@ -24,7 +24,7 @@ scans the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.embedding import embed_text
@@ -189,6 +189,183 @@ def similarity_search(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def similarity_search_batch(
+    spark: SparkSession,
+    index,
+    documents: DataFrame,
+    columns,
+    queries: DataFrame,
+    num_results: int = 10,
+    filters: dict | None = None,
+    dim: int = 64,
+    nprobe: int = 4,
+    over_fetch: int = 4,
+    doc_id_col: str = "doc_id",
+    source: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries through one plan — the batch shape of
+    ``similarity_search`` (the reference client loops the endpoint one
+    query at a time, query_endpoint.py:126-152; at 100 TB the loop is the
+    bottleneck, so the batch facade advances every query through the SAME
+    probe jobs: brute = one broadcast join, IVF/IVF-PQ = one
+    partition-pruned probe per probed partition set, graph = one beam
+    whose hop depth amortizes across the batch).
+
+    ``queries`` carries ``query_id`` plus EITHER ``query_text`` (embedded
+    IN-PLAN through the same hashing encoder as the corpus — no
+    driver-side per-row embedding) or ``query_vec``.  ``filters`` applies
+    the per-query batched postfilter (operators/filters.py::
+    postfilter_batch_hits) on index paths and the exact prefiltered scan
+    on the brute path (same under-fill honesty as the single-query
+    facade).  IVF-PQ candidates are exact-rescored against ``source``
+    float vectors before the final rank (the single-path rerank
+    contract).
+
+    Returns (query_id, <id>, *columns, score, rank) with rank <= k dense
+    per query.
+    """
+    from ..functions.embedding import hashing_embedding
+    from .filters import filter_expr, postfilter_batch_hits
+    from .graph_ann import GraphIndex
+    from .index import IvfIndex, IvfPqIndex
+    from .similarity_join import brute_force_topk_join
+
+    k = num_results
+    fetch = over_fetch * k if filters else k
+    has_text = query_text_col in queries.columns
+    has_vec = query_vec_col in queries.columns
+    if has_text == has_vec:
+        raise ValueError(
+            f"queries must carry exactly one of {query_text_col!r} / "
+            f"{query_vec_col!r}"
+        )
+    if has_text:
+        idx_centroids = getattr(index, "centroids", None)
+        if idx_centroids and dim != len(idx_centroids[0]):
+            raise ValueError(
+                f"dim={dim} does not match the index centroid dimension "
+                f"{len(idx_centroids[0])}"
+            )
+        queries = queries.select(
+            query_id_col,
+            hashing_embedding(query_text_col, dim=dim)
+            .cast("array<double>")
+            .alias(query_vec_col),
+        )
+    else:
+        queries = queries.select(
+            query_id_col, F.col(query_vec_col).cast("array<double>").alias(query_vec_col)
+        )
+
+    if isinstance(index, DataFrame):
+        id_col = "vec_id"
+        corpus = index
+        if filters:
+            # exact prefilter: same single-scan cost, always fills k
+            allowed = documents.where(filter_expr(filters)).select(
+                F.col(doc_id_col).alias(id_col)
+            )
+            corpus = corpus.join(allowed, id_col, "left_semi")
+            fetch = k
+            filters = None
+        hits = brute_force_topk_join(
+            queries, corpus, k=fetch, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, id_col=id_col,
+        ).select(query_id_col, id_col, "score")
+    elif isinstance(index, GraphIndex):
+        id_col = index.id_col
+        hits = index.batch_search(
+            spark, queries, k=fetch, ef=max(32, 2 * fetch), nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col, "score")
+    elif isinstance(index, IvfPqIndex):
+        if source is None:
+            raise ValueError("IvfPqIndex needs source= (float vectors) for rerank")
+        id_col = index.id_col
+        cand = index.batch_search(
+            spark, queries, k=4 * fetch, nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col)
+        # exact rescore of the quantized candidates (single-path contract)
+        from .. import vectors as V
+
+        vecs = source.select(id_col, F.col(index.vec_col).alias("_v"))
+        qn = queries.select(
+            query_id_col, V.l2_normalize(F.col(query_vec_col)).alias("_qv")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("_s"), F.col(id_col)
+        )
+        hits = (
+            cand.join(vecs, id_col)
+            .join(F.broadcast(qn), query_id_col)
+            .select(
+                query_id_col, id_col,
+                V.dot(V.l2_normalize(F.col("_v")), F.col("_qv")).alias("_s"),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= fetch)
+            .select(query_id_col, id_col, F.round("_s", 6).alias("score"))
+        )
+    elif isinstance(index, IvfIndex):
+        id_col = index.id_col
+        hits = index.batch_search(
+            spark, queries, k=fetch, nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col, "score")
+    else:
+        raise ValueError(f"unsupported index kind {type(index).__name__}")
+
+    if filters:
+        meta = (
+            documents
+            if id_col == doc_id_col
+            else documents.withColumn(id_col, F.col(doc_id_col))
+        )
+        hits = postfilter_batch_hits(
+            hits, meta, filters, k, id_col=id_col, query_id_col=query_id_col
+        ).select(query_id_col, id_col, "score")
+
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    payload = documents.select(F.col(doc_id_col).alias(id_col), *cols)
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        payload.join(hits, id_col)
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, *cols, "score", "rank")
+    )
+
+
+def to_response_batch(df: DataFrame, query_id_col: str = "query_id") -> dict:
+    """Render a batched search result as {query_id: endpoint response
+    dict} — one reference-shaped response per query (the manifest omits
+    the query id column; rows are ordered by rank).  Collects — call on
+    (batch × k)-row results only."""
+    rows = df.collect()
+    cols = [c for c in df.columns if c not in (query_id_col, "rank")]
+    out: dict = {}
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r[query_id_col], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        out[qid] = {
+            "manifest": {
+                "column_count": len(cols),
+                "columns": [{"name": c} for c in cols],
+            },
+            "result": {
+                "row_count": len(rs),
+                "data_array": [[r[c] for c in cols] for r in rs],
+            },
+        }
+    return out
 
 
 def to_response(df: DataFrame) -> dict:

@@ -1920,6 +1920,31 @@ def similarity_search_endpoint(spark, sf_dir):
     )
 
 
+@register("batch_search_endpoint")
+def batch_search_endpoint(spark, sf_dir):
+    """A10 batch shape (r7 — operators/serving.py::similarity_search_batch):
+    16 query texts embedded IN-PLAN through the corpus encoder and pushed
+    through ONE exact broadcast-join plan with payload columns and dense
+    per-query ranks — the loop-free serving shape the reference client
+    approximates by calling the endpoint per query
+    (query_endpoint.py:126-152).  Fully lazy (brute corpus path: in-plan
+    embed + broadcast topk join + windows).  Rows-only; batch≡single
+    equivalence across all four index kinds in tests/test_serving.py."""
+    from .functions.embedding import embed_text
+    from .operators.serving import similarity_search_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_text(docs, dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = docs.where(F.col("doc_id") < 16).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return similarity_search_batch(
+        spark, emb, docs, ["lang", "source"], queries, num_results=5, dim=32
+    )
+
+
 @register("filtered_vector_search")
 def filtered_vector_search(spark, sf_dir):
     """B7/B14 extension — the reference client's similarity_search
