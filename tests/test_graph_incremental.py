@@ -325,3 +325,110 @@ def test_pipeline_graph_backend_end_to_end(spark, sf_dir, tmp_path):
     row = out.first()
     assert "context" in out.columns
     assert "[11]" in row["context"]
+
+
+def test_upsert_into_graph_replaces_vector(spark, emb, tmp_path):
+    """An upsert of an EXISTING id re-embeds it: the stored vector
+    changes, old edges are repaired away, and the node is findable by its
+    NEW vector (delete-then-insert, the FreshDiskANN update contract)."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import (
+        upsert_into_graph,
+    )
+
+    corpus = emb.limit(150)
+    # deg=8 + a refine round: reverse edges into re-inserted nodes must
+    # survive the prune (deg=4/refine=0 leaves outliers in-edge-less even
+    # at BUILD time — a pruned-kNN-graph property, not an upsert one)
+    idx = build_graph_index(
+        corpus, str(tmp_path / "gup"), deg=8, k_centroids=3, refine_rounds=1
+    )
+    # new vector for id 10 = another live doc's embedding, so the new
+    # position is realistic and well-connected
+    donor = [float(x) for x in emb.where(F.col("vec_id") == 60).first()["embedding"]]
+    batch = spark.createDataFrame(
+        [(10, donor), (1000, donor)],  # one replace + one brand-new id
+        "vec_id long, embedding array<float>",
+    )
+    stats = upsert_into_graph(spark, idx, batch)
+    assert stats == {"upserted": 2, "replaced": 1, "skipped": 0}
+    t = spark.read.parquet(idx.path)
+    assert t.count() == 151
+    got = [float(x) for x in t.where(F.col("vec_id") == 10).first()["embedding"]]
+    import math
+
+    n = math.sqrt(sum(x * x for x in donor))
+    want = [x / n for x in donor]
+    assert max(abs(a - b) for a, b in zip(got, want)) < 1e-6
+    # all of {10, 60, 1000} sit at cos=1.0 to the query — the re-embedded
+    # and the brand-new node must be findable at their new position
+    hits = idx.search(spark, donor, k=3, ef=32, nprobe=3).collect()
+    assert {10, 1000} & {int(h["vec_id"]) for h in hits}
+    # rerun of the same batch: both ids now exist with these vectors —
+    # delete+reinsert again, same final state (convergent)
+    stats2 = upsert_into_graph(spark, idx, batch)
+    assert stats2 == {"upserted": 2, "replaced": 2, "skipped": 0}
+    assert spark.read.parquet(idx.path).count() == 151
+
+
+def test_stream_graph_change_sync_reaches_batch_state(spark, emb, tmp_path):
+    """Replaying a change log (inserts + an update + a delete) through
+    stream_graph_change_sync reaches EXACTLY the state of applying the
+    same collapsed per-batch ops directly."""
+    from vector_search_databricks_poc_spark.operators.graph_ann import (
+        delete_from_graph,
+        upsert_into_graph,
+    )
+    from vector_search_databricks_poc_spark.streaming.index_sync import (
+        stream_graph_change_sync,
+    )
+
+    base = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    donor = [float(x) for x in emb.where(F.col("vec_id") == 200).first()["embedding"]]
+    # post-image: ids 0..99 minus deleted 7, id 5 re-embedded, new 100..109
+    post = (
+        base.where(~F.col("vec_id").isin(5, 7))
+        .unionByName(
+            spark.createDataFrame([(5, donor)], "vec_id long, embedding array<float>")
+        )
+        .unionByName(
+            emb.where(F.col("vec_id").between(100, 109)).select("vec_id", "embedding")
+        )
+        .localCheckpoint()
+    )
+    log_rows = (
+        [(i, "insert", 1, None) for i in range(100, 110)]
+        + [(5, "update", 2, None), (7, "delete", 2, None)]
+    )
+
+    idx_a = build_graph_index(
+        base, str(tmp_path / "ca"), deg=4, k_centroids=3, refine_rounds=0
+    )
+    idx_b = build_graph_index(
+        base, str(tmp_path / "cb"), deg=4, k_centroids=3, refine_rounds=0
+    )
+
+    # twin B: the stream (one micro-batch: latest op per id, deletes first)
+    log_path = str(tmp_path / "log")
+    spark.createDataFrame(
+        log_rows, "vec_id long, op string, batch_seq long, ts timestamp"
+    ).coalesce(1).write.parquet(log_path)
+    q = stream_graph_change_sync(
+        idx_b, post, log_path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(180)
+
+    # twin A: the same collapsed ops applied directly
+    delete_from_graph(spark, idx_a, [7])
+    upsert_batch = post.where(
+        F.col("vec_id").isin([5] + list(range(100, 110)))
+    )
+    upsert_into_graph(spark, idx_a, upsert_batch)
+
+    rows = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], tuple(r["neighbors"]))
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(idx_a.path) == rows(idx_b.path)
+    assert idx_a.entries == idx_b.entries
+    alive = {r[0] for r in spark.read.parquet(idx_b.path).select("vec_id").collect()}
+    assert 7 not in alive and {5, 100, 109} <= alive

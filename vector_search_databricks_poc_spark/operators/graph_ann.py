@@ -549,6 +549,7 @@ def insert_into_graph(
     ef: int = 32,
     nprobe: int = 2,
     assign_n: int = 2,
+    watermark: bool = True,
 ) -> GraphInsertResult:
     """Append new vectors into an existing graph index — HNSW-style
     search-based insertion (Malkov & Yashunin 2016 §4: insert = search
@@ -557,7 +558,10 @@ def insert_into_graph(
     1. watermark: only rows with id beyond the stored max enter (same
        append contract as the IVF family's ``incremental_refresh``,
        operators/incremental.py:90; null / wrong-dimension vectors are
-       skipped, matching the build-time guard);
+       skipped, matching the build-time guard).  ``watermark=False``
+       (the ``upsert_into_graph`` replace path) swaps the filter for a
+       not-currently-present anti-join — same no-duplicates guarantee,
+       id monotonicity supplied by the upsert's delete instead;
     2. new→existing candidate edges come from the graph's OWN beam search
        (one ``batch_search`` job set over the whole batch, exact scores);
     3. new↔new edges from exact kNN inside the batch's centroid buckets
@@ -581,16 +585,23 @@ def insert_into_graph(
 
     id_col, vec_col, deg = index.id_col, index.vec_col, index.deg
     scan = spark.read.parquet(index.path)
-    wm = high_watermark(spark, index.path, id_col)  # bounded metadata
     dim = len(index.centroids[0])
     total = source.count()  # micro-batch-sized; needed to report skips
     fresh = source.where(V.vec_dim_ok(vec_col, dim))
-    if wm is not None:
-        fresh = fresh.where(F.col(id_col) > wm)
+    if watermark:
+        wm = high_watermark(spark, index.path, id_col)  # bounded metadata
+        if wm is not None:
+            fresh = fresh.where(F.col(id_col) > wm)
     fresh = fresh.select(
         F.col(id_col).cast("long").alias(id_col),
         V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
     ).dropDuplicates([id_col])  # a twice-sent id must not become two nodes
+    if not watermark:
+        # replace-path contract (``upsert_into_graph`` deletes the ids
+        # first): anything still present is skipped, never duplicated —
+        # replay after a crash between the delete and this insert
+        # converges instead of double-inserting
+        fresh = fresh.join(scan.select(id_col), id_col, "left_anti")
     assigned = assign_centroid(
         fresh, index.centroids, vec_col=vec_col
     ).localCheckpoint()
@@ -971,3 +982,39 @@ def delete_from_graph(
         },
     )
     return GraphInsertResult(len(found), skipped=len(ids) - len(found))
+
+
+def upsert_into_graph(
+    spark: SparkSession,
+    index: GraphIndex,
+    source: DataFrame,
+    ef: int = 32,
+    nprobe: int = 2,
+    assign_n: int = 2,
+) -> dict:
+    """CDF-style upsert for the graph index: rows whose id already exists
+    are REPLACED (delete with local repair, then search-based re-insert
+    with the new vector), new ids insert normally — the graph twin of the
+    IVF family's ``incremental_upsert`` update propagation.
+
+    Delete-then-insert is the published approach for graph updates
+    (FreshDiskANN treats an update as delete+insert, Singh et al. 2021
+    §4.3); in-place vector mutation would silently invalidate every
+    neighbor's stored ranking.  Crash between the two halves converges on
+    replay: the delete is idempotent and the insert's not-present guard
+    (``watermark=False``) never duplicates.
+
+    ``source`` is a bounded micro-batch of (id, vector).  Returns
+    ``{"upserted": rows_landed, "replaced": n_preexisting,
+    "skipped": n_dropped}`` (a replaced id counts in BOTH upserted and
+    replaced; skipped = dim-guard/dup drops, reported not silent).
+    """
+    ids = [
+        int(r[0]) for r in source.select(index.id_col).distinct().collect()
+    ]  # micro-batch-sized, same driver bound as the delete batch
+    replaced = int(delete_from_graph(spark, index, ids)) if ids else 0
+    res = insert_into_graph(
+        spark, index, source, ef=ef, nprobe=nprobe, assign_n=assign_n,
+        watermark=False,
+    )
+    return {"upserted": int(res), "replaced": replaced, "skipped": res.skipped}

@@ -184,6 +184,64 @@ def _graph_sync_batch(batch_df: DataFrame, batch_id: int, index) -> None:
     ).write.mode("append").parquet(marker_path)
 
 
+def stream_graph_change_sync(
+    index,
+    source: DataFrame,
+    log_path: str,
+    checkpoint_dir: str | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+):
+    """Replay a self-written change log into a GRAPH index — the graph
+    twin of ``stream_change_log_sync`` (r7; needs
+    ``operators/graph_ann.py::delete_from_graph`` / ``upsert_into_graph``).
+
+    Same feed contract: ``log_path`` streams (id, op, batch_seq, ts)
+    rows, ``source`` is the post-image vector table.  Each micro-batch
+    collapses to the latest op per id; deletes apply first
+    (``delete_from_graph`` — FreshDiskANN local repair), then surviving
+    insert/update ids join back to ``source`` and apply one
+    ``upsert_into_graph`` (delete-then-reinsert for updates, plain
+    insert for new ids).  Exactly-once via the checkpointed foreachBatch;
+    a crash between the upsert's halves converges on replay (see
+    ``upsert_into_graph``).  Returns the StreamingQuery.
+    """
+    id_col = id_col or index.id_col
+    vec_col = vec_col or index.vec_col
+    spark = source.sparkSession
+    id_type = source.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, op string, batch_seq long, ts timestamp"
+    changes = spark.readStream.schema(schema).parquet(log_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.graph_ann import delete_from_graph, upsert_into_graph
+
+        latest = batch_df.groupBy(id_col).agg(
+            F.max_by("op", "batch_seq").alias("op")
+        ).localCheckpoint()  # one pass over the batch, reused twice
+        delete_ids = [
+            r[0] for r in latest.where(F.col("op") == "delete").collect()
+        ]
+        if delete_ids:
+            delete_from_graph(spark, index, delete_ids)
+        upsert_ids = latest.where(F.col("op") != "delete").select(id_col)
+        changed = source.join(upsert_ids, id_col, "left_semi").select(
+            F.col(id_col).alias(index.id_col),
+            F.col(vec_col).alias(index.vec_col),
+        )
+        stats = upsert_into_graph(spark, index, changed)
+        if stats["skipped"]:
+            _LOG.warning(
+                "stream_graph_change_sync batch %s: %d change rows "
+                "skipped (dim-guard or duplicate)", batch_id, stats["skipped"],
+            )
+
+    writer = changes.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_change_log_sync(
     index: IvfIndex,
     source: DataFrame,
