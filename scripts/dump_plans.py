@@ -45,6 +45,7 @@ NAMES = [
     "filtered_vector_search",
     "exact_substring_dedup",
     "graph_exact_search",
+    "batch_search_endpoint",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

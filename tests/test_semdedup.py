@@ -214,3 +214,88 @@ def test_zero_vector_does_not_nan(spark):
 def test_eps_guard(spark, emb):
     with pytest.raises(ValueError):
         semantic_dedup(emb, id_col="vec_id", eps=0.0)
+
+
+def test_seeded_path_matches_duckdb_recursive(spark, emb):
+    """Full SQL re-derivation of the seeded path in DuckDB — seeds by
+    mixed hash, argmax-cosine assignment, and the greedy eps-prune as a
+    per-cluster recursive CTE carrying the kept list.  Independent of
+    both the Spark plan and the numpy reference (engine-portability of
+    the whole operator, the same bar the driver-checked queries meet)."""
+    import duckdb
+
+    eps, k = 0.9, 16
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", eps=eps, k_clusters=k
+    )
+    got = {
+        (int(r["vec_id"]), int(r["cluster"]), bool(r["is_keeper"]))
+        for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sql = f"""
+    WITH RECURSIVE
+    nv AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS raw,
+             list_transform(embedding::DOUBLE[],
+               x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[])),
+                                 1e-12)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS sid, raw AS sraw
+      FROM nv
+      ORDER BY ((vec_id % {_P31}) * {_MIX}) % {_P31}, vec_id
+      LIMIT {k}
+    ),
+    sim AS (
+      SELECT n.vec_id, s.sid,
+             ROUND(list_dot_product(n.raw, s.sraw)
+                   / (greatest(sqrt(list_dot_product(n.raw, n.raw)), 1e-12)
+                      * greatest(sqrt(list_dot_product(s.sraw, s.sraw)), 1e-12)),
+                   6) AS centroid_sim
+      FROM nv n CROSS JOIN seeds s
+    ),
+    mem AS (
+      SELECT vec_id, cluster, centroid_sim,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY centroid_sim ASC, vec_id ASC) AS rnk
+      FROM (
+        SELECT vec_id, sid AS cluster, centroid_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY centroid_sim DESC, sid ASC) AS rk
+        FROM sim
+      ) WHERE rk = 1
+    ),
+    greedy(cluster, rnk, kept) AS (
+      SELECT cluster, rnk, [vec_id] FROM mem WHERE rnk = 1
+      UNION ALL
+      SELECT m.cluster, m.rnk,
+             CASE WHEN (
+               SELECT MAX(list_dot_product(a.v, b.v))
+               FROM unnest(g.kept) u(kid)
+               JOIN nv b ON b.vec_id = u.kid
+               CROSS JOIN nv a
+               WHERE a.vec_id = m.vec_id
+             ) < {eps}
+             THEN list_append(g.kept, m.vec_id) ELSE g.kept END
+      FROM greedy g JOIN mem m ON m.cluster = g.cluster AND m.rnk = g.rnk + 1
+    ),
+    final AS (
+      SELECT cluster, arg_max(kept, rnk) AS kept FROM greedy GROUP BY cluster
+    )
+    SELECT m.vec_id, m.cluster,
+           list_contains(f.kept, m.vec_id) AS is_keeper
+    FROM mem m JOIN final f USING (cluster)
+    """
+    want = {
+        (int(r[0]), int(r[1]), bool(r[2])) for r in con.sql(sql).fetchall()
+    }
+    con.close()
+    assert got == want
