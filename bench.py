@@ -79,6 +79,10 @@ HEADLINE = [
     "manifest_pruned_scan",     # r6 layout: manifest-pruned file-skipping box
     #   query (first call z-orders orders + persists the stats manifest;
     #   timed reps measure prune + surviving-file scan)
+    "batch_search_endpoint",    # r7 A10 batch serving shape: 16 query texts
+    #   embedded in-plan + one exact broadcast-join plan with payload and
+    #   per-query dense ranks (the loop-free rendition of the reference
+    #   client's per-query endpoint calls)
 ]
 
 
