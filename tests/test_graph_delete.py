@@ -183,3 +183,42 @@ def test_delete_then_insert_roundtrip(spark, emb, tmp_path):
     _adjacency_clean(spark, idx, {10, 11, 12})
     n = spark.read.parquet(idx.path).count()
     assert n == 150 - 3 + 10
+
+
+def test_delete_without_repair_just_filters_edges(spark, emb, tmp_path):
+    """repair=False: victims vanish and dangling edges are filtered out,
+    but pointers do NOT gain replacement edges (their lists may shrink)."""
+    corpus = emb.where(F.col("vec_id") < 120)
+    idx = build_graph_index(
+        corpus, str(tmp_path / "gnr"), deg=4, k_centroids=3, refine_rounds=0
+    )
+    before = spark.read.parquet(idx.path)
+    victim = int(
+        before.select(F.explode("neighbors").alias("_nb"))
+        .groupBy(F.col("_nb.nbr_id").alias("vec_id"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), "vec_id")
+        .first()["vec_id"]
+    )
+    deg_before = {
+        int(r["vec_id"]): len(r["neighbors"]) for r in before.collect()
+    }
+    pointers = {
+        vid for vid, _ in deg_before.items()
+        if vid != victim
+    } & {
+        int(r["vec_id"])
+        for r in before.where(
+            F.exists("neighbors", lambda s: s["nbr_id"] == victim)
+        ).collect()
+    }
+    res = delete_from_graph(spark, idx, [victim], repair=False)
+    assert res == 1
+    _adjacency_clean(spark, idx, {victim})
+    after = {
+        int(r["vec_id"]): len(r["neighbors"])
+        for r in spark.read.parquet(idx.path).collect()
+    }
+    # every pointer lost exactly its dangling edges, gained nothing
+    for p in pointers:
+        assert after[p] == deg_before[p] - 1
