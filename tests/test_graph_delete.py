@@ -222,3 +222,24 @@ def test_delete_without_repair_just_filters_edges(spark, emb, tmp_path):
     # every pointer lost exactly its dangling edges, gained nothing
     for p in pointers:
         assert after[p] == deg_before[p] - 1
+
+
+def test_delete_everything_leaves_searchable_error(spark, emb, tmp_path):
+    """Deleting every node empties every partition: entries clear, the
+    table directory holds no data files, and a subsequent search fails
+    loudly (no entry points) instead of returning stale rows."""
+    corpus = emb.where(F.col("vec_id") < 60)
+    idx = build_graph_index(
+        corpus, str(tmp_path / "gall"), deg=4, k_centroids=2, refine_rounds=0
+    )
+    all_ids = sorted(
+        int(r["vec_id"]) for r in spark.read.parquet(idx.path).collect()
+    )
+    res = delete_from_graph(spark, idx, all_ids)
+    assert res == len(all_ids)
+    assert idx.entries == {}
+    assert not glob.glob(f"{idx.path}/centroid_id=*/*.parquet")
+    with pytest.raises(ValueError, match="no entry points"):
+        idx.search(spark, [0.0] * 32, k=3)
+    # and the index accepts a rebuild of fresh rows afterwards
+    assert insert_into_graph(spark, idx, emb.where(F.col("vec_id") < 10)) == 10

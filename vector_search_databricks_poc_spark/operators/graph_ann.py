@@ -527,6 +527,18 @@ class GraphIndex:
         )
 
 
+def _read_graph(spark: SparkSession, index: "GraphIndex") -> DataFrame:
+    """Explicit-schema read of the graph table — tolerates a FULLY-emptied
+    table (every partition deleted, only ``_meta`` left) where schema
+    inference would fail; the maintenance ops use this so a
+    delete-everything followed by fresh inserts keeps working."""
+    sch = (
+        f"{index.id_col} long, {index.vec_col} array<float>, "
+        f"neighbors {_NBR_T}, centroid_id int"
+    )
+    return spark.read.schema(sch).parquet(index.path)
+
+
 class GraphInsertResult(int):
     """Inserted-node count that also carries how many source rows were
     NOT inserted (``.skipped``: at/below the id watermark, failed the
@@ -581,15 +593,15 @@ def insert_into_graph(
     EXISTING id lands in ``.skipped``, never silently); ``index.entries``
     is updated in place.
     """
-    from .incremental import high_watermark
-
     id_col, vec_col, deg = index.id_col, index.vec_col, index.deg
-    scan = spark.read.parquet(index.path)
+    scan = _read_graph(spark, index)
     dim = len(index.centroids[0])
     total = source.count()  # micro-batch-sized; needed to report skips
     fresh = source.where(V.vec_dim_ok(vec_col, dim))
     if watermark:
-        wm = high_watermark(spark, index.path, id_col)  # bounded metadata
+        # bounded metadata; via the schema-carrying scan so an emptied
+        # table reads as "no watermark" instead of failing inference
+        wm = scan.agg(F.max(id_col)).first()[0]
         if wm is not None:
             fresh = fresh.where(F.col(id_col) > wm)
     fresh = fresh.select(
@@ -609,17 +621,26 @@ def insert_into_graph(
     if not n:
         return GraphInsertResult(0, skipped=total)
 
-    # 2. new -> existing: search-based neighbor discovery, exact scores
-    q = assigned.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("query_vec"),
-    )
-    hits = index.batch_search(
-        spark, q, k=deg, ef=max(ef, 2 * deg), nprobe=nprobe, score_decimals=None
-    )
-    e_new_old = hits.select(
-        F.col("query_id").alias("src"), F.col(id_col).alias("dst"), "score"
-    )
+    # 2. new -> existing: search-based neighbor discovery, exact scores.
+    # An EMPTY graph (e.g. after a delete-everything) has no entry points
+    # to beam from — the batch then seeds the graph from its own bucket
+    # kNN alone (step 3), exactly the build's construction.
+    if index.entries:
+        q = assigned.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+        hits = index.batch_search(
+            spark, q, k=deg, ef=max(ef, 2 * deg), nprobe=nprobe,
+            score_decimals=None,
+        )
+        e_new_old = hits.select(
+            F.col("query_id").alias("src"), F.col(id_col).alias("dst"), "score"
+        )
+    else:
+        e_new_old = spark.createDataFrame(
+            [], "src long, dst long, score double"
+        )
 
     # 3. new <-> new inside the batch's buckets (a batch of mutual
     # near-duplicates must interconnect even before any existing node
@@ -804,7 +825,7 @@ def delete_from_graph(
     if not ids:
         return GraphInsertResult(0, skipped=0)
 
-    scan = spark.read.parquet(index.path)
+    scan = _read_graph(spark, index)
     # victims, with their adjacency — the repair candidate pool is the
     # deleted nodes' own out-edges (bounded: |ids| × deg tuples)
     victims = scan.where(idc.isin(ids)).select(
