@@ -114,6 +114,39 @@ def test_batch_search_matches_per_query_search(spark, gidx, emb):
         assert got == [(r["vec_id"], r["score"]) for r in solo], f"query {v}"
 
 
+def test_batch_search_include_centroid_reports_true_partitions(spark, gidx, emb):
+    """include_centroid=True appends each hit's REAL partition (free
+    driver metadata — insert_into_graph relies on it to avoid a
+    corpus-wide id→partition lookup); the values must match the table
+    and the default schema must stay unchanged."""
+    import pyspark.sql.functions as F
+
+    qdf = spark.createDataFrame(
+        [(v, [float(x) for x in _qv(emb, v)]) for v in (3, 42)],
+        "query_id long, query_vec array<double>",
+    )
+    plain = gidx.batch_search(spark, qdf, k=5, ef=32, nprobe=4)
+    assert plain.columns == ["query_id", "vec_id", "score", "rank"]
+    withc = gidx.batch_search(
+        spark, qdf, k=5, ef=32, nprobe=4, include_centroid=True
+    )
+    assert withc.columns == ["query_id", "vec_id", "score", "centroid_id", "rank"]
+    truth = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in spark.read.parquet(gidx.path)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    rows = withc.collect()
+    assert rows, "expected hits"
+    for r in rows:
+        assert truth[int(r["vec_id"])] == int(r["centroid_id"])
+    # hit sets identical with and without the extra column
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in plain.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+    assert a == b
+
+
 def test_reloaded_handle_gives_identical_results(spark, gidx, emb):
     reloaded = load_graph_index(spark, gidx.path)
     assert isinstance(reloaded, GraphIndex)

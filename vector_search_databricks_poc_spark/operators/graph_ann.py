@@ -351,6 +351,7 @@ class GraphIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         score_decimals: int | None = 6,
+        include_centroid: bool = False,
     ) -> DataFrame:
         """Many queries, ONE set of hop jobs: every query's beam advances
         through the same window/explode/fetch stages, so hop count — the
@@ -376,7 +377,11 @@ class GraphIndex:
         to keep lineage flat.
 
         Returns (query_id, id, score, rank) with rank ≤ k per query,
-        ordered within a query by score desc, ties on id."""
+        ordered within a query by score desc, ties on id.
+        ``include_centroid=True`` appends each hit's ``centroid_id`` —
+        free driver metadata (every proposal tuple already names its
+        target's partition), used by ``insert_into_graph`` to avoid a
+        corpus-wide id→partition lookup join."""
         if not self.entries:
             raise ValueError(f"index at {self.path} has no entry points")
         ef = max(ef, k)
@@ -473,10 +478,12 @@ class GraphIndex:
         expanded: dict[int, set] = {}    # qid -> expanded node ids
         seen: dict[int, set] = {}        # qid -> proposed-or-scored ids
         nbrs_of: dict[int, list] = {}    # node id -> [(nbr_id, nbr_cent)]
+        cent_of: dict[int, int] = {}     # node id -> its centroid partition
 
         pending = seed_rows
-        for qid, cand, _ in pending:
+        for qid, cand, cent in pending:
             seen.setdefault(qid, set()).add(cand)
+            cent_of[int(cand)] = int(cent)
         for _ in range(max_hops + 1):  # seeds score on iteration 0
             if not pending:
                 break  # every query converged: no beam reaches anything new
@@ -505,17 +512,35 @@ class GraphIndex:
                     for nb, nc in nbrs_of.get(nid, ()):
                         if nb not in sn:
                             sn.add(nb)
+                            cent_of[nb] = nc
                             pending.append((qid, nb, nc))
 
-        out_rows = [
-            (qid, nid, fp) for qid, rows_ in beams.items() for fp, nid in rows_
-        ]
-        scored = spark.createDataFrame(
-            pd.DataFrame(
-                out_rows, columns=[query_id_col, self.id_col, "score"]
-            ),
-            f"{query_id_col} long, {self.id_col} long, score double",
-        )
+        if include_centroid:
+            out_rows = [
+                (qid, nid, fp, cent_of[nid])
+                for qid, rows_ in beams.items()
+                for fp, nid in rows_
+            ]
+            scored = spark.createDataFrame(
+                pd.DataFrame(
+                    out_rows,
+                    columns=[query_id_col, self.id_col, "score", "centroid_id"],
+                ),
+                f"{query_id_col} long, {self.id_col} long, score double,"
+                " centroid_id int",
+            )
+        else:
+            out_rows = [
+                (qid, nid, fp)
+                for qid, rows_ in beams.items()
+                for fp, nid in rows_
+            ]
+            scored = spark.createDataFrame(
+                pd.DataFrame(
+                    out_rows, columns=[query_id_col, self.id_col, "score"]
+                ),
+                f"{query_id_col} long, {self.id_col} long, score double",
+            )
         if score_decimals is not None:
             scored = scored.withColumn(
                 "score", F.round(F.col("score"), score_decimals)
@@ -632,15 +657,19 @@ def insert_into_graph(
         )
         hits = index.batch_search(
             spark, q, k=deg, ef=max(ef, 2 * deg), nprobe=nprobe,
-            score_decimals=None,
+            score_decimals=None, include_centroid=True,
         )
         e_new_old = hits.select(
             F.col("query_id").alias("src"), F.col(id_col).alias("dst"), "score"
         )
+        hit_cents = hits.select(
+            F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
+        ).distinct()
     else:
         e_new_old = spark.createDataFrame(
             [], "src long, dst long, score double"
         )
+        hit_cents = spark.createDataFrame([], "dst long, nbr_centroid int")
 
     # 3. new <-> new inside the batch's buckets (a batch of mutual
     # near-duplicates must interconnect even before any existing node
@@ -678,25 +707,47 @@ def insert_into_graph(
         F.col(vec_col).alias("_sv"),
         F.explode("neighbors").alias("_nb"),
     ).select("src", "_sv", F.col("_nb.nbr_id").alias("dst"))
-    dstv = scan.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv"))
+    # the rescore only needs the affected nodes' CURRENT neighbors'
+    # vectors, and their structs name those neighbors' partitions — prune
+    # the vector fetch to exactly those (≤ k_centroids ints off the
+    # already-checkpointed ``cur``, never a corpus-wide scan)
+    cur_parts = sorted(
+        int(r[0])
+        for r in cur.select(
+            F.explode(F.col("neighbors.nbr_centroid")).alias("_c")
+        ).distinct().collect()
+    )
+    dstv = (
+        scan.where(F.col("centroid_id").isin(cur_parts))
+        .select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_dv"))
+    )
     cur_scored = cur_edges.join(dstv, "dst").select(
         "src", "dst", V.dot("_sv", "_dv").alias("score")
     )
     upd_out = _top_deg(cur_scored.unionByName(rev), deg)
 
-    # partition lookup spans old + new nodes (a neighbor struct must name
-    # the neighbor's REAL partition or hop pruning reads the wrong files)
-    cent_all = scan.select(
-        F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
-    ).unionByName(
+    # partition lookup for every dst a rebuilt adjacency can name: the
+    # batch itself, the beam hits (centroid carried by the search), and
+    # the affected nodes' current neighbors (centroid carried by the
+    # structs) — all bounded by batch·deg-class volumes, so the lookup
+    # BROADCASTS instead of joining the whole corpus for id→partition
+    cent_known = (
         assigned.select(
             F.col(id_col).alias("dst"), F.col("centroid_id").alias("nbr_centroid")
         )
+        .unionByName(hit_cents)
+        .unionByName(
+            cur.select(F.explode("neighbors").alias("_nb")).select(
+                F.col("_nb.nbr_id").alias("dst"),
+                F.col("_nb.nbr_centroid").alias("nbr_centroid"),
+            )
+        )
+        .distinct()
     )
 
     def to_adj(edges: DataFrame) -> DataFrame:
         return (
-            edges.join(cent_all, "dst")
+            edges.join(F.broadcast(cent_known), "dst")
             .groupBy(F.col("src").alias(id_col))
             .agg(
                 F.array_sort(
@@ -850,6 +901,10 @@ def delete_from_graph(
         scan.where(F.exists("neighbors", lambda s: is_victim(s["nbr_id"])))
         .where(~is_victim(idc))  # a victim pointing at a victim just dies
         .select(idc, "centroid_id", vec_col, "neighbors")
+        # bounded (pointers at the delete batch) and referenced by FIVE
+        # downstream branches — checkpoint so the corpus-wide
+        # exists-filter scan runs ONCE, not once per branch
+        .localCheckpoint()
     )
     ptr_parts = {
         int(r["centroid_id"])
@@ -906,7 +961,19 @@ def delete_from_graph(
                 F.col("_nb.nbr_centroid").alias("_dcent"),
             )
         )
-        all_dstv = scan.select(idc.alias("dst"), F.col(vec_col).alias("_dv"))
+        # the surviving-edge rescore needs only the pointers' remaining
+        # neighbors' vectors; their structs name the partitions — prune
+        # the fetch to those instead of joining the whole corpus
+        cur_parts = sorted(
+            int(r[0])
+            for r in ptr.select(
+                F.explode(cleaned_nbrs).alias("_nb")
+            ).select(F.col("_nb.nbr_centroid")).distinct().collect()
+        )
+        all_dstv = (
+            scan.where(F.col("centroid_id").isin(cur_parts))
+            .select(idc.alias("dst"), F.col(vec_col).alias("_dv"))
+        )
         cur_scored = cur_edges.join(all_dstv, "dst").select(
             "src", "dst", V.dot("_sv", "_dv").alias("score"), "_dcent"
         )
