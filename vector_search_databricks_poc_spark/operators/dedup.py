@@ -865,8 +865,6 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    from ..catalog import ensure_parallelism
-
     n = n_rows if n_rows is not None else _estimate_rows(df)
     # the exact/pruned switch changes RESULTS (LSH-recall vs all-pairs), so
     # the routing decision must be observable: a plan-statistics estimate
@@ -915,25 +913,51 @@ def embedding_near_dup_pairs(
     else:
         busy = min(4, max(1, n // 8))
     n_blocks = max(1, _math.ceil(n / block_size), busy)
-    src = ensure_parallelism(df).select(
+    # a float32 source shuffles as float32 (half the replicated bytes) and
+    # promotes to float64 inside the kernel — bit-identical to casting in
+    # the plan, since float→double promotion is exact; a float64 source
+    # keeps its full precision
+    from pyspark.sql.types import ArrayType, FloatType
+
+    et = df.schema[vec_col].dataType
+    src_is_float = isinstance(et, ArrayType) and isinstance(
+        et.elementType, FloatType
+    )
+    vexpr = (
+        F.col(vec_col) if src_is_float else F.col(vec_col).cast("array<double>")
+    )
+    # no pre-shuffle repartition: the heavy work (the matmuls) happens
+    # AFTER the (bi,bj) group shuffle, which already redistributes; the
+    # pre-shuffle stage is a cheap projection+explode that the scan's
+    # natural splits parallelize fine at scale, and for small inputs the
+    # extra exchange was ~30% of wall time (measured at sf0.1)
+    src = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        vexpr.alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    spark = df.sparkSession
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    # each row belongs to every block-pair where its block appears on
+    # either side — emitted as ONE in-plan explode (n_blocks structs per
+    # row) instead of two broadcast joins + a union: a single scan of the
+    # source feeding straight into the one group shuffle
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(
+            F.least(x, F.col("_blk")).alias("bi"),
+            F.greatest(x, F.col("_blk")).alias("bj"),
+            F.when(F.col("_blk") <= x, F.lit("L"))
+            .otherwise(F.lit("R"))
+            .alias("_side"),
+        ),
     )
-    # each row joins every block-pair where its block appears on either side
-    tagged = (
-        src.join(F.broadcast(block_pairs), on=F.col("_blk") == F.col("bi"))
-        .select("bi", "bj", "_id", "_v", F.lit("L").alias("_side"))
-        .unionByName(
-            src.join(
-                F.broadcast(block_pairs),
-                on=(F.col("_blk") == F.col("bj")) & (F.col("bi") != F.col("bj")),
-            ).select("bi", "bj", "_id", "_v", F.lit("R").alias("_side"))
-        )
+    tagged = src.select(
+        "_id", "_v", F.explode(pair_structs).alias("_p")
+    ).select(
+        F.col("_p.bi").alias("bi"),
+        F.col("_p.bj").alias("bj"),
+        "_id",
+        "_v",
+        F.col("_p._side").alias("_side"),
     )
 
     thr = float(threshold)
@@ -944,8 +968,8 @@ def embedding_near_dup_pairs(
         right = pdf[pdf["_side"] == "R"] if not same else pdf
         if left.empty or right.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        la = np.stack(left["_v"].to_numpy())
-        rb = np.stack(right["_v"].to_numpy())
+        la = np.stack(left["_v"].to_numpy()).astype(np.float64, copy=False)
+        rb = np.stack(right["_v"].to_numpy()).astype(np.float64, copy=False)
         ids_a = left["_id"].to_numpy()
         ids_b = right["_id"].to_numpy()
         na = np.sqrt((la * la).sum(axis=1))
