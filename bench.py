@@ -136,7 +136,7 @@ def main() -> None:
         floors["_calibration_sec"] = round(calib, 4)
 
     times: dict[str, float] = {}
-    drift_flags: dict[str, str] = {}
+    ratios: dict[str, float | None] = {}
     for name in HEADLINE:
         # some r1 headline queries were consolidated into merged declared
         # queries; the original callables remain as module functions so the
@@ -153,8 +153,9 @@ def main() -> None:
         # a flag that three further reps couldn't clear is then a real
         # signal rather than one unlucky draw (r6 shipped 5 such flags
         # that a re-run cleared).
-        # drift threshold scales with how much slower this host measured
-        # vs the floor-recording host (never tightens below the raw 1.2)
+        # rep-extension threshold: CPU-calibration-scaled only (the final
+        # flag threshold below also folds in the suite median, but that
+        # isn't known mid-loop — erring toward extra cheap reps here)
         margin = 1.2 * max(speed, 1.0)
         while reps < 3 or (
             best is not None
@@ -173,12 +174,7 @@ def main() -> None:
             best = el if best is None else min(best, el)
             reps += 1
         times[name] = round(best, 3)
-        if floor is not None and best > floor * margin:
-            drift_flags[name] = (
-                f"{times[name]}s vs floor {floor}s "
-                f"(+{(best / floor - 1) * 100:.0f}%, host-adjusted "
-                f"threshold +{(margin - 1) * 100:.0f}%)"
-            )
+        ratios[name] = (best / floor) if floor else None
         if floor is None or best < floor:
             floors[name] = times[name]
         print(f"# {name}: {times[name]}s ({n} rows, best of {reps})", file=sys.stderr)
@@ -190,6 +186,28 @@ def main() -> None:
     except OSError:
         pass
 
+    # Flags are computed AFTER the suite, against the suite's own median
+    # time/floor ratio as well as the CPU calibration: a plan regression
+    # is per-query, so it shows as an OUTLIER above whatever inflation the
+    # whole suite shares (r7: a VM reboot landed on hardware where the
+    # CPU calibration reads 1.7x but scan/memory-bound queries run up to
+    # 2.4x their floors — a CPU-only factor under-adjusts non-uniformly
+    # slower hosts and manufactures phantom flags).  The median is capped
+    # so a hypothetical everything-regressed code change can't silently
+    # raise the bar without bound, and suite-wide inflation is surfaced
+    # in drift_note + suite_inflation instead of per-query flags.
+    known = sorted(r for r in ratios.values() if r is not None)
+    med_ratio = known[len(known) // 2] if known else 1.0
+    margin = 1.2 * max(speed, min(med_ratio, 3.0), 1.0)
+    drift_flags = {}
+    for name, r in ratios.items():
+        if r is not None and r > margin:
+            drift_flags[name] = (
+                f"{times[name]}s vs floor {floors[name]}s "
+                f"(+{(r - 1) * 100:.0f}%, host-adjusted "
+                f"threshold +{(margin - 1) * 100:.0f}%)"
+            )
+
     # many queries drifting TOGETHER is a loaded host, not a plan
     # regression — plans change one query at a time; annotate so a reader
     # of one noisy run doesn't chase 8 phantom regressions
@@ -197,8 +215,15 @@ def main() -> None:
     if len(drift_flags) >= max(3, len(times) // 3):
         drift_note = (
             f"{len(drift_flags)}/{len(times)} queries above the "
-            f"host-adjusted drift threshold (+{(1.2 * max(speed, 1.0) - 1) * 100:.0f}%) "
+            f"host-adjusted drift threshold (+{(margin - 1) * 100:.0f}%) "
             "simultaneously - global host slowdown, not per-query regressions"
+        )
+    elif med_ratio > 1.35:
+        drift_note = (
+            f"suite-wide inflation: median time/floor {med_ratio:.2f}x "
+            f"(cpu calibration {speed:.2f}x) - floors were recorded on a "
+            "faster host incarnation; flags above are outliers beyond "
+            "that shared inflation"
         )
 
     out = {
@@ -211,6 +236,7 @@ def main() -> None:
         "warmup_sec": round(warmup, 3),
         "calibration_sec": round(calib, 4),
         "host_speed_factor": round(speed, 3),
+        "suite_inflation": round(med_ratio, 3),
         "floors": {k: floors[k] for k in times},
         "drift_flags": drift_flags,
         "drift_note": drift_note,

@@ -1153,3 +1153,31 @@ def test_exact_substring_dedup_pathological_self_dup_doc(spark):
     assert out[3]["text"] == "intro text here middle part outro"
     assert out[3]["n_tokens_removed"] == 2 * L
     assert out[4]["n_tokens_removed"] == 0
+
+
+def test_snapshot_diff_ops_matches_duckdb(spark):
+    """Full (id, op) change set re-derived by DuckDB with its own FULL
+    OUTER JOIN + IS DISTINCT FROM — the same exactness contract the
+    driver applies to the oracle window."""
+    out = R.QUERIES["snapshot_diff_ops"](spark, SF_DIR)
+    sql = """
+    WITH news AS (SELECT doc_id, text, lang FROM documents),
+    olds AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op
+    FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+    ORDER BY doc_id
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

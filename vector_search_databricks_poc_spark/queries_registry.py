@@ -4978,6 +4978,81 @@ def bloom_point_lookup(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+@register("snapshot_diff_ops")
+def snapshot_diff_ops(spark, sf_dir):
+    """Snapshot-derived change feed (A6 without a change-tracked source):
+    diff two versions of the documents table into the (id, op) rows the
+    incremental-sync path consumes.  The "old" snapshot is derived
+    in-plan from the same table — rows dropped (doc_id % 13 = 0, become
+    inserts), texts edited (doc_id % 7 = 0 uppercased, become updates
+    where the edit changed bytes), and phantom rows added (doc_id % 17
+    shifted by +1_000_000, become deletes) — so the query is one lazy
+    plan over one fixture.  Exact full-outer null-safe compare; the
+    full result is DuckDB-value-compared in
+    tests/test_rows_only_compares.py and the pruned variant is asserted
+    identical in tests/test_diff.py."""
+    from .operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.select("doc_id", "text", "lang")
+    old = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, "doc_id")
+        .select("doc_id", "op")
+        .orderBy("doc_id")
+    )
+
+
+@register("profile_drift_psi")
+def profile_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor between two corpus snapshots: PSI over
+    declared bins per numeric signal, computed as ONE shuffle-free
+    conditional-agg scan per side (map-side partials to a single wide
+    row, unpivoted lazily — no corpus explode, no groupBy shuffle).  The
+    "new" snapshot is perturbed in-plan: long docs dropped (mass shifts
+    down-distribution) and every 11th n_chars nulled (null-rate drift
+    lands in the dedicated -1 bin).  Hand-computed goldens + empty/
+    identical edge cases in tests/test_drift.py; DuckDB re-derivation in
+    tests/test_rows_only_compares.py."""
+    from .operators.drift import profile_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("n_chars", F.length("text").alias("text_len"))
+    new = docs.where(F.col("n_chars") <= 800).select(
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.length("text").alias("text_len"),
+    )
+    spec = {"n_chars": (0.0, 1000.0, 10), "text_len": (0.0, 1200.0, 12)}
+    return profile_drift(old, new, spec).select(
+        "column",
+        F.round("psi", 6).alias("psi"),
+        "n_old",
+        "n_new",
+        F.round("null_frac_old", 6).alias("null_frac_old"),
+        F.round("null_frac_new", 6).alias("null_frac_new"),
+        "max_shift_bin",
+        F.round("max_shift", 6).alias("max_shift"),
+    ).orderBy("column")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
