@@ -1,0 +1,118 @@
+"""Fuzzy (edit-distance) join/dedup: blocking completeness vs brute force.
+
+The SymSpell/FastSS deletion-neighborhood guarantee (fuzzy.py docstring)
+is the load-bearing claim: every true pair must survive blocking.  These
+tests prove it exhaustively — Spark's blocked result is compared against
+an all-pairs DuckDB levenshtein brute force on the same inputs — and pin
+the plan shape (broadcast catalog => the only exchange is the pair dedup).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connection
+from vector_search_databricks_poc_spark.operators.fuzzy import (
+    deletion_neighborhood,
+    fuzzy_dedup,
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+from vector_search_databricks_poc_spark.plans import audit
+
+
+def _neighborhood(spark, s: str, d: int) -> list[str]:
+    row = spark.range(1).select(
+        deletion_neighborhood(f"'{s}'", max_distance=d).alias("n")
+    ).first()
+    return sorted(row["n"])
+
+
+def test_neighborhood_d1(spark):
+    assert _neighborhood(spark, "abc", 1) == sorted(["abc", "bc", "ac", "ab"])
+
+
+def test_neighborhood_d2_contains_all_two_deletions(spark):
+    got = set(_neighborhood(spark, "abcd", 2))
+    import itertools
+
+    want = set()
+    for keep in range(2, 5):
+        for idx in itertools.combinations(range(4), keep):
+            want.add("".join("abcd"[i] for i in idx))
+    assert want <= got
+
+
+def test_neighborhood_empty_string(spark):
+    assert _neighborhood(spark, "", 1) == [""]
+    assert _neighborhood(spark, "", 2) == [""]
+
+
+def test_neighborhood_rejects_large_distance(spark):
+    with pytest.raises(ValueError):
+        deletion_neighborhood("x", max_distance=3)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_self_pairs_match_brute_force(spark, d):
+    """Blocked self-pairs == exhaustive all-pairs levenshtein (DuckDB).
+
+    The corpus mixes true near-matches (planted deletions/substitutions)
+    with unrelated names, at both distances.
+    """
+    words = [
+        "spark", "spar", "sprk", "shark", "sharks", "quark",
+        "table", "tale", "tables", "fable", "cable", "cab",
+        "", "a", "b", "ab",
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["wid", "word"]
+    )
+    got = fuzzy_self_pairs(df, col="word", id_col="wid", max_distance=d)
+    con = duck_connection(SF_DIR)
+    con.execute("CREATE OR REPLACE TABLE words(wid BIGINT, word VARCHAR)")
+    con.executemany(
+        "INSERT INTO words VALUES (?, ?)", [(i, w) for i, w in enumerate(words)]
+    )
+    sql = f"""
+    SELECT a.wid AS id_a, a.word AS val_a, b.wid AS id_b, b.word AS val_b,
+           CAST(levenshtein(a.word, b.word) AS INT) AS dist
+    FROM words a JOIN words b ON a.wid < b.wid
+    WHERE levenshtein(a.word, b.word) <= {d}
+    """
+    r = compare(got, con, sql)
+    assert r["values_match"], r
+
+
+def test_fuzzy_join_broadcast_plan(spark):
+    """Catalog-broadcast fuzzy join: zero shuffles except the pair dedup,
+    and the join is a BroadcastHashJoin on the deletion key."""
+    from vector_search_databricks_poc_spark.catalog import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    dirty = part.select(
+        F.col("p_partkey").alias("did"), F.col("p_name").alias("dname")
+    )
+    catalog = part.groupBy("p_name").agg(F.min("p_partkey").alias("cid"))
+    out = fuzzy_join(
+        dirty, catalog, "dname", "p_name", "did", "cid",
+        max_distance=1, broadcast_right=True,
+    )
+    assert audit.uses_broadcast_join(out)
+    # catalog agg (1) + pair dedup (1); the dirty side itself never shuffles
+    assert audit.count_exchanges(out) <= 2
+
+
+def test_fuzzy_dedup_singletons_and_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpa"), (3, "omega"), (4, "alpha")],
+        ["nid", "name"],
+    )
+    out = fuzzy_dedup(df, col="name", id_col="nid", max_distance=1)
+    rows = {r["nid"]: (r["canonical_id"], r["canonical_name"]) for r in out.collect()}
+    assert rows[1] == (1, "alpha")
+    assert rows[2] == (1, "alpha")
+    assert rows[4] == (1, "alpha")
+    assert rows[3] == (3, "omega")  # singleton maps to itself

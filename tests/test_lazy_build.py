@@ -67,6 +67,7 @@ EAGER_BY_CONTRACT = {
     "stateful_user_stats",
     "near_dup_pairs_components",
     "quality_dedup_keepers",  # same iterative label propagation
+    "fuzzy_name_dedup",  # same iterative label propagation (fuzzy_dedup)
 }
 
 ACTIONS = [

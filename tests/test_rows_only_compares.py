@@ -1181,3 +1181,71 @@ def test_snapshot_diff_ops_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-join family
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_catalog_match_matches_duckdb(spark):
+    """Blocked fuzzy join == DuckDB exhaustive all-pairs levenshtein over
+    the same planted typos — proves the deletion-neighborhood blocking
+    dropped no true pair and the verify kept no false one."""
+    out = R.QUERIES["fuzzy_catalog_match"](spark, SF_DIR)
+    sql = """
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+             substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS dirty_name
+      FROM part WHERE p_partkey % 7 = 0
+    ), catalog AS (
+      SELECT p_name, MIN(p_partkey) AS catalog_id FROM part GROUP BY p_name
+    )
+    SELECT dirty_id, dirty_name, catalog_id, p_name AS catalog_name,
+           CAST(levenshtein(dirty_name, p_name) AS INT) AS dist
+    FROM dirty, catalog
+    WHERE levenshtein(dirty_name, p_name) <= 1
+    ORDER BY dirty_id, catalog_id
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r
+
+
+def test_fuzzy_name_dedup_matches_duckdb(spark):
+    """Fuzzy canonicalization == DuckDB recursive transitive closure over
+    the brute-force pair graph (same contract as the components oracle)."""
+    out = R.QUERIES["fuzzy_name_dedup"](spark, SF_DIR)
+    sql = """
+    WITH RECURSIVE clean AS (
+      SELECT MIN(p_partkey) AS name_id, p_name FROM part GROUP BY p_name
+    ), names AS (
+      SELECT name_id, p_name FROM clean
+      UNION ALL
+      SELECT name_id + 1000000,
+             substr(p_name, 1, CAST(name_id % length(p_name) AS INT)) ||
+             substr(p_name, CAST(name_id % length(p_name) AS INT) + 2)
+      FROM clean
+    ), pairs AS (
+      SELECT a.name_id AS ia, b.name_id AS ib
+      FROM names a JOIN names b ON a.name_id < b.name_id
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ), sym AS (
+      SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT n.name_id, n.p_name,
+           COALESCE(c.component, n.name_id) AS canonical_id,
+           cn.p_name AS canonical_p_name
+    FROM names n
+    LEFT JOIN comp c ON c.node = n.name_id
+    LEFT JOIN names cn ON cn.name_id = COALESCE(c.component, n.name_id)
+    ORDER BY n.name_id
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

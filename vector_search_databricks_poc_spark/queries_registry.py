@@ -5053,6 +5053,67 @@ def profile_drift_psi(spark, sf_dir):
     ).orderBy("column")
 
 
+@register("fuzzy_catalog_match")
+def fuzzy_catalog_match(spark, sf_dir):
+    """Entity resolution: reconcile typo'd part names against the clean
+    catalog with a SymSpell-style deletion-neighborhood fuzzy join
+    (operators/fuzzy.py).  Typos are planted in-plan (deterministic
+    single-char deletion keyed by p_partkey) so the true matches are
+    known; the catalog side broadcasts, so the plan has ZERO exchanges
+    before the pair dedup.  Full DuckDB brute-force levenshtein compare
+    in tests/test_rows_only_compares.py (blocking completeness = FastSS
+    deletion-neighborhood guarantee, proven there by exhaustive pairs)."""
+    from .operators.fuzzy import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    # deterministic typo: delete the (p_partkey % length(p_name))+1-th char
+    dirty = part.where(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr(
+            "concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)), "
+            "substring(p_name, cast(p_partkey % length(p_name) as int) + 2, 2147483647))"
+        ).alias("dirty_name"),
+    )
+    catalog = part.groupBy("p_name").agg(F.min("p_partkey").alias("catalog_id"))
+    matched = fuzzy_join(
+        dirty,
+        catalog,
+        left_col="dirty_name",
+        right_col="p_name",
+        left_id="dirty_id",
+        right_id="catalog_id",
+        max_distance=1,
+        broadcast_right=True,
+    )
+    return matched.select(
+        "dirty_id", "dirty_name", "catalog_id", F.col("p_name").alias("catalog_name"), "dist"
+    ).orderBy("dirty_id", "catalog_id")
+
+
+@register("fuzzy_name_dedup")
+def fuzzy_name_dedup(spark, sf_dir):
+    """Fuzzy key canonicalization: distinct part names plus planted
+    1-deletion variants collapse to their catalog form via connected
+    components over the fuzzy pair graph (min-id canonical).  Eager by
+    contract: the per-round convergence count of label propagation IS
+    the algorithm (same contract as near_dup_pairs_components).  DuckDB
+    recursive-closure compare in tests/test_rows_only_compares.py."""
+    from .operators.fuzzy import fuzzy_dedup
+
+    part = load_table(spark, sf_dir, "part")
+    clean = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    variants = clean.select(
+        (F.col("name_id") + 1_000_000).alias("name_id"),
+        F.expr(
+            "concat(substring(p_name, 1, cast(name_id % length(p_name) as int)), "
+            "substring(p_name, cast(name_id % length(p_name) as int) + 2, 2147483647))"
+        ).alias("p_name"),
+    )
+    names = clean.select("name_id", "p_name").unionByName(variants)
+    out = fuzzy_dedup(names, col="p_name", id_col="name_id", max_distance=1)
+    return out.orderBy("name_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
