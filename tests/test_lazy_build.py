@@ -68,6 +68,8 @@ EAGER_BY_CONTRACT = {
     "near_dup_pairs_components",
     "quality_dedup_keepers",  # same iterative label propagation
     "fuzzy_name_dedup",  # same iterative label propagation (fuzzy_dedup)
+    "pagerank_centrality",  # power-iteration checkpoints + label propagation
+    "pca_reduced_search",  # PCA sufficient-stats fit (CREATE INDEX analog)
 }
 
 ACTIONS = [

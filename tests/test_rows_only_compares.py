@@ -1249,3 +1249,50 @@ def test_fuzzy_name_dedup_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_pagerank_centrality_matches_duckdb(spark):
+    """8 power iterations unrolled as 8 DuckDB CTE rounds over the same
+    near-dup edge set, components via recursive closure, keeper by
+    (rounded rank desc, node asc) — a full independent re-derivation of
+    the declared query."""
+    out = R.QUERIES["pagerank_centrality"](spark, SF_DIR)
+    rounds = []
+    for k in range(8):
+        rounds.append(f"""
+    r{k + 1} AS (
+      SELECT v.node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(i.inflow, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT s.dst AS node, SUM(r.rank / d.deg) AS inflow
+        FROM sym s JOIN r{k} r ON r.node = s.src JOIN deg d ON d.src = s.src
+        GROUP BY s.dst
+      ) i ON i.node = v.node
+    )""")
+    sql = f"""
+    WITH RECURSIVE edges AS ({R._NEAR_DUP_EDGES_SQL}),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT src AS node FROM sym),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+    {",".join(rounds)},
+    ranked AS (SELECT node, ROUND(rank, 6) AS rank FROM r8),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT c.node, c.component, k.rank,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.component ORDER BY k.rank DESC, c.node
+           ) = 1 AS is_keeper
+    FROM comp c JOIN ranked k ON k.node = c.node
+    ORDER BY c.node
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

@@ -1,0 +1,196 @@
+"""Distributed PCA + reduced-dimension two-stage vector search.
+
+Dimensionality reduction is the other lever (besides PQ/int8, see
+functions/quantization.py) for shrinking 100 TB of embeddings: project to
+the top-k principal directions, run the cheap candidate search in k dims,
+exact-rerank the survivors in full dimension (the ADC-style "reduce then
+refine" pattern; PCA front-ends are standard in FAISS index factories,
+Johnson et al. 2017, and Matryoshka-style truncated search, Kusupati et
+al. 2022, is the learned cousin).
+
+Spark-first fit: PCA needs only the sufficient statistics
+(count, sum-vector, Gram matrix X^T X) — each partition computes its
+d+d^2 partial with one numpy pass inside ``mapInPandas`` (Arrow-batched,
+no per-row Python), the d^2-sized partials reduce to ONE row with a
+single tree aggregation, and the driver eigendecomposes the d x d
+covariance (d is the embedding width, <= a few thousand — driver-sized
+by definition; the corpus never leaves the executors).  Eigenvector sign
+is canonicalized (largest-|component| coordinate made positive) so fits
+are reproducible across partitionings.
+
+Projection/search stay JVM-side: the k x d component matrix is a plan
+literal and the matvec is a nested higher-order-function expression —
+whole-stage codegen, no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PcaModel", "fit_pca", "project_expr", "pca_reduced_search"]
+
+
+class PcaModel:
+    """Top-k principal directions of a vector column.
+
+    ``components``: k x d (rows = directions, orthonormal);
+    ``mean``: d; ``explained_variance``: k (eigenvalues, descending).
+    """
+
+    def __init__(self, components, mean, explained_variance):
+        self.components = [[float(x) for x in row] for row in components]
+        self.mean = [float(x) for x in mean]
+        self.explained_variance = [float(v) for v in explained_variance]
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+    @property
+    def dim(self) -> int:
+        return len(self.mean)
+
+
+def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> PcaModel:
+    """Fit PCA from one distributed pass of sufficient statistics.
+
+    Eager by contract (a fit is the KMeans/CREATE INDEX analog): runs one
+    Spark job whose result is d + d^2 numbers, independent of corpus
+    size.  Null vectors are skipped; ragged dims raise (same contract as
+    the IVF build)."""
+    import numpy as np
+
+    src = df.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if X.ndim != 2:
+                raise ValueError("ragged embedding dimensions in PCA fit")
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    row = (
+        src.mapInPandas(_partials, "n long, s array<double>, g array<double>")
+        .agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("s"),
+                F.expr("cast(null as array<double>)"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias("s"),
+            F.aggregate(
+                F.collect_list("g"),
+                F.expr("cast(null as array<double>)"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias("g"),
+        )
+        .first()
+    )
+    if row is None or row["n"] is None or row["n"] < 2:
+        raise ValueError("PCA fit needs at least 2 non-null vectors")
+    n = int(row["n"])
+    s = np.array(row["s"])
+    d = len(s)
+    gram = np.array(row["g"]).reshape(d, d)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k x d
+    # deterministic sign: the largest-|x| coordinate of each direction > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PcaModel(comps, mean, vals[order])
+
+
+def project_expr(model: PcaModel, vec: Column | str) -> Column:
+    """k-dim projection of ``vec`` as one codegen expression: center by
+    the mean literal, then matvec with the component-matrix literal via
+    transform+aggregate (no UDF)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    comp = F.lit(model.components)  # array<array<double>>, plan literal
+    centered = F.zip_with(
+        v.cast("array<double>"), F.lit(model.mean), lambda x, m: x - m
+    )
+    return F.transform(
+        comp,
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pca_reduced_search(
+    corpus: DataFrame,
+    model: PcaModel,
+    query_vector: list[float],
+    k: int = 10,
+    over_fetch: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage top-k cosine search: stage 1 ranks by negative euclidean
+    distance in PCA space (distances are contracted, never expanded, by
+    an orthonormal projection — the classic reduce-then-refine bound) and
+    keeps ``k * over_fetch`` candidates with a TakeOrderedAndProject;
+    stage 2 exactly rescores the survivors in full dimension.
+
+    Output: ``id_col, score`` (exact cosine), descending, k rows.
+    Approximate by construction — recall is measured, not assumed
+    (tests/test_pca.py) — while stage 1 reads only the reduced column.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    comps = np.array(model.components)
+    qr = (comps @ (q - np.array(model.mean))).tolist()
+
+    reduced = corpus.select(
+        F.col(id_col), F.col(vec_col), project_expr(model, vec_col).alias("_r")
+    )
+    # negative squared euclidean distance in reduced space (monotone in
+    # similarity for normalized corpora; cheap: k dims, codegen)
+    stage1 = reduced.withColumn(
+        "_near",
+        -F.aggregate(
+            F.zip_with(F.col("_r"), F.lit(qr), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).orderBy(F.desc("_near"), F.asc(id_col)).limit(k * over_fetch)
+
+    from .. import vectors as V
+
+    rescored = stage1.withColumn(
+        "score",
+        F.round(
+            V.cosine(F.col(vec_col).cast("array<double>"), V.lit_vector(q.tolist())),
+            6,
+        ),
+    )
+    return rescored.select(id_col, "score").orderBy(
+        F.desc("score"), F.asc(id_col)
+    ).limit(k)

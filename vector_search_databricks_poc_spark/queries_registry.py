@@ -5114,6 +5114,47 @@ def fuzzy_name_dedup(spark, sf_dir):
     return out.orderBy("name_id")
 
 
+@register("pagerank_centrality")
+def pagerank_centrality(spark, sf_dir):
+    """Centrality-weighted dedup keepers: PageRank (8 power iterations,
+    damping 0.85) over the SAME exact cosine>=0.4 near-dup pair graph the
+    components oracle checks, keeper = each component's max-rank member.
+    Eager by contract: label propagation's convergence count + per-round
+    rank checkpoints ARE the algorithm.  DuckDB re-derivation (unrolled
+    power iteration, 8 CTE rounds) in tests/test_rows_only_compares.py;
+    formula/invariant tests in tests/test_linkrank.py."""
+    from .operators.dedup import embedding_near_dup_pairs
+    from .operators.linkrank import centrality_keepers
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        e, threshold=0.4, max_exact_rows=2_000_000
+    ).localCheckpoint(eager=False)
+    out = centrality_keepers(pairs, damping=0.85, iters=8, round_to=6)
+    return out.select("node", "component", "rank", "is_keeper").orderBy("node")
+
+
+@register("pca_reduced_search")
+def pca_reduced_search_q(spark, sf_dir):
+    """Reduce-then-refine ANN rung: distributed PCA fit (one
+    sufficient-stats pass), stage-1 candidate ranking in 32 PCA dims,
+    exact full-dim cosine rerank of the over-fetched survivors.  Eager by
+    contract: the fit is the KMeans/CREATE INDEX analog.  k=32 of 64
+    because the synthetic embeddings are near-isotropic (top-32
+    eigenvalues carry only 65% of variance — measured in test_pca.py);
+    real embedding corpora concentrate far faster, so k << d there.
+    Exactness vs brute force at wide over-fetch + recall floor at narrow
+    over-fetch in tests/test_pca.py; numpy parity for the fit too."""
+    from .operators.pca import fit_pca, pca_reduced_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(e, vec_col="embedding", k=32)
+    q = _query_vector(spark, sf_dir, vec_id=0)
+    return pca_reduced_search(
+        e, model, q, k=10, over_fetch=10, id_col="vec_id", vec_col="embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
