@@ -70,6 +70,7 @@ EAGER_BY_CONTRACT = {
     "fuzzy_name_dedup",  # same iterative label propagation (fuzzy_dedup)
     "pagerank_centrality",  # power-iteration checkpoints + label propagation
     "pca_reduced_search",  # PCA sufficient-stats fit (CREATE INDEX analog)
+    "binary_quant_search",  # mean-vector fit (CREATE INDEX analog)
 }
 
 ACTIONS = [

@@ -1296,3 +1296,45 @@ def test_pagerank_centrality_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_binary_quant_search_matches_duckdb(spark):
+    """End-to-end independent re-derivation: DuckDB packs the sign-vs-mean
+    bits itself (unnest + shifts, sign bit via the signed-min literal),
+    ranks by xor/bit_count Hamming with the same tie-break, and reranks
+    with exact cosine — every stage of the declared query recomputed."""
+    out = R.QUERIES["binary_quant_search"](spark, SF_DIR)
+    sql = """
+    WITH un AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT i, AVG(e) AS mu FROM un GROUP BY i
+    ), bits AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN e - mu > 0 THEN
+                 CASE WHEN i = 64 THEN -9223372036854775807 - 1
+                      ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                 ELSE 0 END) AS BIGINT) AS w
+      FROM un JOIN m USING (i) GROUP BY vec_id
+    ), qv AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT b.vec_id
+      FROM bits b
+      ORDER BY bit_count(xor(b.w, (SELECT w FROM bits WHERE vec_id = 0))),
+               b.vec_id
+      LIMIT 100
+    )
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], (SELECT q FROM qv)) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product((SELECT q FROM qv), (SELECT q FROM qv)))), 6
+           ) AS score
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

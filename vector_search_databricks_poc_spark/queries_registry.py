@@ -5155,6 +5155,25 @@ def pca_reduced_search_q(spark, sf_dir):
     )
 
 
+@register("binary_quant_search")
+def binary_quant_search(spark, sf_dir):
+    """Binary-quantization ANN rung: sign-vs-mean bits packed 64/long
+    (codegen, no UDF), Hamming-ranked candidates via
+    TakeOrderedAndProject, exact cosine rerank.  Eager by contract: the
+    mean-vector fit is the CREATE INDEX analog.  Full DuckDB
+    re-derivation (SQL bit packing + xor/bit_count Hamming + rerank) in
+    tests/test_rows_only_compares.py; packing parity, wide-over-fetch
+    exactness and recall floor in tests/test_binary_quant.py."""
+    from .operators.binary_quant import binary_search, mean_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean = mean_vector(e, vec_col="embedding")
+    q = _query_vector(spark, sf_dir, vec_id=0)
+    return binary_search(
+        e, mean, q, k=10, over_fetch=10, id_col="vec_id", vec_col="embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
