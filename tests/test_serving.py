@@ -337,3 +337,72 @@ def test_batch_facade_contract_and_response(spark, docs, vecs):
         ]
         assert r["result"]["row_count"] == 2
         assert all(len(row) == 3 for row in r["result"]["data_array"])
+
+
+def test_compressed_rungs_converge_at_wide_over_fetch(spark, docs, vecs):
+    """Binary-quant and PCA handles through the facade: at over_fetch
+    covering the corpus, stage 1 drops nothing, so both equal brute."""
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        build_binary_index,
+    )
+    from vector_search_databricks_poc_spark.operators.pca import build_pca_index
+
+    q = docs.where(F.col("doc_id") == 7).first()["text"]
+    kw = dict(query_text=q, num_results=3, dim=32)
+    brute = similarity_search(spark, vecs, docs, "text", **kw).collect()
+    n = vecs.count()
+    bidx = build_binary_index(vecs, over_fetch=n)
+    got_b = similarity_search(spark, bidx, docs, "text", **kw).collect()
+    pidx = build_pca_index(vecs, k_components=16, over_fetch=n)
+    got_p = similarity_search(spark, pidx, docs, "text", **kw).collect()
+    ids = lambda rows: [r["vec_id"] for r in rows]  # noqa: E731
+    assert ids(got_b) == ids(brute)
+    assert ids(got_p) == ids(brute)
+
+
+def test_compressed_rungs_batch_equals_single(spark, docs, vecs):
+    """batch_search == per-query single search for both handles."""
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        build_binary_index,
+    )
+    from vector_search_databricks_poc_spark.operators.pca import build_pca_index
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+
+    qvs = [
+        (i, list(r["embedding"]))
+        for i, r in enumerate(
+            vecs.where(F.col("vec_id").isin(3, 17, 42)).orderBy("vec_id").collect()
+        )
+    ]
+    queries = spark.createDataFrame(qvs, "query_id long, query_vec array<double>")
+    for build in (
+        lambda: build_binary_index(vecs, over_fetch=10),
+        lambda: build_pca_index(vecs, k_components=16, over_fetch=10),
+    ):
+        idx = build()
+        batch = similarity_search_batch(
+            spark, idx, docs, "text", queries, num_results=3, dim=32
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+        for qid, qv in qvs:
+            single = idx.search(qv, k=3).collect()
+            assert by_q[qid] == [(r["vec_id"], r["score"]) for r in single], (
+                type(idx).__name__,
+                qid,
+            )
+
+
+def test_compressed_rungs_dim_validation(spark, docs, vecs):
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        build_binary_index,
+    )
+
+    idx = build_binary_index(vecs)
+    with pytest.raises(ValueError, match="does not match the index dimension"):
+        similarity_search(
+            spark, idx, docs, "text", query_text="anything", num_results=3, dim=16
+        )

@@ -34,6 +34,9 @@ __all__ = [
     "hamming_expr",
     "binary_quantize_table",
     "binary_search",
+    "binary_batch_search",
+    "BinaryIndex",
+    "build_binary_index",
 ]
 
 
@@ -146,6 +149,113 @@ def binary_search(
     return rescored.select(id_col, "score").orderBy(
         F.desc("score"), F.asc(id_col)
     ).limit(k)
+
+
+def binary_batch_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mean: list[float],
+    k: int = 10,
+    over_fetch: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_col: str | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries, one plan: the (small) query side gets its sketch
+    packed in-plan and broadcasts into a single corpus scan; per-query
+    Hamming rank keeps k*over_fetch, exact cosine rerank keeps k.
+    Output: (query_id, id, score) with per-query rank <= k.
+
+    One shuffle total (the per-query window rank); the corpus is scanned
+    once for stage 1 — against a persisted ``bits_col`` table that scan
+    is longs, not floats."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+            pack_bits_expr(query_vec_col, mean).alias("_qbits"),
+        )
+    )
+    bits = F.col(bits_col) if bits_col else pack_bits_expr(vec_col, mean)
+    staged = corpus.select(F.col(id_col), F.col(vec_col), bits.alias("_bits"))
+    w_ham = Window.partitionBy(query_id_col).orderBy(F.asc("_ham"), F.asc(id_col))
+    cand = (
+        staged.join(q, F.lit(True))
+        .withColumn("_ham", hamming_expr("_bits", F.col("_qbits")))
+        .withColumn("_r", F.row_number().over(w_ham))
+        .where(F.col("_r") <= k * over_fetch)
+    )
+    w_score = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn(
+            "score",
+            F.round(V.cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6),
+        )
+        .withColumn("_rs", F.row_number().over(w_score))
+        .where(F.col("_rs") <= k)
+        .select(query_id_col, id_col, "score")
+    )
+
+
+class BinaryIndex:
+    """Serving-facade handle for the binary rung: the packed-sketch table
+    plus its mean, with the call shape of the other index kinds."""
+
+    kind = "binary"
+
+    def __init__(
+        self,
+        table: DataFrame,
+        mean: list[float],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        bits_col: str = "bits",
+        over_fetch: int = 10,
+    ):
+        self.table = table
+        self.mean = [float(x) for x in mean]
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bits_col = bits_col
+        self.over_fetch = over_fetch
+        self.expected_dim = len(mean)
+
+    def search(self, query_vector, k: int = 10) -> DataFrame:
+        return binary_search(
+            self.table, self.mean, query_vector, k=k,
+            over_fetch=self.over_fetch, id_col=self.id_col,
+            vec_col=self.vec_col, bits_col=self.bits_col,
+        )
+
+    def batch_search(
+        self, queries: DataFrame, k: int = 10,
+        query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        return binary_batch_search(
+            queries, self.table, self.mean, k=k, over_fetch=self.over_fetch,
+            id_col=self.id_col, vec_col=self.vec_col, bits_col=self.bits_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+
+
+def build_binary_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    over_fetch: int = 10,
+) -> BinaryIndex:
+    """Fit the mean (one pass) and attach the packed sketch — the
+    CREATE INDEX analog for the binary rung.  The sketch column is
+    computed in-plan; persist ``index.table`` to make stage 1 scan
+    longs at rest."""
+    mean = mean_vector(df, vec_col)
+    table = binary_quantize_table(df.select(id_col, vec_col), mean, vec_col)
+    return BinaryIndex(table, mean, id_col=id_col, vec_col=vec_col,
+                       over_fetch=over_fetch)
 
 
 def _pack_python(vec: list[float], mean: list[float]) -> list[int]:

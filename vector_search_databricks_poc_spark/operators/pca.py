@@ -28,7 +28,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PcaModel", "fit_pca", "project_expr", "pca_reduced_search"]
+from .. import vectors as V
+
+__all__ = [
+    "PcaModel",
+    "fit_pca",
+    "project_expr",
+    "pca_reduced_search",
+    "pca_batch_search",
+    "PcaIndex",
+    "build_pca_index",
+]
 
 
 class PcaModel:
@@ -182,7 +192,6 @@ def pca_reduced_search(
         ),
     ).orderBy(F.desc("_near"), F.asc(id_col)).limit(k * over_fetch)
 
-    from .. import vectors as V
 
     rescored = stage1.withColumn(
         "score",
@@ -194,3 +203,108 @@ def pca_reduced_search(
     return rescored.select(id_col, "score").orderBy(
         F.desc("score"), F.asc(id_col)
     ).limit(k)
+
+
+def pca_batch_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    model: PcaModel,
+    k: int = 10,
+    over_fetch: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries, one plan: queries project to PCA space in-plan and
+    broadcast into a single corpus scan; per-query reduced-space rank
+    keeps k*over_fetch, exact cosine rerank keeps k.  Output:
+    (query_id, id, score), per-query rank <= k.  One shuffle (the
+    per-query window)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col).cast("array<double>").alias("_qv"),
+            project_expr(model, query_vec_col).alias("_qr"),
+        )
+    )
+    staged = corpus.select(
+        F.col(id_col), F.col(vec_col), project_expr(model, vec_col).alias("_r")
+    )
+    w_near = Window.partitionBy(query_id_col).orderBy(F.desc("_near"), F.asc(id_col))
+    cand = (
+        staged.join(q, F.lit(True))
+        .withColumn(
+            "_near",
+            -F.aggregate(
+                F.zip_with(F.col("_r"), F.col("_qr"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(w_near))
+        .where(F.col("_rk") <= k * over_fetch)
+    )
+    w_score = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn(
+            "score",
+            F.round(V.cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6),
+        )
+        .withColumn("_rs", F.row_number().over(w_score))
+        .where(F.col("_rs") <= k)
+        .select(query_id_col, id_col, "score")
+    )
+
+
+class PcaIndex:
+    """Serving-facade handle for the reduce-then-refine rung."""
+
+    kind = "pca"
+
+    def __init__(
+        self,
+        table: DataFrame,
+        model: PcaModel,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        over_fetch: int = 10,
+    ):
+        self.table = table
+        self.model = model
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.over_fetch = over_fetch
+        self.expected_dim = model.dim
+
+    def search(self, query_vector, k: int = 10) -> DataFrame:
+        return pca_reduced_search(
+            self.table, self.model, query_vector, k=k,
+            over_fetch=self.over_fetch, id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def batch_search(
+        self, queries: DataFrame, k: int = 10,
+        query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        return pca_batch_search(
+            queries, self.table, self.model, k=k, over_fetch=self.over_fetch,
+            id_col=self.id_col, vec_col=self.vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+
+
+def build_pca_index(
+    df: DataFrame,
+    k_components: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    over_fetch: int = 10,
+) -> PcaIndex:
+    """Fit PCA (one sufficient-stats pass) and hand back the handle —
+    the CREATE INDEX analog for the reduce-then-refine rung."""
+    model = fit_pca(df, vec_col=vec_col, k=k_components)
+    return PcaIndex(df.select(id_col, vec_col), model, id_col=id_col,
+                    vec_col=vec_col, over_fetch=over_fetch)

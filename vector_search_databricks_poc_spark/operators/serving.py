@@ -10,7 +10,7 @@ at query_endpoint.py:83-115).  This module is that surface re-expressed
 over the engine: one entry point that takes EITHER a query text (embedded
 on the driver through the same encoder as the corpus — the reference's
 contract) or a raw vector, dispatches to whichever index kind is handed
-in (brute corpus scan, IVF, IVF-PQ, graph), optionally applies the
+in (brute corpus scan, IVF, IVF-PQ, graph, binary-quant, PCA), optionally applies the
 ``filters`` dict (operators/filters.py mini-language, post-filter over
 the candidate list), joins the requested payload columns back, and
 returns a DataFrame — plus ``to_response`` to render the reference's
@@ -93,6 +93,12 @@ def similarity_search(
                     f"dimension {cdim} — embed the query at the dim the "
                     "index was built with"
                 )
+        edim = getattr(index, "expected_dim", None)
+        if edim is not None and dim != edim:
+            raise ValueError(
+                f"dim={dim} does not match the index dimension {edim} — "
+                "embed the query at the dim the index was built with"
+            )
         row = embed_text(
             spark.createDataFrame([(query_text,)], "text string"), dim=dim
         ).first()
@@ -101,8 +107,10 @@ def similarity_search(
 
     k = num_results
     fetch = over_fetch * k if filters else k
+    from .binary_quant import BinaryIndex
     from .graph_ann import GraphIndex
     from .index import IvfIndex, IvfPqIndex
+    from .pca import PcaIndex
 
     if query_type == "hybrid":
         if query_text is None:
@@ -124,6 +132,9 @@ def similarity_search(
                 vectors = spark.read.parquet(index.path).select(
                     id_col, index.vec_col
                 )
+        elif isinstance(index, (BinaryIndex, PcaIndex)):
+            id_col = index.id_col
+            vectors = index.table.select(id_col, index.vec_col)
         else:
             raise ValueError(f"unsupported index kind {type(index).__name__}")
         hits = hybrid_search(
@@ -171,6 +182,9 @@ def similarity_search(
     elif isinstance(index, IvfIndex):
         id_col = index.id_col
         hits = index.search(spark, query_vector, k=fetch, nprobe=nprobe)
+    elif isinstance(index, (BinaryIndex, PcaIndex)):
+        id_col = index.id_col
+        hits = index.search(query_vector, k=fetch)
     else:
         raise ValueError(f"unsupported index kind {type(index).__name__}")
 
@@ -230,9 +244,11 @@ def similarity_search_batch(
     per query.
     """
     from ..functions.embedding import hashing_embedding
+    from .binary_quant import BinaryIndex
     from .filters import filter_expr, postfilter_batch_hits
     from .graph_ann import GraphIndex
     from .index import IvfIndex, IvfPqIndex
+    from .pca import PcaIndex
     from .similarity_join import brute_force_topk_join
 
     k = num_results
@@ -250,6 +266,11 @@ def similarity_search_batch(
             raise ValueError(
                 f"dim={dim} does not match the index centroid dimension "
                 f"{len(idx_centroids[0])}"
+            )
+        edim = getattr(index, "expected_dim", None)
+        if edim is not None and dim != edim:
+            raise ValueError(
+                f"dim={dim} does not match the index dimension {edim}"
             )
         queries = queries.select(
             query_id_col,
@@ -316,6 +337,12 @@ def similarity_search_batch(
         id_col = index.id_col
         hits = index.batch_search(
             spark, queries, k=fetch, nprobe=nprobe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col, "score")
+    elif isinstance(index, (BinaryIndex, PcaIndex)):
+        id_col = index.id_col
+        hits = index.batch_search(
+            queries, k=fetch,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         ).select(query_id_col, id_col, "score")
     else:
