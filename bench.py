@@ -83,6 +83,12 @@ HEADLINE = [
     #   embedded in-plan + one exact broadcast-join plan with payload and
     #   per-query dense ranks (the loop-free rendition of the reference
     #   client's per-query endpoint calls)
+    "fuzzy_catalog_match",      # r7 entity resolution: deletion-neighborhood
+    #   blocking (codegen HOF explode) + broadcast catalog join + threshold
+    #   levenshtein verify
+    "binary_quant_search",      # r7 compression ladder: sign-bit packing,
+    #   xor/bit_count Hamming TakeOrdered prefilter, exact cosine rerank
+    #   (mean fit re-runs per rep — one corpus-sized agg, part of the op)
 ]
 
 

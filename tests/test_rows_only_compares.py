@@ -578,7 +578,9 @@ def test_ann_recall_report_invariants(spark):
     rows = R.QUERIES["ann_recall_report"](spark, SF_DIR).collect()
     by = {(r["method"], r["nprobe"]): r["recall"] for r in rows}
     methods = {m for m, _ in by}
-    assert methods == {"ivf", "ivf_pq", "ivf_pq_rerank", "graph"}, methods
+    assert methods == {
+        "ivf", "ivf_pq", "ivf_pq_rerank", "graph", "binary", "pca",
+    }, methods
     assert by[("ivf", 8)] == 1.0, by  # full probe == exact
     # plain IVF scores exactly, so more probed partitions can only help;
     # ADC-ranked methods are NOT strictly monotone (an extra partition's
@@ -601,6 +603,13 @@ def test_ann_recall_report_invariants(spark):
     assert gseq[-1] >= 0.9, gseq
     for np_ in (1, 2, 4, 8):
         assert by[("graph", np_)] >= by[("ivf_pq", np_)] - 1e-9, by
+    # compressed rungs (grid value = over_fetch): candidate sets are
+    # NESTED as over_fetch grows, so recall is exactly non-decreasing —
+    # no noise slack; floors pin the measured curve (0.7875 / 0.95)
+    for method, floor in (("binary", 0.75), ("pca", 0.9)):
+        seq = [by[(method, np_)] for np_ in (1, 2, 4, 8)]
+        assert seq == sorted(seq), (method, seq)
+        assert seq[-1] >= floor, (method, seq)
 
 
 def test_incremental_near_dup_equals_one_shot_on_fixture(spark):

@@ -64,8 +64,12 @@ def recall_report(
     vec_col: str = "embedding",
     include_graph: bool = True,
     graph_ef_mult: int = 2,
+    include_compressed: bool = True,
 ) -> DataFrame:
-    """Recall@k of the IVF, IVF-PQ, and graph-ANN indexes across a grid.
+    """Recall@k of the IVF, IVF-PQ, graph-ANN, and (r7) compressed rungs
+    (binary sign-bit, PCA reduce-then-refine) across a grid.  For the
+    compressed rungs the grid column doubles as their over_fetch knob —
+    same cost/recall axis, different mechanism.
 
     Ground truth is the exact brute-force top-k for ``n_queries`` probe
     vectors drawn deterministically from the corpus (lowest ids).  Each
@@ -162,6 +166,33 @@ def recall_report(
                     g.batch_search(
                         spark, queries, k=k, ef=graph_ef_mult * k * nprobe,
                         nprobe=nprobe,
+                    ),
+                )
+            )
+    if include_compressed:
+        from .binary_quant import binary_batch_search, mean_vector
+        from .pca import fit_pca, pca_batch_search
+
+        mean = mean_vector(emb, vec_col)
+        model = fit_pca(emb, vec_col=vec_col, k=max(2, len(mean) // 2))
+        for of in nprobes:  # grid value = over_fetch for these rungs
+            legs.append(
+                leg(
+                    "binary",
+                    of,
+                    binary_batch_search(
+                        queries, emb, mean, k=k, over_fetch=of,
+                        id_col=id_col, vec_col=vec_col,
+                    ),
+                )
+            )
+            legs.append(
+                leg(
+                    "pca",
+                    of,
+                    pca_batch_search(
+                        queries, emb, model, k=k, over_fetch=of,
+                        id_col=id_col, vec_col=vec_col,
                     ),
                 )
             )
