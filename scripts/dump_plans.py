@@ -46,6 +46,9 @@ NAMES = [
     "exact_substring_dedup",
     "graph_exact_search",
     "batch_search_endpoint",
+    "fuzzy_catalog_match",
+    "binary_quant_search",
+    "pca_reduced_search",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

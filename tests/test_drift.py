@@ -3,6 +3,10 @@ semantics, degenerate snapshots, and the one-scan plan shape."""
 
 import math
 
+import pytest
+
+from tests.conftest import SF_DIR
+
 from pyspark.sql import functions as F
 
 from vector_search_databricks_poc_spark.operators.drift import (
@@ -144,3 +148,92 @@ def test_registry_query_matches_numpy_reference(spark):
         assert abs(r["max_shift"] - round(float(shifts.max()), 6)) <= 1e-6
         best = int(np.lexsort((np.arange(len(shifts)), -shifts))[0]) - 1
         assert r["max_shift_bin"] == best
+
+
+# ---------------------------------------------------------------------------
+# embedding drift (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_identical_snapshots_zero_psi(spark):
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.drift import embedding_drift
+    from vector_search_databricks_poc_spark.operators.pca import fit_pca
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    model = fit_pca(e, k=4)
+    rows = embedding_drift(e, e, model).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["psi"]) < 1e-9, r
+        assert r["max_shift"] == 0.0
+
+
+def test_embedding_drift_detects_perturbation_and_matches_numpy(spark):
+    """Radial scaling + mixture drop must fire PSI on some component,
+    and every reported (psi, max_shift) must equal a numpy re-derivation
+    of the same projections, bins, and smoothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_databricks_poc_spark.catalog import load_table
+    from vector_search_databricks_poc_spark.operators.drift import embedding_drift
+    from vector_search_databricks_poc_spark.operators.pca import fit_pca
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    k, n_bins, n_sigma, eps = 4, 10, 3.0, 1e-6
+    model = fit_pca(e, k=k)
+    new = e.where(F.col("label") != 0).select(
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.3),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    got = {r["column"]: r for r in embedding_drift(e, new, model).collect()}
+    assert any(r["psi"] > 0.01 for r in got.values()), got
+
+    rows = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    X = np.array([r["v"] for r in rows])
+    C = np.array(model.components)
+    mu = np.array(model.mean)
+    P_old = (X - mu) @ C.T
+    keep = [i for i, r in enumerate(rows) if r["label"] != 0]
+    Xn = np.array(
+        [
+            np.array(rows[i]["v"]) * (1.3 if rows[i]["vec_id"] % 3 == 0 else 1.0)
+            for i in keep
+        ]
+    )
+    P_new = (Xn - mu) @ C.T
+
+    for i in range(k):
+        sigma = max(model.explained_variance[i], 1e-12) ** 0.5
+        lo, hi = -n_sigma * sigma, n_sigma * sigma
+        width = (hi - lo) / n_bins
+
+        def hist(col):
+            b = np.floor((col - lo) / width).astype(int)
+            b = np.clip(b, 0, n_bins - 1)
+            return np.bincount(b, minlength=n_bins).astype(float)
+
+        h_o, h_n = hist(P_old[:, i]), hist(P_new[:, i])
+        p_o = h_o / max(h_o.sum(), 1) + eps
+        p_n = h_n / max(h_n.sum(), 1) + eps
+        psi = float(((p_n - p_o) * np.log(p_n / p_o)).sum())
+        shift = np.abs(h_n / max(h_n.sum(), 1) - h_o / max(h_o.sum(), 1))
+        r = got[f"pc{i}"]
+        assert r["psi"] == pytest.approx(psi, abs=1e-9), (i, r["psi"], psi)
+        assert r["max_shift"] == pytest.approx(float(shift.max()), abs=1e-9)
+        assert r["n_old"] == len(X) and r["n_new"] == len(Xn)
+
+
+def test_embedding_drift_declared_query_runs(spark):
+    from vector_search_databricks_poc_spark import queries_registry as R
+
+    rows = R.QUERIES["embedding_drift_psi"](spark, SF_DIR).collect()
+    assert [r["column"] for r in rows] == [f"pc{i}" for i in range(8)]
+    assert any(r["psi"] > 0.01 for r in rows)

@@ -71,6 +71,7 @@ EAGER_BY_CONTRACT = {
     "pagerank_centrality",  # power-iteration checkpoints + label propagation
     "pca_reduced_search",  # PCA sufficient-stats fit (CREATE INDEX analog)
     "binary_quant_search",  # mean-vector fit (CREATE INDEX analog)
+    "embedding_drift_psi",  # PCA fit frozen on the reference snapshot
 }
 
 ACTIONS = [

@@ -332,3 +332,59 @@ def test_pack_token_ids_two_shuffles(spark, sf_dir):
                         budget=512, n_groups=8)
     assert A.count_exchanges(df) <= 2, A.plan_string(df)
     assert set(A.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_binary_search_plan_take_ordered_no_shuffle(spark, sf_dir):
+    """Binary rung stage 1: the Hamming rank must plan as
+    TakeOrderedAndProject over the single scan — no Exchange, no Python
+    (packing and popcount are codegen expressions)."""
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        binary_search, mean_vector,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean = mean_vector(e)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>")
+    ).first()[0]
+    df = binary_search(e, mean, list(q), k=10, over_fetch=10)
+    s = A.plan_string(df)
+    assert A.uses_take_ordered(df), s
+    assert A.count_exchanges(df) == 0, s
+    assert "pythonUDF" not in s and "ArrowEval" not in s, s
+
+
+def test_pca_search_plan_take_ordered_no_shuffle(spark, sf_dir):
+    """PCA rung: reduced-space candidate rank and exact rerank both plan
+    as TakeOrderedAndProject with zero exchanges; the projection matvec
+    stays an expression (no Python)."""
+    from vector_search_databricks_poc_spark.operators.pca import (
+        fit_pca, pca_reduced_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(e, k=8)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>")
+    ).first()[0]
+    df = pca_reduced_search(e, model, list(q), k=10, over_fetch=10)
+    s = A.plan_string(df)
+    assert A.uses_take_ordered(df), s
+    assert A.count_exchanges(df) == 0, s
+    assert "pythonUDF" not in s and "ArrowEval" not in s, s
+
+
+def test_fuzzy_catalog_match_reads_only_needed_columns(spark, sf_dir):
+    """Fuzzy catalog match: broadcast join on the deletion key (dirty
+    side never shuffles before the pair dedup) and the part scan reads
+    only (p_partkey, p_name)."""
+    from vector_search_databricks_poc_spark import queries_registry as R
+
+    df = R.QUERIES["fuzzy_catalog_match"](spark, sf_dir)
+    s = A.plan_string(df)
+    assert A.uses_broadcast_join(df), s
+    # catalog min-agg exchange + pair-dedup exchange; TakeOrdered for the
+    # final orderBy is absent (full result, ordered output) so allow the
+    # sort exchange too
+    assert A.count_exchanges(df) <= 3, s
+    assert set(A.read_schema_columns(df)) <= {"p_partkey", "p_name"}, s

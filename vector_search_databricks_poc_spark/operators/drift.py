@@ -131,3 +131,47 @@ def profile_drift(
             "max_shift",
         )
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    model,
+    n_bins: int = 10,
+    n_sigma: float = 3.0,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift of an EMBEDDING column: PSI per principal
+    component of a frozen PCA ``model`` (operators/pca.py, fit on the
+    reference snapshot or any fixed baseline).
+
+    An embedding corpus can drift with no scalar symptom — a new encoder
+    version, a topical tilt, a normalization bug all move the vector
+    distribution while row counts and lengths look fine.  Projecting
+    both snapshots onto the model's directions turns that into k scalar
+    distributions; the monitor is then exactly ``profile_drift`` over
+    components ``pc0..pc{k-1}``, with bin edges derived
+    deterministically from the model itself (±``n_sigma``·sqrt(eigenvalue)
+    — the fit distribution's own scale), so the plan stays declared and
+    reproducible.
+
+    Same scale contract as profile_drift: one shuffle-free scan per
+    snapshot (the matvec projection is a codegen expression in the same
+    projection), PSI join over k × n_bins rows.  The model must stay
+    FROZEN across monitoring runs — refitting per run would hide drift
+    by re-centering on it.
+    """
+    from .pca import project_expr
+
+    def _proj(df: DataFrame) -> DataFrame:
+        p = project_expr(model, vec_col)
+        return df.select(
+            *[F.element_at(p, i + 1).alias(f"pc{i}") for i in range(model.k)]
+        )
+
+    spec: BinSpec = {}
+    for i, var in enumerate(model.explained_variance):
+        sigma = max(float(var), 1e-12) ** 0.5
+        spec[f"pc{i}"] = (-n_sigma * sigma, n_sigma * sigma, n_bins)
+    return profile_drift(_proj(old), _proj(new), spec, eps=eps)

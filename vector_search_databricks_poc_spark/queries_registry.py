@@ -5174,6 +5174,40 @@ def binary_quant_search(spark, sf_dir):
     )
 
 
+@register("embedding_drift_psi")
+def embedding_drift_psi(spark, sf_dir):
+    """Embedding-distribution drift monitor: PSI per principal component
+    of a PCA model frozen on the reference snapshot, the vector-column
+    twin of profile_drift_psi (an encoder swap or topical tilt moves the
+    vector distribution with no scalar symptom).  The "new" snapshot is
+    perturbed in-plan: every 3rd vector scaled 1.3x (radial drift) and
+    label-0 rows dropped (mixture drift).  Eager by contract (the PCA
+    fit); numpy re-derivation of projections, histograms, and PSI in
+    tests/test_drift.py."""
+    from .operators.drift import embedding_drift
+    from .operators.pca import fit_pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(e, vec_col="embedding", k=8)
+    new = e.where(F.col("label") != 0).select(
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.3),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding")
+    )
+    out = embedding_drift(e, new, model, n_bins=10)
+    return out.select(
+        "column",
+        F.round("psi", 6).alias("psi"),
+        "n_old",
+        "n_new",
+        "max_shift_bin",
+        F.round("max_shift", 6).alias("max_shift"),
+    ).orderBy("column")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
