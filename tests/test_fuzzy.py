@@ -116,3 +116,53 @@ def test_fuzzy_dedup_singletons_and_clusters(spark):
     assert rows[2] == (1, "alpha")
     assert rows[4] == (1, "alpha")
     assert rows[3] == (3, "omega")  # singleton maps to itself
+
+
+def test_incremental_matches_one_shot_restricted(spark):
+    """Store-probe incremental fuzzy match == one-shot self-pairs over
+    (historical ∪ new) restricted to pairs touching the new batch."""
+    from vector_search_databricks_poc_spark.operators.fuzzy import (
+        fuzzy_key_store,
+        incremental_fuzzy_match,
+    )
+
+    hist = [(1, "spark"), (2, "table"), (3, "cable"), (4, "quartz")]
+    new = [(101, "spar"), (102, "tale"), (103, "spa"), (104, "tble")]
+    hist_df = spark.createDataFrame(hist, ["kid", "key"])
+    new_df = spark.createDataFrame(new, ["kid", "key"])
+
+    store = fuzzy_key_store(hist_df, col="key", id_col="kid", max_distance=1)
+    inc = incremental_fuzzy_match(
+        new_df, store, col="key", id_col="kid", max_distance=1
+    ).collect()
+
+    union = hist_df.unionByName(new_df)
+    one_shot = fuzzy_self_pairs(union, col="key", id_col="kid", max_distance=1)
+    new_ids = {k for k, _ in new}
+    want = set()
+    for r in one_shot.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in new_ids:
+            want.add((a, b, r["dist"], "new_new"))
+        elif b in new_ids and a not in new_ids:
+            want.add((b, a, r["dist"], "new_old"))  # new id first
+        elif a in new_ids and b not in new_ids:
+            want.add((a, b, r["dist"], "new_old"))
+    got = {(r["id_a"], r["id_b"], r["dist"], r["origin"]) for r in inc}
+    assert got == want, (sorted(got), sorted(want))
+
+
+def test_incremental_store_never_shuffles(spark):
+    """The store side of the probe join must sit behind the broadcast —
+    only batch-sized pair dedups may exchange."""
+    from vector_search_databricks_poc_spark.operators.fuzzy import (
+        fuzzy_key_store,
+        incremental_fuzzy_match,
+    )
+
+    hist_df = spark.createDataFrame([(i, f"name{i}") for i in range(50)], ["kid", "key"])
+    new_df = spark.createDataFrame([(100, "name1x")], ["kid", "key"])
+    store = fuzzy_key_store(hist_df, col="key", id_col="kid")
+    out = incremental_fuzzy_match(new_df, store, col="key", id_col="kid")
+    assert audit.uses_broadcast_join(out)
+    assert audit.count_exchanges(out) <= 2  # the two pair dedups

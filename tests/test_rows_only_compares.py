@@ -1347,3 +1347,26 @@ def test_binary_quant_search_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_incremental_agg_view_matches_duckdb(spark):
+    """The delta-refreshed aggregate == DuckDB's full recompute over the
+    same churned snapshot — the maintenance path may never diverge from
+    the view definition."""
+    out = R.QUERIES["incremental_agg_view"](spark, SF_DIR)
+    sql = """
+    WITH base AS (
+      SELECT o_orderkey AS rid, o_orderstatus AS g,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ), news AS (
+      SELECT rid, g, CASE WHEN rid % 7 = 0 THEN v + 1 ELSE v END AS v
+      FROM base WHERE rid % 13 <> 0
+      UNION ALL
+      SELECT rid + 10000000, g, v FROM base WHERE rid % 17 = 0
+    )
+    SELECT g, COUNT(*)::BIGINT AS n, CAST(SUM(v) AS DOUBLE) AS total
+    FROM news GROUP BY g ORDER BY g
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

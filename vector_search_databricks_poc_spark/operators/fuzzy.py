@@ -51,6 +51,8 @@ __all__ = [
     "fuzzy_join",
     "fuzzy_self_pairs",
     "fuzzy_dedup",
+    "fuzzy_key_store",
+    "incremental_fuzzy_match",
 ]
 
 
@@ -119,9 +121,14 @@ def fuzzy_self_pairs(
     col: str,
     id_col: str,
     max_distance: int = 1,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Unordered within-table pairs (id_a < id_b) with edit distance
-    <= ``max_distance``.  Output: ``id_a, val_a, id_b, val_b, dist``."""
+    <= ``max_distance``.  Output: ``id_a, val_a, id_b, val_b, dist``.
+
+    ``broadcast=True`` broadcasts one side of the self-join — right for
+    batch-sized inputs (the incremental path); the default shuffling join
+    is the big-corpus shape."""
     keyed = df.select(
         F.col(id_col).alias("_fid"), F.col(col).alias("_fval")
     ).withColumn("_fk", F.explode(deletion_neighborhood("_fval", max_distance)))
@@ -132,7 +139,7 @@ def fuzzy_self_pairs(
         F.col("_fid").alias("id_b"), F.col("_fval").alias("val_b"), "_fk"
     )
     cand = (
-        a.join(b, "_fk")
+        a.join(F.broadcast(b) if broadcast else b, "_fk")
         .where(F.col("id_a") < F.col("id_b"))
         .drop("_fk")
         .dropDuplicates(["id_a", "id_b"])
@@ -172,3 +179,65 @@ def fuzzy_dedup(
     return labeled.join(canon, on="canonical_id", how="left").select(
         id_col, col, "canonical_id", f"canonical_{col}"
     )
+
+
+def fuzzy_key_store(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Persistable deletion-key store for incremental fuzzy matching:
+    one row per (id, value, deletion key).  Write this once per admitted
+    batch (append-only); new batches probe it without re-keying history
+    — the same store contract as the MinHash signature store
+    (dedup.py::incremental_minhash_near_dup).
+
+    ~len^d rows per key at rest; the value rides along so the verify
+    step never reads the historical source table (fuzzy keys are short
+    by contract, unlike document text)."""
+    return df.select(
+        F.col(id_col).alias("store_id"), F.col(col).alias("store_val")
+    ).withColumn("_fk", F.explode(deletion_neighborhood("store_val", max_distance)))
+
+
+def incremental_fuzzy_match(
+    new_df: DataFrame,
+    store: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Fuzzy matches of a NEW batch against a persisted key store plus
+    within the batch itself, touching nothing historical beyond the
+    store scan.
+
+    Returns (id_a, id_b, val_a, val_b, dist, origin): origin='new_old'
+    pairs a new id (id_a) with a store id (id_b); origin='new_new' pairs
+    two new ids (id_a < id_b).  Exactness contract: equals
+    fuzzy_self_pairs over (historical ∪ new) restricted to pairs
+    touching the new batch (asserted in tests).  Id spaces must be
+    disjoint across batches.
+
+    100 TB shape: the new batch's keys BROADCAST into the store join, so
+    the store streams past map-side with no shuffle; the only exchanges
+    are the candidate-pair dedups (batch-sized)."""
+    new_keyed = (
+        new_df.select(F.col(id_col).alias("new_id"), F.col(col).alias("new_val"))
+        .withColumn("_fk", F.explode(deletion_neighborhood("new_val", max_distance)))
+        .localCheckpoint(eager=False)
+    )
+    cross = (
+        store.join(F.broadcast(new_keyed), "_fk")
+        .select(
+            F.col("new_id").alias("id_a"),
+            F.col("store_id").alias("id_b"),
+            F.col("new_val").alias("val_a"),
+            F.col("store_val").alias("val_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    intra = fuzzy_self_pairs(new_df, col, id_col, max_distance, broadcast=True)
+    return _verified(cross, "val_a", "val_b", max_distance).withColumn(
+        "origin", F.lit("new_old")
+    ).unionByName(intra.withColumn("origin", F.lit("new_new")))

@@ -5208,6 +5208,53 @@ def embedding_drift_psi(spark, sf_dir):
     ).orderBy("column")
 
 
+@register("incremental_agg_view")
+def incremental_agg_view(spark, sf_dir):
+    """Materialized-aggregate maintenance: orders churned in-plan
+    (deletes % 13, +1 price bumps % 7, re-keyed inserts % 17), the
+    persisted per-status (count, sum) state refreshed in DELTA mode —
+    only the changed rows are read, nothing regroups.  Fully lazy (the
+    state, diff, and refresh are one composed plan here; in production
+    the state is a table and the diff a change feed).  Refresh ==
+    full-recompute equality in both modes + plan pruning asserted in
+    tests/test_matview.py; full DuckDB re-derivation in
+    tests/test_rows_only_compares.py."""
+    from .operators.diff import snapshot_diff
+    from .operators.matview import group_agg, incremental_agg_refresh
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    new = (
+        orders.where(F.col("rid") % 13 != 0)
+        .select(
+            "rid",
+            "g",
+            F.when(F.col("rid") % 7 == 0, F.col("v") + 1)
+            .otherwise(F.col("v"))
+            .alias("v"),
+        )
+        .unionByName(
+            orders.where(F.col("rid") % 17 == 0).select(
+                (F.col("rid") + 10_000_000).alias("rid"), "g", "v"
+            )
+        )
+    )
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    state = group_agg(orders, ["g"], measures)
+    diff = snapshot_diff(orders, new, id_col="rid")
+    out = incremental_agg_refresh(
+        state, orders, new, diff, keys=["g"], measures=measures,
+        id_col="rid", mode="delta",
+    )
+    return out.select(
+        "g", F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    ).orderBy("g")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
