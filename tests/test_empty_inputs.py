@@ -281,3 +281,91 @@ def test_manifest_ops_empty_and_edge_dirs(spark, tmp_path):
     assert write_manifest(spark, zero_rows) == 1
     out = pruned_read(spark, zero_rows, {"v": (0.0, 1.0)})
     assert out.count() == 0 and set(out.columns) == {"id", "v"}
+
+
+def test_fuzzy_ops_empty_inputs(spark):
+    from vector_search_databricks_poc_spark.operators.fuzzy import (
+        fuzzy_dedup,
+        fuzzy_join,
+        fuzzy_key_store,
+        fuzzy_self_pairs,
+        incremental_fuzzy_match,
+    )
+
+    empty = spark.createDataFrame([], "kid long, key string")
+    some = spark.createDataFrame([(1, "name")], ["cid", "cname"])
+    assert fuzzy_self_pairs(empty, "key", "kid").count() == 0
+    assert fuzzy_join(empty, some, "key", "cname", "kid", "cid").count() == 0
+    assert fuzzy_dedup(empty, "key", "kid").count() == 0
+    # empty store: batch still matches within itself
+    store = fuzzy_key_store(empty, col="key", id_col="kid")
+    out = incremental_fuzzy_match(
+        spark.createDataFrame([(1, "ab"), (2, "ab")], ["kid", "key"]),
+        store, col="key", id_col="kid",
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["origin"]) for r in out] == [(1, 2, "new_new")]
+
+
+def test_pagerank_empty_edges(spark):
+    from vector_search_databricks_poc_spark.operators.linkrank import (
+        centrality_keepers,
+        pagerank,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=3).count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert centrality_keepers(empty_pairs, iters=3).count() == 0
+
+
+def test_binary_quant_empty_and_null_guard(spark):
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        binary_search,
+        mean_vector,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one"):
+        mean_vector(empty)
+    # search over an empty corpus with a valid fitted mean: empty result
+    out = binary_search(empty, [0.0, 0.0], [1.0, -1.0], k=5)
+    assert out.count() == 0
+
+
+def test_matview_refresh_empty_state_all_inserts(spark):
+    """Bootstrapping: empty state + all-insert diff == full recompute."""
+    from vector_search_databricks_poc_spark.operators.diff import snapshot_diff
+    from vector_search_databricks_poc_spark.operators.matview import (
+        group_agg,
+        incremental_agg_refresh,
+    )
+
+    old = spark.createDataFrame([], "rid long, g string, v long")
+    new = spark.createDataFrame([(1, "a", 5), (2, "a", 7)], ["rid", "g", "v"])
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    state = group_agg(old, ["g"], measures)
+    diff = snapshot_diff(old, new, id_col="rid")
+    for mode in ("recount_groups", "delta"):
+        got = incremental_agg_refresh(
+            state, old, new, diff, keys=["g"], measures=measures,
+            id_col="rid", mode=mode,
+        ).collect()
+        assert [(r["g"], r["n"], r["total"]) for r in got] == [("a", 2, 12)], mode
+
+
+def test_embedding_drift_empty_new_snapshot(spark):
+    """A fully-drained snapshot must produce finite PSI, not inf/NaN
+    (the eps smoothing), with n_new = 0."""
+    from vector_search_databricks_poc_spark.operators.drift import embedding_drift
+    from vector_search_databricks_poc_spark.operators.pca import PcaModel
+
+    model = PcaModel([[1.0, 0.0], [0.0, 1.0]], [0.0, 0.0], [1.0, 1.0])
+    old = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "embedding: array<double>"
+    )
+    new = spark.createDataFrame([], "embedding array<double>")
+    rows = embedding_drift(old, new, model).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_new"] == 0
+        assert r["psi"] == r["psi"] and abs(r["psi"]) < float("inf")
