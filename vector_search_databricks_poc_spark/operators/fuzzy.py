@@ -112,7 +112,11 @@ def fuzzy_join(
     )
     if broadcast_right:
         rk = F.broadcast(rk)
-    cand = lk.join(rk, "_fk").drop("_fk").dropDuplicates([left_id, right_id])
+    # full-row distinct, not dropDuplicates([ids]): the value columns are
+    # functionally dependent on the ids (same source row), and a pure
+    # group-by plans as HashAggregate where dropDuplicates' first() agg
+    # falls back to SortAggregate
+    cand = lk.join(rk, "_fk").drop("_fk").distinct()
     return _verified(cand, left_col, right_col, max_distance)
 
 
@@ -142,7 +146,7 @@ def fuzzy_self_pairs(
         a.join(F.broadcast(b) if broadcast else b, "_fk")
         .where(F.col("id_a") < F.col("id_b"))
         .drop("_fk")
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()  # values functionally dependent on ids: HashAggregate
     )
     return _verified(cand, "val_a", "val_b", max_distance)
 
@@ -235,7 +239,7 @@ def incremental_fuzzy_match(
             F.col("new_val").alias("val_a"),
             F.col("store_val").alias("val_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()  # values functionally dependent on ids: HashAggregate
     )
     intra = fuzzy_self_pairs(new_df, col, id_col, max_distance, broadcast=True)
     return _verified(cross, "val_a", "val_b", max_distance).withColumn(
