@@ -89,6 +89,9 @@ HEADLINE = [
     "binary_quant_search",      # r7 compression ladder: sign-bit packing,
     #   xor/bit_count Hamming TakeOrdered prefilter, exact cosine rerank
     #   (mean fit re-runs per rep — one corpus-sized agg, part of the op)
+    "incremental_agg_view",     # r7 materialized-view maintenance: delta
+    #   refresh of the per-status rollup from a snapshot diff — reads only
+    #   the churned rows
 ]
 
 

@@ -39,6 +39,10 @@ NAMES = [
     "quality_keeper_full",
     "manifest_pruned_scan",
     "graph_batch_search_full",
+    "fuzzy_pairs_full",
+    "pagerank_full",
+    "binary_search_full",
+    "agg_refresh_full",
 ]
 
 
@@ -219,8 +223,75 @@ def _graph_batch_search_full(spark, sf):
     return _GRAPH_IDX[sf].batch_search(spark, q, k=10, ef=48, nprobe=4)
 
 
+def _fuzzy_pairs_full(spark, sf):
+    """Within-table fuzzy pairs over EVERY part name (no catalog
+    broadcast): the big-big deletion-key shuffle shape."""
+    from vector_search_databricks_poc_spark.operators.fuzzy import fuzzy_self_pairs
+
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    return fuzzy_self_pairs(p, col="p_name", id_col="p_partkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _pagerank_full(spark, sf):
+    """8 power iterations over the cosine>=0.4 near-dup graph (pair gen
+    included — the realistic composed cost)."""
+    from vector_search_databricks_poc_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from vector_search_databricks_poc_spark.operators.linkrank import (
+        undirected_pagerank,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.4, max_exact_rows=2_000_000)
+    return undirected_pagerank(pairs, iters=8).agg(F.sum("rank").alias("m"))
+
+
+def _binary_search_full(spark, sf):
+    """Mean fit + sign packing + Hamming TakeOrdered + exact rerank."""
+    from vector_search_databricks_poc_spark.operators.binary_quant import (
+        binary_search, mean_vector,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    mean = mean_vector(e)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>")
+    ).first()[0]
+    return binary_search(e, mean, list(q), k=10, over_fetch=10)
+
+
+def _agg_refresh_full(spark, sf):
+    """Delta-mode materialized-view refresh of the per-status orders
+    rollup under planted churn (diff + refresh, one composed plan)."""
+    from vector_search_databricks_poc_spark.operators.diff import snapshot_diff
+    from vector_search_databricks_poc_spark.operators.matview import (
+        group_agg, incremental_agg_refresh,
+    )
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    new = orders.where(F.col("rid") % 13 != 0)
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    state = group_agg(orders, ["g"], measures)
+    diff = snapshot_diff(orders, new, id_col="rid")
+    return incremental_agg_refresh(
+        state, orders, new, diff, keys=["g"], measures=measures,
+        id_col="rid", mode="delta",
+    )
+
+
 OPERATOR_PROBES = {
     "graph_batch_search_full": _graph_batch_search_full,
+    "fuzzy_pairs_full": _fuzzy_pairs_full,
+    "pagerank_full": _pagerank_full,
+    "binary_search_full": _binary_search_full,
+    "agg_refresh_full": _agg_refresh_full,
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
     "wet_decode_full": _wet_decode_full,

@@ -72,6 +72,7 @@ EAGER_BY_CONTRACT = {
     "pca_reduced_search",  # PCA sufficient-stats fit (CREATE INDEX analog)
     "binary_quant_search",  # mean-vector fit (CREATE INDEX analog)
     "embedding_drift_psi",  # PCA fit frozen on the reference snapshot
+    "streaming_agg_view",  # bootstrap writes + availableNow stream run
 }
 
 ACTIONS = [

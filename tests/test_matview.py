@@ -139,3 +139,43 @@ def test_refresh_on_fixture_orders(spark):
             id_col="rid", mode=mode,
         )
         assert _sorted(got) == want, mode
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_churn_refresh_equals_recompute(spark, seed):
+    """Seeded randomized churn differential: arbitrary delete/update/
+    insert mixes (including groups that empty, groups born, value sign
+    flips) must keep refresh == full recompute in both modes."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"g{rng.randrange(5)}", rng.randrange(-50, 100)) for i in range(200)
+    ]
+    d_mod, u_mod, i_step = (
+        rng.randrange(2, 7), rng.randrange(2, 7), rng.randrange(2, 7),
+    )
+    new_rows = [
+        (i, g, v + (7 if i % u_mod == 0 else 0))
+        for (i, g, v) in rows
+        if i % d_mod != 0
+    ]
+    new_rows += [
+        (1000 + i, f"g{rng.randrange(7)}", rng.randrange(-20, 100))
+        for i in range(0, 200, i_step)
+    ]
+    old = _snap(spark, rows)
+    new = _snap(spark, new_rows)
+    diff = snapshot_diff(old, new, id_col="rid")
+    for mode, measures in (
+        ("recount_groups", MEASURES_FULL),
+        ("delta", MEASURES_DELTA),
+    ):
+        state = group_agg(old, ["g"], measures)
+        got = incremental_agg_refresh(
+            state, old, new, diff, keys=["g"], measures=measures,
+            id_col="rid", mode=mode,
+        )
+        assert _sorted(got) == _sorted(group_agg(new, ["g"], measures)), (
+            seed, mode,
+        )

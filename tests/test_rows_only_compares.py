@@ -1370,3 +1370,24 @@ def test_incremental_agg_view_matches_duckdb(spark):
     """
     r = compare(out, duck_connection(SF_DIR), sql)
     assert r["values_match"], r
+
+
+def test_streaming_agg_view_matches_duckdb(spark):
+    """The stream-maintained view state == DuckDB's full recompute over
+    the post-churn snapshot (the view definition), end to end through
+    bootstrap + change-feed drain."""
+    out = R.QUERIES["streaming_agg_view"](spark, SF_DIR)
+    sql = """
+    WITH base AS (
+      SELECT o_orderkey AS rid, o_orderstatus AS g,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ), news AS (
+      SELECT rid, g, CASE WHEN rid % 7 = 0 THEN v + 1 ELSE v END AS v
+      FROM base WHERE rid % 13 <> 0
+    )
+    SELECT g, COUNT(*)::BIGINT AS n, CAST(SUM(v) AS DOUBLE) AS total
+    FROM news GROUP BY g ORDER BY g
+    """
+    r = compare(out, duck_connection(SF_DIR), sql)
+    assert r["values_match"], r

@@ -5255,6 +5255,55 @@ def incremental_agg_view(spark, sf_dir):
     ).orderBy("g")
 
 
+@register("streaming_agg_view")
+def streaming_agg_view(spark, sf_dir):
+    """Streaming materialized-view maintenance: bootstrap the per-status
+    orders rollup, stream a planted change feed (update/delete/insert
+    wave) through stream_agg_view_sync, and return the maintained state —
+    which the stream≡batch tests prove equals a full recompute.  Eager
+    by contract (bootstrap writes + an availableNow stream run ARE the
+    operator)."""
+    import tempfile
+
+    from .streaming.agg_view_sync import (
+        init_agg_view,
+        read_agg_view,
+        stream_agg_view_sync,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    new = orders.where(F.col("rid") % 13 != 0).select(
+        "rid", "g",
+        F.when(F.col("rid") % 7 == 0, F.col("v") + 1).otherwise(F.col("v")).alias("v"),
+    )
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    work = tempfile.mkdtemp(prefix="aggview_")
+    view, log, ckpt = f"{work}/view", f"{work}/log", f"{work}/ckpt"
+    init_agg_view(spark, view, orders, ["g"], measures, "rid")
+    feed = orders.where((F.col("rid") % 13 == 0) | (F.col("rid") % 7 == 0)).select(
+        "rid",
+        F.when(F.col("rid") % 13 == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.lit(1).cast("long").alias("batch_seq"),
+        F.current_timestamp().alias("ts"),
+    )
+    feed.write.mode("overwrite").parquet(log)
+    q = stream_agg_view_sync(
+        new, view, log, keys=["g"], measures=measures, id_col="rid",
+        mode="delta", checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(300)
+    return read_agg_view(spark, view).select(
+        "g", F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    ).orderBy("g")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order finalization.  The driver's correctness harness checks
 # exactly the FIRST 50 entries of queries() in registration order (verified
