@@ -224,12 +224,21 @@ def _graph_batch_search_full(spark, sf):
 
 
 def _fuzzy_pairs_full(spark, sf):
-    """Within-table fuzzy pairs over EVERY part name (no catalog
-    broadcast): the big-big deletion-key shuffle shape."""
+    """Big-big within-table fuzzy pairs (no catalog broadcast): the
+    deletion-key shuffle shape.  Keys are made unique-ish (name + id
+    suffix) — the fixture's 64 raw names repeated over every part would
+    otherwise measure a quadratic duplicate-key pathology, which is
+    exact-dedup's job to remove before fuzzy matching, not this
+    operator's regime."""
     from vector_search_databricks_poc_spark.operators.fuzzy import fuzzy_self_pairs
 
-    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
-    return fuzzy_self_pairs(p, col="p_name", id_col="p_partkey").agg(
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"), F.lit(" #"), (F.col("p_partkey") % 50).cast("string")
+        ).alias("k"),
+    )
+    return fuzzy_self_pairs(p, col="k", id_col="p_partkey").agg(
         F.count(F.lit(1)).alias("n")
     )
 
@@ -443,6 +452,85 @@ every operator in this repo:
   selective (AQE decides above the threshold); postfilter touches only
   the <= over_fetch x k candidate rows and legitimately under-fills
   rather than silently widening the probe.
+- **ExactSubstr dedup rebuild (dedup.py::exact_substring_dedup).** The
+  duplicated-window removal is hash-bound (step 1 hashes tokens x L
+  bytes map-side); the per-doc REBUILD is interval-union — sorted
+  same-length spans merge with one predecessor comparison each, and the
+  kept text is sliced from the gaps between merged ranges, O(tokens +
+  spans) per doc.  Probe (local[32], 32 docs x 20k tokens, fully
+  self-duplicated so spans ~= tokens): the r6 per-position F.exists
+  rebuild took 18.3s; the interval-union rebuild 2.0s — and the gap is
+  quadratic in doc length, so a 100 TB crawl with templated mega-docs
+  no longer has an O(n²) rebuild term.
+- **Snapshot diff (diff.py).** Exact mode is one full-outer sort-merge
+  join on the id (one shuffle per side, zero driver state; bucketed
+  snapshots shuffle nothing).  Pruned mode fingerprints each side per
+  hash-bucket in one map-side-combinable aggregate (n_buckets rows
+  shuffle), broadcasts the differing buckets back as a semi-join, and
+  full-outer-joins only the changed fraction — at 1% churn on 100 TB,
+  99% of both corpora never leaves the map side; the cost is a second
+  scan of each input, the win is skipping the corpus-vs-corpus shuffle.
+  Fingerprint = (count, bit_xor, decimal(38,0)-sum) of per-row xxhash64
+  with explicit per-column null flags (Spark hash skips null args);
+  collision needs all three to agree (~2^-128), and the exact mode is
+  the fallback.  apply_diff / diff_to_sync_batch keep downstream
+  consumption in-plan: the sync batch feeds incremental_upsert's
+  touched-partition rewrite, so external-snapshot churn costs the same
+  as a native change feed.
+- **Distribution drift (drift.py).** Each snapshot reduces in ONE
+  shuffle-free scan: every (column, bin) pair is a conditional-sum
+  column of a single global aggregate (map-side partials to one row per
+  task, one single-partition gather), then the wide row unpivots lazily
+  and the PSI join touches n_cols x n_bins rows.  No corpus explode, no
+  groupBy shuffle, no driver state; bin edges are caller-declared so
+  the plan is deterministic.  Adding a monitored column adds columns to
+  the aggregate, not jobs.
+- **Fuzzy join (fuzzy.py).** Deletion-neighborhood blocking explodes
+  each key into ~len^d deletion variants map-side (codegen HOF, no
+  UDF); a catalog-side broadcast makes the candidate join exchange-free,
+  so a 100 TB dirty side streams through explode+probe and the only
+  shuffle is the pair dedup, proportional to candidate pairs, never
+  |L| x |R|.  Big-big fuzzy joins shuffle once on the deletion key.
+  The verify is Spark's threshold levenshtein (banded DP, O(d*min_len)
+  per candidate).  Neighborhood fan-out bounds the regime: name-like
+  keys (<=64 chars at d=1, <=32 at d=2); d>2 raises by contract.
+- **PageRank (linkrank.py).** Rank state is O(V) rows living
+  distributed; each of the fixed `iters` rounds is one edge-rank join +
+  one gather agg (2 shuffles), with the dangling-mass and 1/N scalars
+  as broadcast one-row aggregates — no driver round-trips in the loop.
+  Pre-partitioning edges and ranks by src lets every round reuse one
+  partitioning at cluster scale.  Lazy per-round localCheckpoints stop
+  the lineage doubling that the dangling-scalar back-reference would
+  otherwise cause (analysis stays linear in iters).
+- **Compression ladder (binary_quant.py / pca.py).** Binary stage 1
+  scans 1 bit/dim: with the sketch persisted, the Hamming rank reads
+  ~8 bytes/row (64x less I/O than the float column) and is
+  xor+bit_count in codegen ending in a TakeOrdered — no shuffle, no
+  Python.  PCA stage 1 reads the k-dim projection (k/d of the float
+  bytes when persisted); the fit aggregates d+d^2 sufficient-stat
+  partials per partition (Arrow-batched) into ONE row regardless of
+  corpus size, and only the d x d eigendecomposition runs on the
+  driver.  Both rungs rerank exactly over k x over_fetch survivors, so
+  accuracy degrades to measured recall, never to wrong scores; batch
+  variants broadcast the query block into a single corpus scan with
+  per-query window ranks (one shuffle total).
+- **Materialized-view maintenance (matview.py).** Delta refresh of a
+  persisted groupBy state reads NOTHING but the changed rows: the
+  churn-sized id set broadcasts into semi-joins on both snapshots, the
+  signed contributions collapse in one churn-sized aggregate, and the
+  state merge is a full-outer join on the (small) state table — a 100 TB
+  fact at 0.1% churn refreshes its rollups for the cost of the churn,
+  not the table.  min/max fall back to recount mode: only groups owning
+  a changed row recompute (semi-join-pruned), untouched groups pass
+  through an anti-join unread.
+- **Streaming view sync (agg_view_sync.py).** Each micro-batch touches
+  churn-sized data only: the batch's ids broadcast into every join, the
+  contribution store (a slim keys+measures projection, hash-bucketed by
+  id) is read pruned to touched buckets and rewritten with dynamic
+  partition overwrite of exactly those buckets, and the state table is
+  group-cardinality rows swapped atomically with its applied-batch
+  marker.  The base table is read once per batch, semi-join-pruned to
+  the upserted ids — never scanned.
 """
 
 
