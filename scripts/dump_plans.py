@@ -49,6 +49,7 @@ NAMES = [
     "fuzzy_catalog_match",
     "binary_quant_search",
     "pca_reduced_search",
+    "incremental_agg_view",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
