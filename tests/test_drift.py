@@ -237,3 +237,24 @@ def test_embedding_drift_declared_query_runs(spark):
     rows = R.QUERIES["embedding_drift_psi"](spark, SF_DIR).collect()
     assert [r["column"] for r in rows] == [f"pc{i}" for i in range(8)]
     assert any(r["psi"] > 0.01 for r in rows)
+
+
+def test_binspec_degenerate_grid_raises(spark):
+    """ADVICE r7: lo == hi (width 0 -> x/0 bins) and n_bins <= 0 must
+    fail loudly instead of silently misattributing mass."""
+    from vector_search_databricks_poc_spark.operators.drift import (
+        binned_histogram,
+        profile_drift,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="strictly below"):
+        binned_histogram(df, {"x": (5.0, 5.0, 4)})
+    with pytest.raises(ValueError, match="strictly below"):
+        binned_histogram(df, {"x": (7.0, 2.0, 4)})
+    with pytest.raises(ValueError, match="n_bins"):
+        binned_histogram(df, {"x": (0.0, 1.0, 0)})
+    with pytest.raises(ValueError, match="empty"):
+        binned_histogram(df, {})
+    with pytest.raises(ValueError, match="n_bins"):
+        profile_drift(df, df, {"x": (0.0, 1.0, -3)})

@@ -166,3 +166,45 @@ def test_incremental_store_never_shuffles(spark):
     out = incremental_fuzzy_match(new_df, store, col="key", id_col="kid")
     assert audit.uses_broadcast_join(out)
     assert audit.count_exchanges(out) <= 2  # the two pair dedups
+
+
+def test_neighborhood_over_length_raises(spark):
+    """ADVICE r7: a document pasted into the key column must raise, not
+    silently explode ~len^d candidate rows (same contract class as the
+    max_distance > 2 guard)."""
+    from pyspark.errors import PySparkException
+
+    long_key = "x" * 65
+    df = spark.createDataFrame([(1, long_key)], "id long, k string")
+    with pytest.raises(PySparkException, match="max_len"):
+        df.select(deletion_neighborhood("k", 1).alias("n")).collect()
+    # d=2 regime is tighter (32)
+    df2 = spark.createDataFrame([(1, "y" * 33)], "id long, k string")
+    with pytest.raises(PySparkException, match="max_len"):
+        df2.select(deletion_neighborhood("k", 2).alias("n")).collect()
+
+
+def test_neighborhood_boundary_and_override(spark):
+    # exactly at the bound: fine
+    df = spark.createDataFrame([(1, "x" * 64)], "id long, k string")
+    row = df.select(F.size(deletion_neighborhood("k", 1)).alias("n")).first()
+    assert row["n"] == 2  # all single deletions of x^64 collapse to x^63
+    # trusted-domain override admits longer keys
+    df2 = spark.createDataFrame([(1, "x" * 65)], "id long, k string")
+    row2 = df2.select(
+        F.size(deletion_neighborhood("k", 1, max_len=80)).alias("n")
+    ).first()
+    assert row2["n"] == 2
+    with pytest.raises(ValueError):
+        deletion_neighborhood("k", 1, max_len=0)
+
+
+def test_fuzzy_join_over_length_raises(spark):
+    from pyspark.errors import PySparkException
+    from vector_search_databricks_poc_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "d" * 100)], "lid long, lval string")
+    right = spark.createDataFrame([(2, "name")], "rid long, rval string")
+    out = fuzzy_join(left, right, "lval", "rval", "lid", "rid", 1, True)
+    with pytest.raises(PySparkException, match="max_len"):
+        out.collect()

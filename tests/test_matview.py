@@ -179,3 +179,77 @@ def test_random_churn_refresh_equals_recompute(spark, seed):
         assert _sorted(got) == _sorted(group_agg(new, ["g"], measures)), (
             seed, mode,
         )
+
+
+def _snap_nullable(spark, rows):
+    return spark.createDataFrame(rows, "rid long, g string, v long")
+
+
+# group "a": sums stay all-NULL through the churn; group "b": becomes
+# all-NULL after its only non-null row is deleted; group "c": untouched
+# all-NULL state group (the ADVICE r7 regression: delta merge used to
+# coalesce it to 0); group "d": gains its first non-null value.
+OLD_NULLS = [
+    (1, "a", None), (2, "a", None), (3, "b", 9), (4, "b", None),
+    (5, "c", None), (6, "d", None),
+]
+NEW_NULLS = [
+    (1, "a", None), (2, "a", None), (8, "a", None),  # insert another null
+    (4, "b", None),                                   # delete rid 3 (the value)
+    (5, "c", None),                                   # untouched
+    (6, "d", None), (9, "d", 42),                     # first value born
+]
+
+
+@pytest.mark.parametrize("mode", ["recount_groups", "delta"])
+def test_null_sum_semantics_preserved(spark, mode):
+    """ADVICE r7: with a null_counts=True state, refresh == full
+    recompute EXACTLY for NULL measure values too — all-NULL groups stay
+    NULL (not 0), including untouched state groups, in both modes."""
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    old, new = _snap_nullable(spark, OLD_NULLS), _snap_nullable(spark, NEW_NULLS)
+    state = group_agg(old, ["g"], measures, null_counts=True)
+    diff = snapshot_diff(old, new, id_col="rid")
+    got = incremental_agg_refresh(
+        state, old, new, diff, keys=["g"], measures=measures,
+        id_col="rid", mode=mode,
+    )
+    want = group_agg(new, ["g"], measures, null_counts=True)
+    assert _sorted(got) == _sorted(want)
+    by_g = {r["g"]: r["total"] for r in got.collect()}
+    assert by_g["a"] is None and by_g["b"] is None and by_g["c"] is None
+    assert by_g["d"] == 42
+
+
+def test_null_counts_state_chains_across_refreshes(spark):
+    """The __nn columns round-trip: refresh output is itself a valid
+    state for the next refresh."""
+    measures = {"n": ("count", "rid"), "total": ("sum", "v")}
+    s0 = _snap_nullable(spark, OLD_NULLS)
+    s1 = _snap_nullable(spark, NEW_NULLS)
+    s2_rows = [(1, "a", 7), (4, "b", None), (5, "c", None), (9, "d", 42)]
+    s2 = _snap_nullable(spark, s2_rows)
+    state = group_agg(s0, ["g"], measures, null_counts=True)
+    state = incremental_agg_refresh(
+        state, s0, s1, snapshot_diff(s0, s1, id_col="rid"),
+        keys=["g"], measures=measures, id_col="rid", mode="delta",
+    ).localCheckpoint()
+    state = incremental_agg_refresh(
+        state, s1, s2, snapshot_diff(s1, s2, id_col="rid"),
+        keys=["g"], measures=measures, id_col="rid", mode="delta",
+    )
+    want = group_agg(s2, ["g"], measures, null_counts=True)
+    assert _sorted(state) == _sorted(want)
+    by_g = {r["g"]: r["total"] for r in state.collect()}
+    assert by_g["a"] == 7 and by_g["b"] is None and by_g["c"] is None
+
+
+def test_partial_nn_state_raises(spark):
+    measures = {"n": ("count", "rid"), "t1": ("sum", "v"), "t2": ("sum", "v")}
+    old = _snap_nullable(spark, OLD_NULLS)
+    state = group_agg(old, ["g"], measures, null_counts=True).drop("t2__nn")
+    with pytest.raises(ValueError, match="only some sum measures"):
+        incremental_agg_refresh(
+            state, old, old.limit(0), old.limit(0).select("rid"),
+            keys=["g"], measures=measures, id_col="rid", mode="delta",
+        )

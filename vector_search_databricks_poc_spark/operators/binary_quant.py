@@ -41,8 +41,10 @@ __all__ = [
 
 
 def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
-    """Elementwise mean of a vector column: per-partition numpy partial
-    sums (Arrow-batched), one final agg — corpus-size-independent result."""
+    """Elementwise mean of a vector column: ONE numpy partial per
+    partition (Arrow-batched), merged by the parallel explode-and-SUM
+    tree reduce (operators/_reduce.py — no collect_list buffer, no
+    single-reducer fold) — corpus-size-independent result."""
     import numpy as np
 
     src = df.select(F.col(vec_col).cast("array<double>").alias("v")).where(
@@ -52,28 +54,22 @@ def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
     def _partials(batches):
         import pandas as pd
 
+        n_acc, s_acc = 0, None
         for pdf in batches:
             if len(pdf):
                 X = np.array(pdf["v"].tolist(), dtype=np.float64)
-                yield pd.DataFrame({"n": [len(X)], "s": [X.sum(axis=0).tolist()]})
+                n_acc += len(X)
+                s_acc = X.sum(axis=0) if s_acc is None else s_acc + X.sum(axis=0)
+        if n_acc:
+            yield pd.DataFrame({"n": [n_acc], "s": [s_acc.tolist()]})
 
-    row = (
-        src.mapInPandas(_partials, "n long, s array<double>")
-        .agg(
-            F.sum("n").alias("n"),
-            F.aggregate(
-                F.collect_list("s"),
-                F.expr("cast(null as array<double>)"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.zip_with(acc, x, lambda a, b: a + b)
-                ),
-            ).alias("s"),
-        )
-        .first()
-    )
-    if row is None or not row["n"]:
+    from ._reduce import sum_partials
+
+    parts = src.mapInPandas(_partials, "n long, s array<double>")
+    n, sums = sum_partials(parts, ["s"])
+    if not n:
         raise ValueError("mean_vector needs at least one non-null vector")
-    return [float(x) / row["n"] for x in row["s"]]
+    return [float(x) / n for x in sums["s"]]
 
 
 def pack_bits_expr(vec: Column | str, mean: list[float]) -> Column:

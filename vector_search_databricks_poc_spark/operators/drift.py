@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 BinSpec = dict[str, tuple[float, float, int]]
 
 
+def _validate_spec(spec: BinSpec) -> None:
+    """ADVICE r7: a degenerate declared grid must fail loudly, not
+    misattribute mass — lo == hi makes every bin expression x/0 (NULL,
+    silently clamped) and n_bins <= 0 builds an empty/negative grid."""
+    if not spec:
+        raise ValueError("BinSpec is empty: declare at least one column")
+    for col, (lo, hi, n_bins) in spec.items():
+        if not (float(lo) < float(hi)):
+            raise ValueError(
+                f"BinSpec[{col!r}]: lo ({lo}) must be strictly below hi ({hi})"
+            )
+        if int(n_bins) < 1:
+            raise ValueError(f"BinSpec[{col!r}]: n_bins must be >= 1, got {n_bins}")
+
+
 def _bin_expr(col: str, lo: float, hi: float, n_bins: int) -> Column:
     width = (hi - lo) / n_bins
     raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
@@ -43,6 +58,7 @@ def binned_histogram(df: DataFrame, spec: BinSpec) -> DataFrame:
     of a single global aggregate; the wide one-row result unpivots
     lazily.  Empty bins are emitted with n=0 (the PSI join needs the full
     grid)."""
+    _validate_spec(spec)
     aggs = []
     names = []
     for col, (lo, hi, n_bins) in spec.items():

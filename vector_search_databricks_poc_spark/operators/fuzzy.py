@@ -17,7 +17,11 @@ candidates.
 Spark-first shape (no Python in the hot path):
 
 - the neighborhood is a nested higher-order-function expression
-  (``transform(sequence(...))`` — whole-stage codegen, one ``explode``);
+  (``transform(sequence(...))`` + one ``explode``) — JVM-side with zero
+  Python, though NOT whole-stage-codegen'd: ``Generate`` and nested HOF
+  lambdas evaluate interpreted (PLANS.md records ``codegen_spans: 0``),
+  an acceptable constant at name-like key lengths because the
+  ZERO-exchange broadcast shape is what matters at scale;
 - candidates = one equi-join on the neighborhood key (broadcastable when
   one side is a small canonical catalog);
 - verify = ``levenshtein(a, b, threshold=d)`` — Spark's threshold form
@@ -26,7 +30,11 @@ Spark-first shape (no Python in the hot path):
 Shuffle budget: EXPLODE (map-side, x ~len^d rows) -> join (1 exchange,
 or 0 with a broadcast catalog) -> pair dedup (1 exchange).  Neighborhood
 size is C(len, d)+..., so this operator targets *name-like* strings —
-len <= ~64 at d=1, <= ~32 at d=2; ``max_distance`` > 2 raises.
+len <= 64 at d=1, <= 32 at d=2, ENFORCED: an over-length key (a document
+pasted into the key column would otherwise silently explode ~len^d
+candidate rows) raises executor-side via ``raise_error`` before the
+explode, the same contract class as the ``max_distance`` > 2 guard;
+callers with longer trusted keys can raise ``max_len`` explicitly.
 
 At 100 TB: the dirty side streams through the explode+join map-side when
 the catalog broadcasts; for big-big fuzzy joins both sides shuffle once
@@ -66,18 +74,35 @@ def _deletes_expr(s: str) -> str:
     return f"case when length({s}) = 0 then array({s}) else array_union(array({s}), {one_del}) end"
 
 
-def deletion_neighborhood(col: str, max_distance: int = 1) -> Column:
+def deletion_neighborhood(
+    col: str, max_distance: int = 1, max_len: int | None = None
+) -> Column:
     """``array<string>`` of every string reachable from ``col`` by at most
     ``max_distance`` deletions (including ``col`` itself), distinct.
 
-    Pure nested-HOF expression — stays inside whole-stage codegen; no UDF.
-    """
+    Pure nested-HOF expression — JVM-side, no UDF (interpreted, not
+    WSCG'd: ``Generate``/HOF lambdas fall out of codegen, see module
+    docstring).  ``max_len`` (default 64 at d=1, 32 at d=2) bounds the
+    ~len^d blow-up: an over-length key raises executor-side instead of
+    silently exploding — pass a larger value only for trusted key
+    domains."""
     if max_distance not in (1, 2):
         raise ValueError(f"max_distance must be 1 or 2, got {max_distance}")
+    if max_len is None:
+        max_len = 64 if max_distance == 1 else 32
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
     keys = _deletes_expr(col)
     if max_distance == 2:
         keys = f"array_distinct(flatten(transform({keys}, k0 -> {_deletes_expr('k0')})))"
-    return F.expr(keys)
+    guarded = (
+        f"case when length({col}) > {int(max_len)} then "
+        f"raise_error(concat('fuzzy key length ', length({col}), "
+        f"' exceeds max_len={int(max_len)} (deletion neighborhood is "
+        f"~len^{max_distance} keys); raise max_len for trusted key "
+        f"domains')) else {keys} end"
+    )
+    return F.expr(guarded)
 
 
 def _verified(cand: DataFrame, left_col: str, right_col: str, d: int) -> DataFrame:
@@ -95,6 +120,7 @@ def fuzzy_join(
     right_id: str,
     max_distance: int = 1,
     broadcast_right: bool = False,
+    max_len: int | None = None,
 ) -> DataFrame:
     """All (left, right) row pairs with ``levenshtein <= max_distance``.
 
@@ -105,10 +131,10 @@ def fuzzy_join(
     shuffles.
     """
     lk = left.select(left_id, left_col).withColumn(
-        "_fk", F.explode(deletion_neighborhood(left_col, max_distance))
+        "_fk", F.explode(deletion_neighborhood(left_col, max_distance, max_len))
     )
     rk = right.select(right_id, right_col).withColumn(
-        "_fk", F.explode(deletion_neighborhood(right_col, max_distance))
+        "_fk", F.explode(deletion_neighborhood(right_col, max_distance, max_len))
     )
     if broadcast_right:
         rk = F.broadcast(rk)
@@ -126,6 +152,7 @@ def fuzzy_self_pairs(
     id_col: str,
     max_distance: int = 1,
     broadcast: bool = False,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Unordered within-table pairs (id_a < id_b) with edit distance
     <= ``max_distance``.  Output: ``id_a, val_a, id_b, val_b, dist``.
@@ -135,7 +162,7 @@ def fuzzy_self_pairs(
     is the big-corpus shape."""
     keyed = df.select(
         F.col(id_col).alias("_fid"), F.col(col).alias("_fval")
-    ).withColumn("_fk", F.explode(deletion_neighborhood("_fval", max_distance)))
+    ).withColumn("_fk", F.explode(deletion_neighborhood("_fval", max_distance, max_len)))
     a = keyed.select(
         F.col("_fid").alias("id_a"), F.col("_fval").alias("val_a"), "_fk"
     )
@@ -157,6 +184,7 @@ def fuzzy_dedup(
     id_col: str,
     max_distance: int = 1,
     max_iter: int = 20,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Canonicalize near-identical string keys: connected components over
     the fuzzy pair graph, canonical = the value of the min-id member.
@@ -167,7 +195,7 @@ def fuzzy_dedup(
     the per-round convergence count is the algorithm, so this operator
     is eager by contract.
     """
-    pairs = fuzzy_self_pairs(df, col, id_col, max_distance)
+    pairs = fuzzy_self_pairs(df, col, id_col, max_distance, max_len=max_len)
     comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
     base = df.select(F.col(id_col), F.col(col))
     labeled = base.join(
@@ -190,6 +218,7 @@ def fuzzy_key_store(
     col: str,
     id_col: str,
     max_distance: int = 1,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Persistable deletion-key store for incremental fuzzy matching:
     one row per (id, value, deletion key).  Write this once per admitted
@@ -202,7 +231,9 @@ def fuzzy_key_store(
     by contract, unlike document text)."""
     return df.select(
         F.col(id_col).alias("store_id"), F.col(col).alias("store_val")
-    ).withColumn("_fk", F.explode(deletion_neighborhood("store_val", max_distance)))
+    ).withColumn(
+        "_fk", F.explode(deletion_neighborhood("store_val", max_distance, max_len))
+    )
 
 
 def incremental_fuzzy_match(
@@ -211,6 +242,7 @@ def incremental_fuzzy_match(
     col: str,
     id_col: str,
     max_distance: int = 1,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Fuzzy matches of a NEW batch against a persisted key store plus
     within the batch itself, touching nothing historical beyond the
@@ -228,7 +260,9 @@ def incremental_fuzzy_match(
     are the candidate-pair dedups (batch-sized)."""
     new_keyed = (
         new_df.select(F.col(id_col).alias("new_id"), F.col(col).alias("new_val"))
-        .withColumn("_fk", F.explode(deletion_neighborhood("new_val", max_distance)))
+        .withColumn(
+            "_fk", F.explode(deletion_neighborhood("new_val", max_distance, max_len))
+        )
         .localCheckpoint(eager=False)
     )
     cross = (
@@ -241,7 +275,9 @@ def incremental_fuzzy_match(
         )
         .distinct()  # values functionally dependent on ids: HashAggregate
     )
-    intra = fuzzy_self_pairs(new_df, col, id_col, max_distance, broadcast=True)
+    intra = fuzzy_self_pairs(
+        new_df, col, id_col, max_distance, broadcast=True, max_len=max_len
+    )
     return _verified(cross, "val_a", "val_b", max_distance).withColumn(
         "origin", F.lit("new_old")
     ).unionByName(intra.withColumn("origin", F.lit("new_new")))

@@ -9,10 +9,12 @@ Johnson et al. 2017, and Matryoshka-style truncated search, Kusupati et
 al. 2022, is the learned cousin).
 
 Spark-first fit: PCA needs only the sufficient statistics
-(count, sum-vector, Gram matrix X^T X) — each partition computes its
-d+d^2 partial with one numpy pass inside ``mapInPandas`` (Arrow-batched,
-no per-row Python), the d^2-sized partials reduce to ONE row with a
-single tree aggregation, and the driver eigendecomposes the d x d
+(count, sum-vector, Gram matrix X^T X) — each partition accumulates ONE
+d+d^2 partial with numpy passes inside ``mapInPandas`` (Arrow-batched,
+no per-row Python), the partials reduce via a real parallel tree
+(explode to (index, value), hash-aggregate SUM per index with map-side
+combine — operators/_reduce.py; no collect_list buffer, no
+single-reducer array fold), and the driver eigendecomposes the d x d
 covariance (d is the embedding width, <= a few thousand — driver-sized
 by definition; the corpus never leaves the executors).  Eigenvector sign
 is canonicalized (largest-|component| coordinate made positive) so fits
@@ -76,49 +78,35 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 16) -> PcaModel:
     )
 
     def _partials(batches):
+        # ONE partial per partition (accumulated across Arrow batches),
+        # so the reduce stage sees task-count rows, not batch-count rows
         import pandas as pd
 
+        n_acc, s_acc, g_acc = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
             if X.ndim != 2:
                 raise ValueError("ragged embedding dimensions in PCA fit")
+            n_acc += len(X)
+            s_b, g_b = X.sum(axis=0), X.T @ X
+            s_acc = s_b if s_acc is None else s_acc + s_b
+            g_acc = g_b if g_acc is None else g_acc + g_b
+        if n_acc:
             yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n_acc], "s": [s_acc.tolist()], "g": [g_acc.ravel().tolist()]}
             )
 
-    row = (
-        src.mapInPandas(_partials, "n long, s array<double>, g array<double>")
-        .agg(
-            F.sum("n").alias("n"),
-            F.aggregate(
-                F.collect_list("s"),
-                F.expr("cast(null as array<double>)"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.zip_with(acc, x, lambda a, b: a + b)
-                ),
-            ).alias("s"),
-            F.aggregate(
-                F.collect_list("g"),
-                F.expr("cast(null as array<double>)"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.zip_with(acc, x, lambda a, b: a + b)
-                ),
-            ).alias("g"),
-        )
-        .first()
-    )
-    if row is None or row["n"] is None or row["n"] < 2:
+    from ._reduce import sum_partials
+
+    parts = src.mapInPandas(_partials, "n long, s array<double>, g array<double>")
+    n, sums = sum_partials(parts, ["s", "g"])
+    if n < 2:
         raise ValueError("PCA fit needs at least 2 non-null vectors")
-    n = int(row["n"])
-    s = np.array(row["s"])
+    s = np.array(sums["s"])
     d = len(s)
-    gram = np.array(row["g"]).reshape(d, d)
+    gram = np.array(sums["g"]).reshape(d, d)
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
     if k > d:
