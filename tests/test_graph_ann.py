@@ -227,3 +227,28 @@ def test_hard_negative_mining_works_with_graph_index(spark, gidx, emb):
         assert all(r["vec_id"] != qid for r in rows)  # positives excluded
         scores = [r["score"] for r in sorted(rows, key=lambda r: r["neg_rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_batch_search_sharded_equals_unsharded(spark, gidx, emb):
+    """shard_size loops independent query slices with bounded driver
+    state (VERDICT r7 #2); per-query results must be IDENTICAL to the
+    one-shard run — same ids, same scores, same ranks."""
+    vids = [0, 3, 7, 42, 101, 150]
+    qdf = spark.createDataFrame(
+        [(v, [float(x) for x in _qv(emb, v)]) for v in vids],
+        "query_id long, query_vec array<double>",
+    )
+    whole = gidx.batch_search(spark, qdf, k=10, ef=48, nprobe=4).collect()
+    sharded = gidx.batch_search(
+        spark, qdf, k=10, ef=48, nprobe=4, shard_size=2
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, sharded)) == sorted(map(tuple, whole))
+    assert len({key(r) for r in sharded}) == len(sharded)
+    # a shard larger than the batch is the unsharded path
+    big = gidx.batch_search(
+        spark, qdf, k=10, ef=48, nprobe=4, shard_size=1_000
+    ).collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, whole))
+    with pytest.raises(ValueError, match="shard_size"):
+        gidx.batch_search(spark, qdf, k=10, shard_size=0)

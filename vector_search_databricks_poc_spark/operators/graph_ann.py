@@ -127,14 +127,48 @@ def _multi_bucket(
     return df.select(id_col, vec_col, F.explode(buckets_expr).alias("_bucket"))
 
 
-def _top_deg(edges: DataFrame, deg: int) -> DataFrame:
-    """Keep each node's ``deg`` best outgoing edges (score desc, dst asc)."""
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.col("dst"))
+def _top_deg(edges: DataFrame, deg: int, anchor_col: str | None = None) -> DataFrame:
+    """Keep each node's ``deg`` best outgoing edges (score desc, dst asc).
+
+    ``anchor_col`` (0/1) marks edges that outrank score in the prune:
+    the maintenance paths anchor ONE in-edge per inserted node and one
+    adoption per repair-inherited neighbor, so churn cannot strand a
+    node at zero in-degree just because its reverse edges lose a pure
+    top-score prune (the r8 post-churn-recall fix — an unreachable node
+    is a recall hole whatever its out-edges look like)."""
+    order = [F.desc("score"), F.col("dst")]
+    if anchor_col is not None:
+        order = [F.desc(anchor_col), *order]
+    w = Window.partitionBy("src").orderBy(*order)
     return (
         edges.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= deg)
         .drop("_r")
     )
+
+
+def _mark_best_per_dst(edges: DataFrame, flag: str) -> DataFrame:
+    """Flag, per ``dst``, the single best-scoring edge (ties on src) —
+    the in-link the pruning paths must not drop."""
+    w = Window.partitionBy("dst").orderBy(F.desc("score"), F.col("src"))
+    return edges.withColumn(
+        flag, (F.row_number().over(w) == 1).cast("int")
+    )
+
+
+def _prune_keep_in(edges: DataFrame, deg: int) -> DataFrame:
+    """Degree prune that cannot orphan a node: every ``dst``'s single
+    best in-edge is anchored through the per-``src`` top-``deg`` cut, so
+    global in-degree stays >= 1 for every node any edge points at.  A
+    pure score prune lets near-duplicate cliques hoard each other's
+    edges and strands whole regions at zero in-degree — unreachable by
+    any beam whatever their out-edges (measured r8: 34/300 zero-in-degree
+    nodes on the doc-embedding fixture without the anchor, ~0 with).
+    One extra window (by dst) per prune — same exchange class as the
+    top-deg window itself."""
+    return _top_deg(
+        _mark_best_per_dst(edges, "_anchor"), deg, anchor_col="_anchor"
+    ).drop("_anchor")
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -177,7 +211,7 @@ def _refine_round(
         .join(dv, "dst")
         .select("src", "dst", V.dot("_sv", "_dv").alias("score"))
     )
-    return _top_deg(_symmetrize(edges.unionByName(scored)), deg)
+    return _prune_keep_in(_symmetrize(edges.unionByName(scored)), deg)
 
 
 def build_graph_index(
@@ -223,7 +257,7 @@ def build_graph_index(
     edges = _top_deg(
         edges.groupBy("src", "dst").agg(F.max("score").alias("score")), deg
     )
-    edges = _top_deg(_symmetrize(edges), deg)
+    edges = _prune_keep_in(_symmetrize(edges), deg)
     for _ in range(refine_rounds):
         edges = _refine_round(edges, normalized, id_col, vec_col, deg)
 
@@ -352,6 +386,7 @@ class GraphIndex:
         query_vec_col: str = "query_vec",
         score_decimals: int | None = 6,
         include_centroid: bool = False,
+        shard_size: int | None = None,
     ) -> DataFrame:
         """Many queries, ONE set of hop jobs: every query's beam advances
         through the same window/explode/fetch stages, so hop count — the
@@ -364,8 +399,8 @@ class GraphIndex:
         their neighbor structs, anti-join out (query, id) pairs already
         scored, and collect the surviving candidate tuples — bounded by
         queries × ef × deg, the same volume the fetch join broadcasts
-        through the driver regardless (for million-query batches, shard
-        the query batch); (2) fetch exactly the NEW ids via one
+        through the driver regardless (million-query batches: pass
+        ``shard_size``); (2) fetch exactly the NEW ids via one
         partition-pruned scan of the graph table (partition list = the
         hop's distinct ``nbr_centroid`` values, now free driver metadata)
         and checkpoint the unioned state.  A query whose hop proposes NO
@@ -381,7 +416,42 @@ class GraphIndex:
         ``include_centroid=True`` appends each hit's ``centroid_id`` —
         free driver metadata (every proposal tuple already names its
         target's partition), used by ``insert_into_graph`` to avoid a
-        corpus-wide id→partition lookup join."""
+        corpus-wide id→partition lookup join.
+
+        ``shard_size`` bounds the driver-side beam state: a batch larger
+        than the shard is looped as independent query slices (results
+        are per-query, so the per-shard top-k frames union exactly) and
+        the driver footprint becomes O(shard_size x ef x deg x hops)
+        instead of O(batch x ...).  Million-query batches MUST shard —
+        the beam dicts for 1e6 queries at ef=96, deg=8 are ~1e9 tuples,
+        an OOM, not a slowdown.  Default None = one shard (interactive
+        batch sizes); sharded ≡ unsharded is asserted in
+        tests/test_graph_ann.py."""
+        if shard_size is not None:
+            if shard_size < 1:
+                raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+            # one collect of the distinct query ids — batch-sized, the
+            # same driver bound class as the seed collect below
+            qids = sorted(
+                r[0]
+                for r in queries.select(query_id_col).distinct().collect()
+            )
+            if len(qids) > shard_size:
+                out = None
+                for i in range(0, len(qids), shard_size):
+                    chunk = qids[i : i + shard_size]
+                    part = self.batch_search(
+                        spark,
+                        queries.where(F.col(query_id_col).isin(chunk)),
+                        k=k, ef=ef, nprobe=nprobe, max_hops=max_hops,
+                        query_id_col=query_id_col,
+                        query_vec_col=query_vec_col,
+                        score_decimals=score_decimals,
+                        include_centroid=include_centroid,
+                        shard_size=None,
+                    )
+                    out = part if out is None else out.unionByName(part)
+                return out
         if not self.entries:
             raise ValueError(f"index at {self.path} has no entry points")
         ef = max(ef, k)
@@ -471,7 +541,8 @@ class GraphIndex:
         # Driver-side beam bookkeeping: sets and sorts over ≤ batch × ef ×
         # deg × hops tuples — the SAME volume the fetch join broadcasts
         # through the driver regardless, so this adds no new scale bound
-        # (shard million-query batches).  Scoring and scanning stay in
+        # (bounded by shard_size when set — the enforced form of the
+        # million-query shard note above).  Scoring and scanning stay in
         # Spark; only the sequential frontier logic (inherently tiny and
         # serial — it IS the hop loop) moves out of per-hop shuffle jobs.
         beams: dict[int, list] = {}      # qid -> [(fp_score, id), ...]
@@ -655,8 +726,12 @@ def insert_into_graph(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
+        # k = 2·deg: richer candidate pool than the final degree, so both
+        # the new node's out-prune and the anchored reverse edge choose
+        # from real alternatives (build gets this from bucket kNN + NN-
+        # Descent; the insert's beam is its only candidate source)
         hits = index.batch_search(
-            spark, q, k=deg, ef=max(ef, 2 * deg), nprobe=nprobe,
+            spark, q, k=2 * deg, ef=max(ef, 4 * deg), nprobe=nprobe,
             score_decimals=None, include_centroid=True,
         )
         e_new_old = hits.select(
@@ -687,7 +762,7 @@ def insert_into_graph(
         .groupBy("src", "dst")
         .agg(F.max("score").alias("score"))
     )
-    new_out = _top_deg(
+    new_out = _prune_keep_in(
         _symmetrize(e_new_new)
         .unionByName(e_new_old)
         .groupBy("src", "dst")
@@ -696,7 +771,12 @@ def insert_into_graph(
     )
 
     # 4. existing endpoints gain reverse edges; re-score their current
-    # lists exactly (neighbor structs carry no score) and re-prune
+    # lists exactly (neighbor structs carry no score) and re-prune.
+    # The prune is anchored (_prune_keep_in): each new node's best
+    # reverse edge survives unconditionally — without it a new node
+    # whose reverse edges all lose the top-deg competition has zero
+    # in-degree, unreachable by any beam, a permanent recall hole that
+    # compounds across maintenance waves.
     rev = e_new_old.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
     )
@@ -724,7 +804,7 @@ def insert_into_graph(
     cur_scored = cur_edges.join(dstv, "dst").select(
         "src", "dst", V.dot("_sv", "_dv").alias("score")
     )
-    upd_out = _top_deg(cur_scored.unionByName(rev), deg)
+    upd_out = _prune_keep_in(cur_scored.unionByName(rev), deg)
 
     # partition lookup for every dst a rebuilt adjacency can name: the
     # batch itself, the beam hits (centroid carried by the search), and
@@ -977,12 +1057,19 @@ def delete_from_graph(
         cur_scored = cur_edges.join(all_dstv, "dst").select(
             "src", "dst", V.dot("_sv", "_dv").alias("score"), "_dcent"
         )
-        merged = _top_deg(
+        # anchored prune: each inherited or surviving neighbor keeps its
+        # best in-link among the pointers, so a node whose in-links
+        # routed through the victim cannot drop to zero in-degree after
+        # the repair (same rationale as the insert path's anchored
+        # reverse edge)
+        deduped = (
             cur_scored.unionByName(cand_scored)
             .groupBy("src", "dst", "_dcent")
-            .agg(F.max("score").alias("score")),
-            deg,
+            .agg(F.max("score").alias("score"))
         )
+        merged = _top_deg(
+            _mark_best_per_dst(deduped, "_anchor"), deg, anchor_col="_anchor"
+        ).drop("_anchor")
         adj = merged.groupBy(F.col("src").alias(id_col)).agg(
             F.array_sort(
                 F.collect_list(
