@@ -806,7 +806,7 @@ def test_repetition_signals_matches_python_reference(spark):
             )
         )
     n = len(sigs)
-    row = R.QUERIES["repetition_signals"](spark, SF_DIR).first()
+    row = R.repetition_signals_q(spark, SF_DIR).first()
     assert row["n_docs"] == n
     assert row["n_would_drop"] == sum(1 for s in sigs if s["drop"])
     assert abs(row["avg_dup_line_frac"] - sum(s["dlf"] for s in sigs) / n) < 1e-4
@@ -866,7 +866,7 @@ def test_temperature_mixture_matches_duckdb(spark):
     """Closed-form check of the whole temperature_mixture output: DuckDB
     recomputes the alpha-power weights, the largest feasible N, and the
     per-language floor(w*N) sample counts from the raw parquet."""
-    out = R.QUERIES["temperature_mixture"](spark, SF_DIR)
+    out = R.temperature_mixture_q(spark, SF_DIR)
     sql = """
     WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
     t AS (SELECT SUM(n) AS tot FROM c),

@@ -802,27 +802,13 @@ _UNIT_SQL = (
 )
 
 
-@register(
-    "vector_array_suite",
-    f"""
-    SELECT vec_id, label,
-           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
-           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
-           len(embedding) AS dim,
-           ROUND(embedding[1]::DOUBLE, 6) AS first_val,
-           ROUND(list_max(embedding)::DOUBLE, 6) AS max_val,
-           ROUND(list_min(embedding)::DOUBLE, 6) AS min_val,
-           ROUND(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head_sum,
-           list_contains(list_transform(embedding, x -> x > 0.2), true) AS any_big,
-           ROUND(sqrt(list_dot_product({_UNIT_SQL}, {_UNIT_SQL})), 4) AS unit_nrm
-    FROM embeddings
-    """,
-)
 def vector_array_suite(spark, sf_dir):
     """B6 + B19-array over every vector: expression-kernel norms, the
     l2_normalize unit-norm check, and the array function library
     (size/element_at/slice/aggregate/exists) — one scan (merged r1 queries
-    vector_norms + vector_normalize_check + array_funcs)."""
+    vector_norms + vector_normalize_check + array_funcs).  Oracle-checked
+    as the 'array' leg of ``vector_ops_suite`` since the r8 window
+    rotation."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     return e.select(
@@ -845,18 +831,12 @@ def vector_array_suite(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "vector_mean_by_label",
-    """
-    SELECT label, i AS dim, ROUND(AVG(embedding[i]::DOUBLE), 6) AS mean_val
-    FROM embeddings, range(1, 9) t(i)
-    GROUP BY label, i
-    """,
-)
 def vector_mean_by_label(spark, sf_dir):
     """B6 vec_mean: centroid components per label via posexplode +
     per-dimension aggregation (first 8 dims to keep the result compact).
-    This is the distributed mean — no collect, no UDF."""
+    This is the distributed mean — no collect, no UDF.  Oracle-checked as
+    the 'mean' leg of ``vector_ops_suite`` since the r8 window
+    rotation."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias("pos", "v"))
@@ -864,6 +844,61 @@ def vector_mean_by_label(spark, sf_dir):
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("mean_val"))
     )
+
+
+@register(
+    "vector_ops_suite",
+    f"""
+    SELECT 'array' AS kind, vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
+           len(embedding) AS dim,
+           ROUND(embedding[1]::DOUBLE, 6) AS first_val,
+           ROUND(list_max(embedding)::DOUBLE, 6) AS max_val,
+           ROUND(list_min(embedding)::DOUBLE, 6) AS min_val,
+           ROUND(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head_sum,
+           list_contains(list_transform(embedding, x -> x > 0.2), true) AS any_big,
+           ROUND(sqrt(list_dot_product({_UNIT_SQL}, {_UNIT_SQL})), 4) AS unit_nrm,
+           CAST(NULL AS DOUBLE) AS mean_val
+    FROM embeddings
+    UNION ALL
+    SELECT 'mean', CAST(NULL AS BIGINT), label,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS DOUBLE),
+           ROUND(AVG(embedding[i]::DOUBLE), 6)
+    FROM embeddings, range(1, 9) t(i)
+    GROUP BY label, i
+    """,
+)
+def vector_ops_suite(spark, sf_dir):
+    """B6 vector algebra, per-row array-kernel leg + per-label distributed
+    centroid leg tagged by kind (merged vector_array_suite +
+    vector_mean_by_label in the r8 window rotation; the originals remain
+    module functions)."""
+    arr = vector_array_suite(spark, sf_dir).select(
+        F.lit("array").alias("kind"),
+        "vec_id", "label", "l2", "self_dot",
+        F.col("dim").cast("long").alias("dim"),
+        "first_val", "max_val", "min_val", "head_sum", "any_big", "unit_nrm",
+        F.lit(None).cast("double").alias("mean_val"),
+    )
+    mean = vector_mean_by_label(spark, sf_dir).select(
+        F.lit("mean").alias("kind"),
+        F.lit(None).cast("long").alias("vec_id"),
+        "label",
+        F.lit(None).cast("double").alias("l2"),
+        F.lit(None).cast("double").alias("self_dot"),
+        F.col("dim").cast("long").alias("dim"),
+        F.lit(None).cast("double").alias("first_val"),
+        F.lit(None).cast("double").alias("max_val"),
+        F.lit(None).cast("double").alias("min_val"),
+        F.lit(None).cast("double").alias("head_sum"),
+        F.lit(None).cast("boolean").alias("any_big"),
+        F.lit(None).cast("double").alias("unit_nrm"),
+        "mean_val",
+    )
+    return arr.unionByName(mean)
 
 
 # ---------------------------------------------------------------------------
@@ -1002,18 +1037,10 @@ def exact_dedup_keeper(spark, sf_dir):
     )
 
 
-@register(
-    "result_clean_dedup",
-    """
-    SELECT MIN(doc_id) AS vec_id, text
-    FROM documents
-    WHERE doc_id < 200 AND text IS NOT NULL AND text != ''
-    GROUP BY text
-    """,
-)
 def result_clean_dedup(spark, sf_dir):
     """A13 port: null/empty filter + exact text dedup + projection via
-    operators.rag.clean_hits."""
+    operators.rag.clean_hits.  Oracle-checked as the 'clean' leg of
+    ``rag_pipeline_suite`` since the r8 window rotation."""
     from .operators.rag import clean_hits
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -1273,10 +1300,30 @@ QUERIES["pipeline_embed_search"] = pipeline_embed_search
 # ---------------------------------------------------------------------------
 
 
+def rag_context(spark, sf_dir):
+    """A14: '[id] text' blocks joined by blank lines, fallback string on
+    empty input (main.py:98-104).  Oracle-checked as the 'context' leg
+    of ``rag_pipeline_suite`` since the r8 window rotation."""
+    from .operators.rag import assemble_context, clean_hits
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 8)
+    hits = clean_hits(d.select(F.col("doc_id").alias("vec_id"), "text"))
+    return assemble_context(hits)
+
+
 @register(
-    "rag_context",
+    "rag_pipeline_suite",
     """
-    SELECT CASE WHEN ctx = '' THEN 'No relevant context found.' ELSE ctx END AS context
+    SELECT 'clean' AS kind, vec_id, text, CAST(NULL AS VARCHAR) AS context
+    FROM (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS vec_id, text
+      FROM documents
+      WHERE doc_id < 200 AND text IS NOT NULL AND text != ''
+      GROUP BY text
+    )
+    UNION ALL
+    SELECT 'context', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CASE WHEN ctx = '' THEN 'No relevant context found.' ELSE ctx END
     FROM (
       SELECT COALESCE(string_agg('[' || vec_id || '] ' || text, chr(10) || chr(10) ORDER BY vec_id), '') AS ctx
       FROM (SELECT MIN(doc_id) AS vec_id, text
@@ -1285,14 +1332,23 @@ QUERIES["pipeline_embed_search"] = pipeline_embed_search
     )
     """,
 )
-def rag_context(spark, sf_dir):
-    """A14: '[id] text' blocks joined by blank lines, fallback string on
-    empty input (main.py:98-104)."""
-    from .operators.rag import assemble_context, clean_hits
-
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 8)
-    hits = clean_hits(d.select(F.col("doc_id").alias("vec_id"), "text"))
-    return assemble_context(hits)
+def rag_pipeline_suite(spark, sf_dir):
+    """A13 + A14 RAG stages, hit-cleaning + context-assembly legs tagged
+    by kind (merged result_clean_dedup + rag_context in the r8 window
+    rotation; the originals remain module functions)."""
+    clean = result_clean_dedup(spark, sf_dir).select(
+        F.lit("clean").alias("kind"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "text",
+        F.lit(None).cast("string").alias("context"),
+    )
+    ctx = rag_context(spark, sf_dir).select(
+        F.lit("context").alias("kind"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("string").alias("text"),
+        "context",
+    )
+    return clean.unionByName(ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -1945,6 +2001,61 @@ def batch_search_endpoint(spark, sf_dir):
     )
 
 
+@register(
+    "batch_endpoint_brute",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 6
+    ),
+    allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 6) AS score
+      FROM embeddings e
+      JOIN allowed a ON a.doc_id = e.vec_id
+      CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT r.query_id, r.vec_id, d.lang, d.source, r.score,
+           CAST(r.rank AS INTEGER) AS rank
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.rank <= 5
+    ORDER BY r.query_id, r.rank
+    """,
+)
+def batch_endpoint_brute(spark, sf_dir):
+    """A10 serving facade, oracle leg (r8 — the r7 composite
+    ``batch_search_endpoint`` spans all six index kinds and is rows-only
+    by construction; this leg isolates the facade's exactly-checkable
+    spine): 6 stored query vectors through the brute-corpus path of
+    ``similarity_search_batch`` WITH a metadata filter — exact lang
+    prefilter, one broadcast cosine top-k join, payload fetch that never
+    rescans the corpus, dense per-query ranks.  The oracle re-derives
+    prefilter, scores, ranks, and payload join
+    (/root/reference/src/databricks/query_endpoint.py:122-150 is the
+    reference's per-query loop over the same response shape)."""
+    from .operators.serving import similarity_search_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity_search_batch(
+        spark, e, docs, ["lang", "source"], queries,
+        num_results=5, filters={"lang": "en"},
+    ).orderBy("query_id", "rank")
+
+
 @register("filtered_vector_search")
 def filtered_vector_search(spark, sf_dir):
     """B7/B14 extension — the reference client's similarity_search
@@ -2041,26 +2152,11 @@ QUERIES["stateful_user_stats"] = stateful_user_stats
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "shipping_priority",
-    f"""
-    SELECT l.l_orderkey,
-           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           o.o_orderdate
-    FROM customer c
-    JOIN orders o  ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-01-01'
-      AND l.l_shipdate > TIMESTAMP '1998-01-01'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l.l_orderkey
-    LIMIT 10
-    """,
-)
 def shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.
-    Customer is broadcast; only lineitem/orders shuffle."""
+    Customer is broadcast; only lineitem/orders shuffle.  Oracle-checked
+    as the 'q3' leg of ``tpch_report_suite`` since the r8 window
+    rotation."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
@@ -2083,24 +2179,10 @@ def shipping_priority(spark, sf_dir):
     )
 
 
-@register(
-    "local_supplier_volume",
-    f"""
-    SELECT n.n_name AS nation,
-           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-    GROUP BY nation
-    """,
-)
 def local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-table star join with a same-nation theta condition;
-    all dims broadcast, single fact shuffle."""
+    all dims broadcast, single fact shuffle.  Oracle-checked as the 'q5'
+    leg of ``tpch_report_suite`` since the r8 window rotation."""
     t = {n: load_table(spark, sf_dir, n)
          for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     o = t["orders"].where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -2122,6 +2204,61 @@ def local_supplier_volume(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_report_suite",
+    """
+    SELECT 'q3' AS kind, CAST(l_orderkey AS VARCHAR) AS grp, revenue, o_orderdate
+    FROM (
+      SELECT l.l_orderkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             o.o_orderdate
+      FROM customer c
+      JOIN orders o  ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, l.l_orderkey
+      LIMIT 10
+    )
+    UNION ALL
+    SELECT 'q5', nation, revenue, CAST(NULL AS TIMESTAMP)
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY nation
+    )
+    """,
+)
+def tpch_report_suite(spark, sf_dir):
+    """TPC-H report shapes, Q3 + Q5 legs tagged by kind (merged r1
+    queries shipping_priority + local_supplier_volume in the r8 window
+    rotation; the originals remain module functions for the bench).
+    Both legs keep their full join trees — only the output is reshaped
+    into the shared (kind, grp, revenue, o_orderdate) schema."""
+    q3 = shipping_priority(spark, sf_dir).select(
+        F.lit("q3").alias("kind"),
+        F.col("l_orderkey").cast("string").alias("grp"),
+        "revenue",
+        "o_orderdate",
+    )
+    q5 = local_supplier_volume(spark, sf_dir).select(
+        F.lit("q5").alias("kind"),
+        F.col("nation").alias("grp"),
+        "revenue",
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    return q3.unionByName(q5)
 
 
 # ---------------------------------------------------------------------------
@@ -3155,13 +3292,14 @@ _MINHASH_PORTABLE_ORACLE = """
 """
 
 
-@register("minhash_near_dup_portable", _MINHASH_PORTABLE_ORACLE)
 def minhash_near_dup_portable(spark, sf_dir):
     """B10-minhash, oracle-exact variant: polynomial shingle hash + affine
     hash family (pure integer arithmetic) so the ENTIRE pipeline —
     shingling, signatures, banding, candidate join, Jaccard verification —
     is reproduced bit-for-bit by the DuckDB oracle.  The xxhash64 variant
-    (minhash_near_dup) remains the faster engine default."""
+    (minhash_near_dup) remains the faster engine default.  Oracle-checked
+    as the 'minhash' leg of ``sketch_near_dup_suite`` since the r8 window
+    rotation."""
     from .operators.dedup import minhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -3317,16 +3455,44 @@ _SIMHASH_PORTABLE_ORACLE = """
 """
 
 
-@register("simhash_near_dup_portable", _SIMHASH_PORTABLE_ORACLE)
 def simhash_near_dup_portable(spark, sf_dir):
     """B10-simhash, oracle-exact: 31-bit simhash over the portable token
     hash, pigeonhole-blocked candidate join, full hamming verify — the
-    oracle recomputes fingerprints, blocks, and distances bit-for-bit."""
+    oracle recomputes fingerprints, blocks, and distances bit-for-bit.
+    Oracle-checked as the 'simhash' leg of ``sketch_near_dup_suite``
+    since the r8 window rotation."""
     from .operators.dedup import simhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
     out = simhash_near_dup_pairs(d, max_hamming=3, bits=31, blocks=4, portable=True)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "sketch_near_dup_suite",
+    f"""
+    SELECT 'minhash' AS kind, id_a, id_b, jaccard, CAST(NULL AS INTEGER) AS hamming
+    FROM ({_MINHASH_PORTABLE_ORACLE})
+    UNION ALL
+    SELECT 'simhash', id_a, id_b, CAST(NULL AS DOUBLE), hamming
+    FROM ({_SIMHASH_PORTABLE_ORACLE})
+    """,
+)
+def sketch_near_dup_suite(spark, sf_dir):
+    """B10 sketch-blocked near-dup, MinHash-LSH + SimHash-pigeonhole legs
+    tagged by kind (merged minhash_near_dup_portable +
+    simhash_near_dup_portable in the r8 window rotation) — both portable
+    hash families, so the oracle reproduces shingles, signatures, bands/
+    blocks, candidate joins, and verification bit-for-bit."""
+    mh = minhash_near_dup_portable(spark, sf_dir).select(
+        F.lit("minhash").alias("kind"), "id_a", "id_b", "jaccard",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh = simhash_near_dup_portable(spark, sf_dir).select(
+        F.lit("simhash").alias("kind"), "id_a", "id_b",
+        F.lit(None).cast("double").alias("jaccard"), "hamming",
+    )
+    return mh.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------
@@ -4105,7 +4271,6 @@ FROM perdoc
 """
 
 
-@register("repetition_signals", _REPETITION_SIGNALS_ORACLE)
 def repetition_signals_q(spark, sf_dir):
     """Gopher/RefinedWeb repetition + shape signal profile of the corpus
     (operators/text.py::repetition_signals).  Deterministic degenerate text
@@ -4118,7 +4283,8 @@ def repetition_signals_q(spark, sf_dir):
     (including the position-marking duplicated-n-gram coverage); also
     value-compared against an independent pure-Python reference in
     tests/test_rows_only_compares.py, with hand-computed unit values in
-    tests/test_text_hygiene.py."""
+    tests/test_text_hygiene.py.  Oracle-checked as the 'signals' leg of
+    ``corpus_hygiene_suite`` since the r8 window rotation."""
     from .operators.text import repetition_signals
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
@@ -4160,9 +4326,7 @@ def repetition_signals_q(spark, sf_dir):
     )
 
 
-@register(
-    "temperature_mixture",
-    """
+_TEMPERATURE_MIXTURE_ORACLE = """
     WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
     t AS (SELECT SUM(n) AS tot FROM c),
     p AS (SELECT lang, n, n / tot AS share, pow(n / tot, 0.3) AS pw FROM c, t),
@@ -4176,8 +4340,9 @@ def repetition_signals_q(spark, sf_dir):
            FLOOR(wt * nfeas)::BIGINT AS n_sampled
     FROM w, nf
     ORDER BY lang
-    """,
-)
+    """
+
+
 def temperature_mixture_q(spark, sf_dir):
     """Temperature-flattened language mixture (operators/packing.py::
     temperature_mixture_weights/_sample, the XLM-R/mT5 alpha-power
@@ -4185,7 +4350,9 @@ def temperature_mixture_q(spark, sf_dir):
     de) is re-weighted at alpha=0.3 and the corpus downsampled to the
     largest feasible flattened mixture.  Output per lang: count, natural
     share, temperature weight, sampled count.  Driver-checked against the
-    closed-form DuckDB recomputation since the r6 window rotation."""
+    closed-form DuckDB recomputation since the r6 window rotation;
+    oracle-checked as the 'temperature' leg of ``mixture_suite`` since
+    the r8 rotation."""
     from .operators.packing import (
         temperature_mixture_sample,
         temperature_mixture_weights,
@@ -4334,7 +4501,6 @@ SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source
 """
 
 
-@register("url_blocklist_filter", _URL_FILTER_ORACLE)
 def url_blocklist_filter_q(spark, sf_dir):
     """Hygiene: C4/RefinedWeb-style URL blocklist filtering
     (operators/text.py::url_filter).  Documents get deterministic pseudo
@@ -4368,6 +4534,49 @@ def url_blocklist_filter_q(spark, sf_dir):
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source")
     )
+
+
+_HYGIENE_SIGNAL_COLS = (
+    "n_docs", "n_would_drop", "avg_dup_line_frac", "avg_dup_para_frac",
+    "avg_top_2gram_char_frac", "avg_dup_5gram_char_frac",
+    "avg_dup_10gram_char_frac", "avg_alpha_word_frac",
+    "max_symbol_word_ratio",
+)
+
+
+@register(
+    "corpus_hygiene_suite",
+    f"""
+    SELECT 'signals' AS kind, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_kept, {", ".join(_HYGIENE_SIGNAL_COLS)}
+    FROM ({_REPETITION_SIGNALS_ORACLE})
+    UNION ALL
+    SELECT 'url', source, n_kept,
+           {", ".join("CAST(NULL AS " + ("BIGINT" if c.startswith("n_") else "DOUBLE") + ")" for c in _HYGIENE_SIGNAL_COLS)}
+    FROM ({_URL_FILTER_ORACLE})
+    """,
+)
+def corpus_hygiene_suite(spark, sf_dir):
+    """B12 corpus hygiene, Gopher-repetition-signal + URL-blocklist legs
+    tagged by kind (merged repetition_signals + url_blocklist_filter in
+    the r8 window rotation; the originals remain module functions with
+    their python/DuckDB re-derivations in pytest)."""
+    sig = repetition_signals_q(spark, sf_dir).select(
+        F.lit("signals").alias("kind"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_kept"),
+        *_HYGIENE_SIGNAL_COLS,
+    )
+    url = url_blocklist_filter_q(spark, sf_dir).select(
+        F.lit("url").alias("kind"),
+        "source",
+        "n_kept",
+        *[
+            F.lit(None).cast("long" if c.startswith("n_") else "double").alias(c)
+            for c in _HYGIENE_SIGNAL_COLS
+        ],
+    )
+    return sig.unionByName(url)
 
 
 @register("wet_crawl_ingest")
@@ -4652,7 +4861,6 @@ FROM kept GROUP BY source
 """
 
 
-@register("token_budget_mixture", _TOKEN_BUDGET_ORACLE)
 def token_budget_mixture_q(spark, sf_dir):
     """Domain mixture measured in TOKENS (operators/packing.py::
     token_budget_mixture_sample): largest feasible token budget computed
@@ -4675,6 +4883,47 @@ def token_budget_mixture_q(spark, sf_dir):
         F.sum("n_tokens").alias("kept_tokens"),
         F.max("cum_tokens").alias("max_cum_tokens"),
     )
+
+
+@register(
+    "mixture_suite",
+    f"""
+    SELECT 'temperature' AS kind, lang AS grp, n_docs, natural_share, weight,
+           n_sampled, CAST(NULL AS BIGINT) AS kept_tokens,
+           CAST(NULL AS BIGINT) AS max_cum_tokens
+    FROM ({_TEMPERATURE_MIXTURE_ORACLE})
+    UNION ALL
+    SELECT 'token_budget', source, n_docs, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), kept_tokens,
+           max_cum_tokens
+    FROM ({_TOKEN_BUDGET_ORACLE})
+    """,
+)
+def mixture_suite(spark, sf_dir):
+    """Training-mixture construction, temperature-flattened (doc-count)
+    + token-budget (token-count) legs tagged by kind (merged
+    temperature_mixture + token_budget_mixture in the r8 window
+    rotation; the originals remain module functions)."""
+    temp = temperature_mixture_q(spark, sf_dir).select(
+        F.lit("temperature").alias("kind"),
+        F.col("lang").alias("grp"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "natural_share", "weight",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.lit(None).cast("long").alias("max_cum_tokens"),
+    )
+    tok = token_budget_mixture_q(spark, sf_dir).select(
+        F.lit("token_budget").alias("kind"),
+        F.col("source").alias("grp"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("natural_share"),
+        F.lit(None).cast("double").alias("weight"),
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        F.col("max_cum_tokens").cast("long").alias("max_cum_tokens"),
+    )
+    return temp.unionByName(tok)
 
 
 _PACKED_SEQUENCES_ORACLE = """
@@ -4978,7 +5227,28 @@ def bloom_point_lookup(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
-@register("snapshot_diff_ops")
+@register(
+    "snapshot_diff_ops",
+    """
+    WITH news AS (SELECT doc_id, text, lang FROM documents),
+    olds AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op
+    FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+    ORDER BY doc_id
+    """,
+)
 def snapshot_diff_ops(spark, sf_dir):
     """Snapshot-derived change feed (A6 without a change-tracked source):
     diff two versions of the documents table into the (id, op) rows the
@@ -5053,7 +5323,24 @@ def profile_drift_psi(spark, sf_dir):
     ).orderBy("column")
 
 
-@register("fuzzy_catalog_match")
+@register(
+    "fuzzy_catalog_match",
+    """
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+             substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS dirty_name
+      FROM part WHERE p_partkey % 7 = 0
+    ), catalog AS (
+      SELECT p_name, MIN(p_partkey) AS catalog_id FROM part GROUP BY p_name
+    )
+    SELECT dirty_id, dirty_name, catalog_id, p_name AS catalog_name,
+           CAST(levenshtein(dirty_name, p_name) AS INT) AS dist
+    FROM dirty, catalog
+    WHERE levenshtein(dirty_name, p_name) <= 1
+    ORDER BY dirty_id, catalog_id
+    """,
+)
 def fuzzy_catalog_match(spark, sf_dir):
     """Entity resolution: reconcile typo'd part names against the clean
     catalog with a SymSpell-style deletion-neighborhood fuzzy join
@@ -5114,7 +5401,51 @@ def fuzzy_name_dedup(spark, sf_dir):
     return out.orderBy("name_id")
 
 
-@register("pagerank_centrality")
+def _pagerank_oracle_sql() -> str:
+    """8 power-iteration rounds unrolled as DuckDB CTEs over the same
+    near-dup edge set, components via recursive closure, keeper by
+    (rounded rank desc, node asc) — the static form of the re-derivation
+    previously pytest-only (promoted in the r8 window rotation)."""
+    rounds = []
+    for k in range(8):
+        rounds.append(f"""
+    r{k + 1} AS (
+      SELECT v.node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(i.inflow, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT s.dst AS node, SUM(r.rank / d.deg) AS inflow
+        FROM sym s JOIN r{k} r ON r.node = s.src JOIN deg d ON d.src = s.src
+        GROUP BY s.dst
+      ) i ON i.node = v.node
+    )""")
+    return f"""
+    WITH RECURSIVE edges AS ({_NEAR_DUP_EDGES_SQL}),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT src AS node FROM sym),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+    {",".join(rounds)},
+    ranked AS (SELECT node, ROUND(rank, 6) AS rank FROM r8),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT c.node, c.component, k.rank,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.component ORDER BY k.rank DESC, c.node
+           ) = 1 AS is_keeper
+    FROM comp c JOIN ranked k ON k.node = c.node
+    ORDER BY c.node
+    """
+
+
+@register("pagerank_centrality", _pagerank_oracle_sql())
 def pagerank_centrality(spark, sf_dir):
     """Centrality-weighted dedup keepers: PageRank (8 power iterations,
     damping 0.85) over the SAME exact cosine>=0.4 near-dup pair graph the
@@ -5155,7 +5486,41 @@ def pca_reduced_search_q(spark, sf_dir):
     )
 
 
-@register("binary_quant_search")
+@register(
+    "binary_quant_search",
+    """
+    WITH un AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT i, AVG(e) AS mu FROM un GROUP BY i
+    ), bits AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN e - mu > 0 THEN
+                 CASE WHEN i = 64 THEN -9223372036854775807 - 1
+                      ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                 ELSE 0 END) AS BIGINT) AS w
+      FROM un JOIN m USING (i) GROUP BY vec_id
+    ), qv AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT b.vec_id
+      FROM bits b
+      ORDER BY bit_count(xor(b.w, (SELECT w FROM bits WHERE vec_id = 0))),
+               b.vec_id
+      LIMIT 100
+    )
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], (SELECT q FROM qv)) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product((SELECT q FROM qv), (SELECT q FROM qv)))), 6
+           ) AS score
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
 def binary_quant_search(spark, sf_dir):
     """Binary-quantization ANN rung: sign-vs-mean bits packed 64/long
     (codegen, no UDF), Hamming-ranked candidates via
@@ -5208,7 +5573,23 @@ def embedding_drift_psi(spark, sf_dir):
     ).orderBy("column")
 
 
-@register("incremental_agg_view")
+@register(
+    "incremental_agg_view",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS rid, o_orderstatus AS g,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ), news AS (
+      SELECT rid, g, CASE WHEN rid % 7 = 0 THEN v + 1 ELSE v END AS v
+      FROM base WHERE rid % 13 <> 0
+      UNION ALL
+      SELECT rid + 10000000, g, v FROM base WHERE rid % 17 = 0
+    )
+    SELECT g, COUNT(*)::BIGINT AS n, CAST(SUM(v) AS DOUBLE) AS total
+    FROM news GROUP BY g ORDER BY g
+    """,
+)
 def incremental_agg_view(spark, sf_dir):
     """Materialized-aggregate maintenance: orders churned in-plan
     (deletes % 13, +1 price bumps % 7, re-keyed inserts % 17), the
