@@ -92,6 +92,10 @@ HEADLINE = [
     "incremental_agg_view",     # r7 materialized-view maintenance: delta
     #   refresh of the per-status rollup from a snapshot diff — reads only
     #   the churned rows
+    "streaming_agg_view",       # r8: the maintenance loop's streaming twin —
+    #   bootstrap + change-feed drain through foreachBatch (measures the
+    #   whole micro-batch cycle incl. checkpoint I/O, the cost the batch
+    #   incremental_agg_view entry does not see)
 ]
 
 
