@@ -33,14 +33,14 @@ NAMES = [
     "join_size_preflight",
     "media_metadata_probe",
     "bloom_decontamination",
-    "repetition_signals",
+    "repetition_signals_q",
     "paragraph_dedup",
-    "url_blocklist_filter",
+    "url_blocklist_filter_q",
     "crawl_corpus",
     "dsir_selection",
     "semantic_dedup",
     "packed_sequences",
-    "token_budget_mixture",
+    "token_budget_mixture_q",
     "manifest_pruned_scan",
     "filtered_vector_search",
     "exact_substring_dedup",
@@ -50,6 +50,9 @@ NAMES = [
     "binary_quant_search",
     "pca_reduced_search",
     "incremental_agg_view",
+    "batch_endpoint_brute",
+    "maxsim_search",
+    "maxsim_search_pruned",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -111,7 +111,17 @@ def decode_media_stub(payload: bytes):  # pragma: no cover - intentional stub
     ISO BMFF box walk; ``functions.avi``: RIFF/idx1 walk), uncompressed
     DIB AVI frames DECODE for real (``functions.avi.decode_avi_frame``),
     and images decode for real in every supported container — see
-    ``decode_bmp`` / ``decode_png`` / ``functions.jpeg.decode_jpeg``."""
+    ``decode_bmp`` / ``decode_png`` / ``functions.jpeg.decode_jpeg``.
+
+    PERMANENT SCOPE (decided r8): MP3 Layer-III sample decode is a
+    psychoacoustic codec (scalefactor-band Huffman tables, hybrid
+    MDCT/polyphase synthesis) and MP4 samples are whatever codec the
+    track declares (almost always AAC/H.264) — thousands of lines of
+    codec work with no retrieval-engine semantics to test, in an
+    environment that forbids installing ffmpeg-class libraries.  The
+    engine's contract is the Spark-side plumbing (schema, partitioning,
+    batch shape, bad-asset honesty), which is real and tested; sample
+    decode stays behind this stub by design, not as debt."""
     raise NotImplementedError(
         "MP3/MP4 sample / compressed-AVI frame decode requires ffmpeg-class "
         "codecs — not installed; metadata probing is real "

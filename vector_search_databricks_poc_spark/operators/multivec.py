@@ -1,0 +1,271 @@
+"""Multi-vector (late-interaction) similarity search — ColBERT-style MaxSim.
+
+Single-vector retrieval compresses a document to one point; late
+interaction (Khattab & Zaharia 2020, ColBERT; Santhanam et al. 2022,
+ColBERTv2) keeps one vector PER TOKEN and scores
+
+    MaxSim(q, d) = sum over query tokens i of max over doc tokens j of
+                   dot(q_i, d_j)
+
+so a query token can match its best counterpart anywhere in the
+document.  The reference's endpoint is single-vector
+(/root/reference/src/databricks/query_endpoint.py:122-150); this module
+is part of the mandated similarity-search extension surface
+(SURVEY.md §2B-7) — the retrieval shape token-level rerankers and
+modern RAG stacks actually run.
+
+Spark-first shape:
+
+- Token vectors are pure Catalyst expressions: per token, a signed
+  feature-hash fold over its character 3-grams (the per-token twin of
+  functions.embedding.hashing_embedding; ``portable=True`` swaps in the
+  polynomial hash so DuckDB recomputes every vector bit-for-bit).  A
+  document column becomes ``array<array<float>>`` — no UDF, no Python.
+- MaxSim against a query literal is one nested HOF expression; top-k is
+  a TakeOrderedAndProject (no shuffle).
+- The scale path mirrors ColBERT's retrieve-then-rerank: explode the
+  corpus ONCE into a (doc_id, token_pos, token_vec) table — the "token
+  index", persistable and indexable by the existing ANN rungs — take
+  each query token's top-m nearest token vectors (stage 1), gather the
+  candidate doc ids, and exact-MaxSim only those documents (stage 2).
+  Stage 1 over the flat token table is exactly the engine's existing
+  top-k problem, so IVF/graph/binary rungs apply to it unchanged at
+  100 TB; the brute stage-1 here is the oracle-checkable baseline.
+
+Empty or null documents score NULL (no token can match anything —
+the same poisoned-row honesty as a NULL embedding in the single-vector
+path); callers filter them like any other null score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import vectors as V
+
+__all__ = [
+    "token_vector_expr",
+    "multi_vector_expr",
+    "py_multi_vector",
+    "maxsim_expr",
+    "maxsim_topk",
+    "build_token_table",
+    "maxsim_topk_pruned",
+]
+
+_P = 2_147_483_647  # the portable polynomial hash modulus (2^31 - 1)
+
+
+def py_multi_vector(
+    text: str, dim: int = 16, max_tokens: int = 32, ngram: int = 3
+) -> list[list[float]]:
+    """Driver-side query encoder: the PORTABLE token-vector construction
+    mirrored in pure Python, operation for operation (char n-grams,
+    polynomial hash, signed bucket fold, L2 norm), so a query string
+    becomes plan literals with NO Spark action — declared queries using
+    it stay lazy — and bit-for-bit the values the corpus expression (and
+    the DuckDB oracle) produce: the integer hash is exact and the float
+    fold performs the same IEEE-double ops in the same order.  ASCII
+    query strings only (corpus text never passes through here)."""
+    import math
+
+    out: list[list[float]] = []
+    toks = [t for t in text.lower().split() if t][:max_tokens]
+    for tok in toks:
+        grams = (
+            [tok]
+            if len(tok) < ngram
+            else [tok[i : i + ngram] for i in range(len(tok) - ngram + 1)]
+        )
+        hs = []
+        for g in grams:
+            acc = 0
+            for ch in g:
+                acc = (acc * 131 + ord(ch)) % _P
+            hs.append(acc)
+        vec = [0.0] * dim
+        for h in hs:
+            vec[h % dim] += 1.0 if (h >> 15) & 1 else -1.0
+        norm = math.sqrt(sum(x * x for x in vec))
+        if norm != 0:
+            vec = [x / norm for x in vec]
+        out.append(vec)
+    return out
+
+
+def _char_ngrams(tok: Column, n: int = 3) -> Column:
+    """Character n-grams of one token (the whole token when shorter)."""
+    return F.when(F.length(tok) < n, F.array(tok)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok) - n + 1),
+            lambda i: tok.substr(i, F.lit(n)),
+        )
+    )
+
+
+def token_vector_expr(
+    tok: Column, dim: int = 16, portable: bool = False, ngram: int = 3
+) -> Column:
+    """One token's embedding: signed feature-hash fold of its character
+    ``ngram``-grams into ``dim`` buckets, L2-normalized — pure
+    expressions, the per-token twin of ``hashing_embedding`` (which
+    folds whole-word hashes; words are too sparse a unit when every
+    token gets its own vector)."""
+    grams = _char_ngrams(tok, ngram)
+    if portable:
+        from .dedup import portable_string_hash
+
+        h = F.transform(grams, lambda g: portable_string_hash(g))
+        sign_bit = 15
+    else:
+        h = F.transform(grams, lambda g: F.xxhash64(g))
+        sign_bit = 62
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            h,
+            F.lit(0.0),
+            lambda acc, hv: acc
+            + F.when(
+                F.pmod(hv, F.lit(dim)) == d,
+                F.when(
+                    F.shiftright(hv, sign_bit).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0),
+            ).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm != 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
+
+
+def multi_vector_expr(
+    text: Column | str,
+    dim: int = 16,
+    max_tokens: int = 32,
+    portable: bool = False,
+) -> Column:
+    """``array<array<double>>`` of per-token vectors for the first
+    ``max_tokens`` whitespace tokens of ``text`` (the ColBERT doc-length
+    cap).  NULL text or a token-free string yields NULL, not an empty
+    array — same null-honesty contract as ``hashing_embedding``."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.slice(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != ""),
+        1,
+        max_tokens,
+    )
+    mv = F.transform(toks, lambda t: token_vector_expr(t, dim, portable))
+    return F.when(c.isNotNull() & (F.size(toks) > 0), mv)
+
+
+def maxsim_expr(doc_vecs: Column | str, query_vectors: list) -> Column:
+    """MaxSim of one document's token vectors against a query-token
+    literal: sum over query tokens of the max dot against any doc
+    token.  One nested HOF expression; NULL doc vecs propagate NULL."""
+    dv = F.col(doc_vecs) if isinstance(doc_vecs, str) else doc_vecs
+    q = F.lit([[float(x) for x in qv] for qv in query_vectors])
+    return F.aggregate(
+        q,
+        F.lit(0.0).cast("double"),
+        lambda acc, qv: acc
+        + F.array_max(F.transform(dv, lambda tv: V.dot(tv, qv))),
+    )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    query_vectors: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact MaxSim top-k: one corpus scan, per-row nested-HOF score,
+    TakeOrderedAndProject (no shuffle).  Output ``id_col, score`` desc,
+    ties on id; NULL-vector rows drop (they cannot score)."""
+    s = maxsim_expr(vecs_col, query_vectors)
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    return (
+        corpus.select(F.col(id_col), s.alias("score"))
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_token_table(
+    corpus: DataFrame, id_col: str = "doc_id", vecs_col: str = "token_vecs"
+) -> DataFrame:
+    """The flat (doc_id, token_pos, token_vec) "token index" — exploded
+    ONCE, persistable, and exactly the row shape the engine's ANN rungs
+    (IVF/graph/binary) index for stage-1 retrieval at scale."""
+    return corpus.select(
+        F.col(id_col), F.posexplode(vecs_col).alias("token_pos", "token_vec")
+    )
+
+
+def maxsim_topk_pruned(
+    corpus: DataFrame,
+    query_vectors: list,
+    k: int = 10,
+    m: int = 32,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+    token_table: DataFrame | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """ColBERT retrieve-then-rerank: stage 1 takes, per query token, the
+    top-``m`` DOCUMENTS by their best token dot from the token table
+    (per-(query-token, doc) max — the map-side-combining aggregate — then
+    one window per query token), stage 2 exact-MaxSims only the gathered
+    candidates.  Doc-level ranking (not raw token ranking) so a document
+    spends at most one candidate slot per query token however many of
+    its tokens match.  Wide ``m`` == exact (every true top-k doc ranks
+    <= m for its own best token once m covers it); narrow ``m`` trades
+    recall for a stage 2 bounded by ``k_q x m`` docs — measured, not
+    assumed (tests/test_multivec.py).
+
+    ``token_table`` accepts a pre-built/persisted table (the 100 TB
+    shape: build once, index token vectors with an ANN rung, reuse per
+    query batch); by default it is derived in-plan.  The per-query-token
+    top-m is SALTED two-level (local top-m per (qtoken, salt), global
+    top-m over the <= 64*m survivors): a flat window over k_q partitions
+    would funnel the whole corpus's doc rows into k_q reducers — the
+    classic low-cardinality window skew.  Shuffle budget: the
+    per-(qtoken, doc) max aggregate + the two windows (the second over
+    m-bounded rows) + the broadcast candidate semi-join; stage 2 is a
+    candidate-sized scan with the same TakeOrdered finish as the exact
+    path."""
+    tt = token_table if token_table is not None else build_token_table(
+        corpus, id_col, vecs_col
+    )
+    q = F.lit([[float(x) for x in qv] for qv in query_vectors])
+    scored = tt.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(q, lambda qv: V.dot(F.col("token_vec"), qv))
+        ).alias("_qi", "_dot"),
+    )
+    best = scored.groupBy("_qi", id_col).agg(F.max("_dot").alias("_dot"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+    w1 = Window.partitionBy("_qi", "_salt").orderBy(
+        F.desc("_dot"), F.col(id_col)
+    )
+    local = (
+        best.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= m)
+    )
+    w2 = Window.partitionBy("_qi").orderBy(F.desc("_dot"), F.col(id_col))
+    cands = (
+        local.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= m)
+        .select(id_col)
+        .distinct()
+    )
+    pruned = corpus.join(F.broadcast(cands), id_col, "left_semi")
+    return maxsim_topk(
+        pruned, query_vectors, k, id_col, vecs_col, score_decimals
+    )

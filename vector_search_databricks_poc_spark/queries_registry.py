@@ -4996,6 +4996,61 @@ def packed_sequences_q(spark, sf_dir):
     )
 
 
+_MAXSIM_QUERY_TEXT = "fast hash join query over the part table"
+
+
+@register("maxsim_search")
+def maxsim_search(spark, sf_dir):
+    """Multi-vector late-interaction search (r8 — operators/multivec.py,
+    the ColBERT MaxSim retrieval shape): every document becomes an array
+    of per-token char-3-gram signed-hash vectors (portable construction,
+    pure expressions), the query string is encoded driver-side by the
+    bit-identical pure-Python twin (so the builder stays LAZY), and the
+    score is sum-over-query-tokens of max-dot-over-doc-tokens with a
+    TakeOrderedAndProject top-10.  Rows-only: full DuckDB re-derivation
+    of tokens, hashes, vectors, MaxSim, and ranking in
+    tests/test_multivec.py; the retrieve-then-rerank scale path (token
+    table + per-query-token top-m prune) is equivalence- and
+    recall-tested there too."""
+    from .operators.multivec import (
+        maxsim_topk,
+        multi_vector_expr,
+        py_multi_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn(
+        "token_vecs",
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
+    )
+    q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
+    return maxsim_topk(corpus, q, k=10)
+
+
+@register("maxsim_search_pruned")
+def maxsim_search_pruned(spark, sf_dir):
+    """The scale path of ``maxsim_search``: ColBERT retrieve-then-rerank —
+    stage 1 gathers each query token's top-32 corpus tokens from the
+    flat (doc, token_pos, token_vec) table, stage 2 exact-MaxSims only
+    the candidate documents.  The token table is the row shape the
+    engine's ANN rungs index at 100 TB (the brute stage 1 here is the
+    oracle-checkable baseline).  Rows-only; pruned==exact at wide m and
+    the recall floor at narrow m asserted in tests/test_multivec.py."""
+    from .operators.multivec import (
+        maxsim_topk_pruned,
+        multi_vector_expr,
+        py_multi_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn(
+        "token_vecs",
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
+    )
+    q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
+    return maxsim_topk_pruned(corpus, q, k=10, m=32)
+
+
 @register("semantic_dedup")
 def semantic_dedup_q(spark, sf_dir):
     """Cluster-scoped semantic dedup: SemDeDup (Abbas et al. 2023 —
