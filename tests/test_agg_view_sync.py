@@ -112,3 +112,29 @@ def test_delete_only_batch_and_empty_log(spark, tmp_path):
     _drain(_rows(spark, v1), view, log, ckpt, MEASURES, "delta")
     got = {r["g"]: (r["n"], r["total"]) for r in read_agg_view(spark, view).collect()}
     assert "a" not in got and got["b"] == (1, 5) and got["c"] == (1, 100)
+
+
+def test_stream_view_null_sums_stay_null(spark, tmp_path):
+    """ADVICE r7 follow-through on the streaming twin: a view bootstrapped
+    with null_counts=True keeps SQL NULL sums (all-NULL groups stay NULL,
+    including untouched ones) through stream batches."""
+    view, log, ckpt = (str(tmp_path / n) for n in ("view", "log", "ckpt"))
+    n0 = [(1, "a", None), (2, "a", None), (3, "b", 9), (4, "c", None)]
+    # delete 3's value row (b goes all-NULL... actually b empties), update
+    # 1 to a real value (a gains its first non-null), c untouched all-NULL
+    n1 = [(1, "a", 42), (2, "a", None), (4, "c", None)]
+    w1 = [(1, "update"), (3, "delete")]
+    init_agg_view(
+        spark, view, _rows(spark, n0), ["g"], MEASURES, "rid",
+        null_counts=True,
+    )
+    boot = {r["g"]: r["total"] for r in read_agg_view(spark, view).collect()}
+    assert boot["a"] is None and boot["c"] is None and boot["b"] == 9
+
+    _write_log(spark, log, w1, batch_seq=1)
+    _drain(_rows(spark, n1), view, log, ckpt, MEASURES, "delta")
+    got = _sorted(read_agg_view(spark, view))
+    want = _sorted(group_agg(_rows(spark, n1), ["g"], MEASURES, null_counts=True))
+    assert got == want
+    by_g = {r["g"]: r["total"] for r in read_agg_view(spark, view).collect()}
+    assert by_g["a"] == 42 and by_g["c"] is None and "b" not in by_g

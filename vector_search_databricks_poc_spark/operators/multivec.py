@@ -30,7 +30,10 @@ Spark-first shape:
   candidate doc ids, and exact-MaxSim only those documents (stage 2).
   Stage 1 over the flat token table is exactly the engine's existing
   top-k problem, so IVF/graph/binary rungs apply to it unchanged at
-  100 TB; the brute stage-1 here is the oracle-checkable baseline.
+  100 TB — the chunk-granularity path already ships that composition
+  (pipelines.build_chunk_index + indexed_chunked_search: IVF probe, then
+  exact MaxSim rollup); the brute stage-1 here is the oracle-checkable
+  baseline at token granularity.
 
 Empty or null documents score NULL (no token can match anything —
 the same poisoned-row honesty as a NULL embedding in the single-vector

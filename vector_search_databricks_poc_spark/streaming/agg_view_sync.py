@@ -80,16 +80,24 @@ def init_agg_view(
     keys: list[str],
     measures: dict,
     id_col: str,
+    null_counts: bool = False,
 ) -> None:
     """Bootstrap the view from the current base table: write the
     aggregate state and the bucketed contribution store (the one full
-    scan the view ever pays)."""
+    scan the view ever pays).
+
+    ``null_counts=True`` bootstraps the state with per-sum non-null
+    counts (group_agg's NULL-correct shape, ADVICE r7): the refresh
+    auto-detects the ``__nn`` columns, so a view over nullable measure
+    sources keeps SQL NULL semantics through every stream batch."""
     state_path, contrib_path = _paths(view_dir)
     contrib = base.select(id_col, *keys, *_src_cols(measures)).withColumn(
         "_bucket", _bucket(id_col)
     )
     contrib.write.mode("overwrite").partitionBy("_bucket").parquet(contrib_path)
-    group_agg(base, keys, measures).write.mode("overwrite").parquet(state_path)
+    group_agg(base, keys, measures, null_counts=null_counts).write.mode(
+        "overwrite"
+    ).parquet(state_path)
     _write_marker(spark, state_path, -1)
 
 
