@@ -406,3 +406,64 @@ def test_compressed_rungs_dim_validation(spark, docs, vecs):
         similarity_search(
             spark, idx, docs, "text", query_text="anything", num_results=3, dim=16
         )
+
+
+def test_maxsim_query_type(spark, docs):
+    """query_type='maxsim' (r8): the facade's late-interaction mode ==
+    the multivec operator composed by hand, filters act as an exact
+    prefilter, and the contract errors are loud."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk,
+        multi_vector_expr,
+        py_multi_vector,
+    )
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True).alias(
+            "token_vecs"
+        ),
+    ).localCheckpoint()
+    qt = "fast hash join query over the part table"
+
+    got = similarity_search(
+        spark, corpus, docs, ["lang", "source"],
+        query_text=qt, num_results=5, dim=16, query_type="maxsim",
+    ).collect()
+    want_hits = maxsim_topk(
+        corpus, py_multi_vector(qt, dim=16, max_tokens=32), k=5, id_col="vec_id"
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want_hits
+    ]
+    assert set(got[0].asDict()) == {"vec_id", "lang", "source", "score"}
+
+    # filters = exact prefilter: every hit satisfies the predicate and
+    # k still fills whenever k matches exist
+    filt = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=5, dim=16, query_type="maxsim",
+        filters={"lang": "en"},
+    ).collect()
+    assert len(filt) == 5 and all(r["lang"] == "en" for r in filt)
+
+    # pruned path plugs in via maxsim_m; wide m == exact
+    pruned = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=5, dim=16, query_type="maxsim",
+        maxsim_m=10**6,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in pruned] == [
+        (r["vec_id"], r["score"]) for r in want_hits
+    ]
+
+    with pytest.raises(ValueError, match="needs query_text"):
+        similarity_search(
+            spark, corpus, docs, ["lang"],
+            query_vector=[0.0] * 16, num_results=5, query_type="maxsim",
+        )
+    with pytest.raises(ValueError, match="token-vector corpus"):
+        similarity_search(
+            spark, docs, docs, ["lang"],
+            query_text=qt, num_results=5, query_type="maxsim",
+        )

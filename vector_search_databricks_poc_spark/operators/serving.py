@@ -48,6 +48,8 @@ def similarity_search(
     source: DataFrame | None = None,
     query_type: str = "ann",
     text_col: str = "text",
+    max_tokens: int = 32,
+    maxsim_m: int | None = None,
 ) -> DataFrame:
     """One similarity query, reference call shape.
 
@@ -68,18 +70,60 @@ def similarity_search(
     below k is honest (see operators/filters.py).
 
     ``query_type`` mirrors the endpoint's knob: ``"ann"`` (default,
-    vector-only) or ``"hybrid"`` — BM25 over ``documents[text_col]``
+    vector-only), ``"hybrid"`` — BM25 over ``documents[text_col]``
     fused with the vector leg by reciprocal-rank fusion
     (operators/hybrid.py), requiring ``query_text`` (the lexical leg
-    tokenizes it).  The hybrid vector leg scans the vectors the handle
-    holds (index tables carry them), exact over the corpus — hybrid is
-    a recall-first mode.
+    tokenizes it) — or ``"maxsim"`` (r8) — multi-vector late
+    interaction: ``index`` must be a token-vector corpus DataFrame
+    (id + ``token_vecs`` built with multivec.multi_vector_expr at
+    ``dim``/``max_tokens``), ``query_text`` is encoded driver-side by
+    the bit-identical pure-Python twin (no Spark action), scoring is
+    exact MaxSim (or retrieve-then-rerank when ``maxsim_m`` is set) and
+    ``filters`` become an exact metadata prefilter.  The hybrid vector
+    leg scans the vectors the handle holds (index tables carry them),
+    exact over the corpus — hybrid is a recall-first mode.
     """
     if (query_text is None) == (query_vector is None):
         raise ValueError("pass exactly one of query_text / query_vector")
-    if query_type not in ("ann", "hybrid"):
-        raise ValueError(f"query_type must be ann|hybrid, got {query_type!r}")
+    if query_type not in ("ann", "hybrid", "maxsim"):
+        raise ValueError(
+            f"query_type must be ann|hybrid|maxsim, got {query_type!r}"
+        )
     cols = [columns] if isinstance(columns, str) else list(columns)
+
+    if query_type == "maxsim":
+        if query_text is None:
+            raise ValueError("query_type='maxsim' needs query_text")
+        from .filters import filter_expr
+        from .multivec import maxsim_topk, maxsim_topk_pruned, py_multi_vector
+
+        if not (isinstance(index, DataFrame) and "token_vecs" in index.columns):
+            raise ValueError(
+                "query_type='maxsim' needs a token-vector corpus DataFrame "
+                "(id + token_vecs via multivec.multi_vector_expr)"
+            )
+        id_col = "vec_id" if "vec_id" in index.columns else doc_id_col
+        qvs = py_multi_vector(query_text, dim=dim, max_tokens=max_tokens)
+        corpus = index
+        if filters:
+            # exact prefilter: same single-scan cost, always fills k
+            allowed = documents.where(filter_expr(filters)).select(
+                F.col(doc_id_col).alias(id_col)
+            )
+            corpus = corpus.join(allowed, id_col, "left_semi")
+        if maxsim_m is not None:
+            hits = maxsim_topk_pruned(
+                corpus, qvs, k=num_results, m=maxsim_m, id_col=id_col
+            )
+        else:
+            hits = maxsim_topk(corpus, qvs, k=num_results, id_col=id_col)
+        payload = documents.select(F.col(doc_id_col).alias(id_col), *cols)
+        return (
+            payload.join(F.broadcast(hits), id_col)
+            .select(id_col, *cols, "score")
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(num_results)
+        )
     if query_text is not None:
         # The query must be embedded at the index's dimension — validate
         # dim against the handle's centroids up front (stream_graph_sync
