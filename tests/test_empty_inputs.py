@@ -369,3 +369,27 @@ def test_embedding_drift_empty_new_snapshot(spark):
     for r in rows:
         assert r["n_new"] == 0
         assert r["psi"] == r["psi"] and abs(r["psi"]) < float("inf")
+
+
+def test_maxsim_empty_corpus_and_all_null(spark):
+    """An empty or all-null token-vector corpus returns an empty top-k
+    (never a crash or a NULL-score row) on both the exact and the
+    retrieve-then-rerank paths."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk,
+        maxsim_topk_pruned,
+        multi_vector_expr,
+        py_multi_vector,
+    )
+
+    q = py_multi_vector("some query", dim=16)
+    empty = spark.createDataFrame(
+        [], "doc_id long, token_vecs array<array<double>>"
+    )
+    assert maxsim_topk(empty, q, k=5).count() == 0
+    assert maxsim_topk_pruned(empty, q, k=5, m=8).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    ).withColumn("token_vecs", multi_vector_expr("text", dim=16, portable=True))
+    assert maxsim_topk(nulls, q, k=5).count() == 0
