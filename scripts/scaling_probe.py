@@ -43,6 +43,8 @@ NAMES = [
     "pagerank_full",
     "binary_search_full",
     "agg_refresh_full",
+    "maxsim_exact_full",
+    "maxsim_pruned_full",
 ]
 
 
@@ -295,12 +297,59 @@ def _agg_refresh_full(spark, sf):
     )
 
 
+def _maxsim_corpus(spark, sf):
+    from vector_search_databricks_poc_spark.catalog import ensure_parallelism
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        multi_vector_expr,
+    )
+
+    # the fixture is one parquet file -> one scan partition; the
+    # interpreted token-vector construction is per-row CPU, so spread it
+    # (embed_text does the same via ensure_parallelism)
+    d = ensure_parallelism(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    return d.select(
+        "doc_id",
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True).alias(
+            "token_vecs"
+        ),
+    )
+
+
+_MAXSIM_Q = "fast hash join query over the part table"
+
+
+def _maxsim_exact_full(spark, sf):
+    """Exact MaxSim top-10 over the full documents table (token-vector
+    construction + nested-HOF scoring + TakeOrdered, one scan)."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk, py_multi_vector,
+    )
+
+    q = py_multi_vector(_MAXSIM_Q, dim=16, max_tokens=32)
+    return maxsim_topk(_maxsim_corpus(spark, sf), q, k=10)
+
+
+def _maxsim_pruned_full(spark, sf):
+    """Retrieve-then-rerank MaxSim (salted per-query-token top-m gather,
+    exact rerank of the candidates)."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk_pruned, py_multi_vector,
+    )
+
+    q = py_multi_vector(_MAXSIM_Q, dim=16, max_tokens=32)
+    return maxsim_topk_pruned(_maxsim_corpus(spark, sf), q, k=10, m=64)
+
+
 OPERATOR_PROBES = {
     "graph_batch_search_full": _graph_batch_search_full,
     "fuzzy_pairs_full": _fuzzy_pairs_full,
     "pagerank_full": _pagerank_full,
     "binary_search_full": _binary_search_full,
     "agg_refresh_full": _agg_refresh_full,
+    "maxsim_exact_full": _maxsim_exact_full,
+    "maxsim_pruned_full": _maxsim_pruned_full,
     "repetition_signals_full": _repetition_signals_full,
     "paragraph_dedup_full": _paragraph_dedup_full,
     "wet_decode_full": _wet_decode_full,
@@ -506,6 +555,18 @@ every operator in this repo:
   The verify is Spark's threshold levenshtein (banded DP, O(d*min_len)
   per candidate).  Neighborhood fan-out bounds the regime: name-like
   keys (<=64 chars at d=1, <=32 at d=2); d>2 raises by contract.
+- **Multi-vector MaxSim (multivec.py).** Token vectors are per-row
+  expressions (no UDF), so the exact path is ONE corpus scan finished
+  by TakeOrderedAndProject — zero shuffles, 100 TB cost = a projection
+  scan.  The retrieve-then-rerank path explodes the corpus ONCE into a
+  persistable (doc, token_pos, token_vec) table whose rows are exactly
+  the engine's single-vector top-k problem — index it with the
+  IVF/graph/binary rungs for stage 1 at scale (the chunk-granularity
+  twin already ships: build_chunk_index + indexed_chunked_search).  The
+  brute stage 1 ranks DOCUMENTS per query token through a salted
+  two-level top-m (local window over 64 salts, global over the
+  survivors), so the k_q low-cardinality window can never funnel the
+  corpus into k_q reducers; stage 2 rescans only candidates.
 - **PageRank (linkrank.py).** Rank state is O(V) rows living
   distributed; each of the fixed `iters` rounds is one edge-rank join +
   one gather agg (2 shuffles), with the dangling-mass and 1/N scalars

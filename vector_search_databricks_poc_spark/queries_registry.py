@@ -5018,7 +5018,13 @@ def maxsim_search(spark, sf_dir):
         py_multi_vector,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .catalog import ensure_parallelism
+
+    # spread the per-row interpreted token-vector construction (the
+    # fixture is one scan partition; embed_text does the same)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     corpus = docs.withColumn(
         "token_vecs",
         multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
@@ -5042,7 +5048,11 @@ def maxsim_search_pruned(spark, sf_dir):
         py_multi_vector,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .catalog import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     corpus = docs.withColumn(
         "token_vecs",
         multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
