@@ -43,8 +43,14 @@ NAMES = [
     "pagerank_full",
     "binary_search_full",
     "agg_refresh_full",
-    "maxsim_exact_full",
-    "maxsim_pruned_full",
+    # maxsim_exact_full / maxsim_pruned_full exist in OPERATOR_PROBES for
+    # manual runs but are NOT in the growth table: each action carries a
+    # ~2-minute FIXED driver-side cost (Catalyst resolution + interpreted
+    # evaluation of the deeply-nested token-vector HOF tree — measured
+    # scale-INDEPENDENT: 111s at sf0.001 == 112s at sf0.01), so a 3-SF
+    # wall-clock row would read as fake flatness while tripling the probe
+    # budget.  The family's scale story is the plan shape (PLANS.md:
+    # 0-shuffle exact scan, salted bounded gather) + the sizing bullet.
 ]
 
 
