@@ -43,14 +43,8 @@ NAMES = [
     "pagerank_full",
     "binary_search_full",
     "agg_refresh_full",
-    # maxsim_exact_full / maxsim_pruned_full exist in OPERATOR_PROBES for
-    # manual runs but are NOT in the growth table: each action carries a
-    # ~2-minute FIXED driver-side cost (Catalyst resolution + interpreted
-    # evaluation of the deeply-nested token-vector HOF tree — measured
-    # scale-INDEPENDENT: 111s at sf0.001 == 112s at sf0.01), so a 3-SF
-    # wall-clock row would read as fake flatness while tripling the probe
-    # budget.  The family's scale story is the plan shape (PLANS.md:
-    # 0-shuffle exact scan, salted bounded gather) + the sizing bullet.
+    "maxsim_exact_full",
+    "maxsim_pruned_full",
 ]
 
 
@@ -306,20 +300,19 @@ def _agg_refresh_full(spark, sf):
 def _maxsim_corpus(spark, sf):
     from vector_search_databricks_poc_spark.catalog import ensure_parallelism
     from vector_search_databricks_poc_spark.operators.multivec import (
-        multi_vector_expr,
+        multi_vector_pandas,
     )
 
-    # the fixture is one parquet file -> one scan partition; the
-    # interpreted token-vector construction is per-row CPU, so spread it
-    # (embed_text does the same via ensure_parallelism)
+    # Arrow-batched construction (bit-identical to the portable
+    # expression) over a spread scan: the expression form re-evaluates
+    # per MaxSim lambda reference (no CSE inside HOFs) — 120s vs 1.7s
+    # for the same result, which would bury the probe's growth signal
     d = ensure_parallelism(
         load_table(spark, sf, "documents").select("doc_id", "text")
     )
     return d.select(
         "doc_id",
-        multi_vector_expr("text", dim=16, max_tokens=32, portable=True).alias(
-            "token_vecs"
-        ),
+        multi_vector_pandas("text", dim=16, max_tokens=32).alias("token_vecs"),
     )
 
 

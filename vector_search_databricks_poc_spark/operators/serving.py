@@ -75,7 +75,8 @@ def similarity_search(
     (operators/hybrid.py), requiring ``query_text`` (the lexical leg
     tokenizes it) — or ``"maxsim"`` (r8) — multi-vector late
     interaction: ``index`` must be a token-vector corpus DataFrame
-    (id + ``token_vecs`` built with multivec.multi_vector_expr at
+    (id + ``token_vecs`` built with multivec.multi_vector_pandas — or the
+    bit-identical expression form over a MATERIALIZED column — at
     ``dim``/``max_tokens``), ``query_text`` is encoded driver-side by
     the bit-identical pure-Python twin (no Spark action), scoring is
     exact MaxSim (or retrieve-then-rerank when ``maxsim_m`` is set) and
@@ -100,7 +101,7 @@ def similarity_search(
         if not (isinstance(index, DataFrame) and "token_vecs" in index.columns):
             raise ValueError(
                 "query_type='maxsim' needs a token-vector corpus DataFrame "
-                "(id + token_vecs via multivec.multi_vector_expr)"
+                "(id + token_vecs via multivec.multi_vector_pandas or the materialized expression form)"
             )
         id_col = "vec_id" if "vec_id" in index.columns else doc_id_col
         qvs = py_multi_vector(query_text, dim=dim, max_tokens=max_tokens)

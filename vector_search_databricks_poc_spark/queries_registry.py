@@ -5014,7 +5014,7 @@ def maxsim_search(spark, sf_dir):
     recall-tested there too."""
     from .operators.multivec import (
         maxsim_topk,
-        multi_vector_expr,
+        multi_vector_pandas,
         py_multi_vector,
     )
 
@@ -5025,9 +5025,12 @@ def maxsim_search(spark, sf_dir):
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # Arrow-batched construction: bit-identical to the portable
+    # expression form (asserted corpus-wide in tests/test_multivec.py),
+    # without re-evaluating the build per MaxSim lambda reference
     corpus = docs.withColumn(
         "token_vecs",
-        multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
+        multi_vector_pandas("text", dim=16, max_tokens=32),
     )
     q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
     return maxsim_topk(corpus, q, k=10)
@@ -5044,7 +5047,7 @@ def maxsim_search_pruned(spark, sf_dir):
     the recall floor at narrow m asserted in tests/test_multivec.py."""
     from .operators.multivec import (
         maxsim_topk_pruned,
-        multi_vector_expr,
+        multi_vector_pandas,
         py_multi_vector,
     )
 
@@ -5053,9 +5056,12 @@ def maxsim_search_pruned(spark, sf_dir):
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # Arrow-batched construction: bit-identical to the portable
+    # expression form (asserted corpus-wide in tests/test_multivec.py),
+    # without re-evaluating the build per MaxSim lambda reference
     corpus = docs.withColumn(
         "token_vecs",
-        multi_vector_expr("text", dim=16, max_tokens=32, portable=True),
+        multi_vector_pandas("text", dim=16, max_tokens=32),
     )
     q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
     return maxsim_topk_pruned(corpus, q, k=10, m=32)
