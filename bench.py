@@ -96,6 +96,13 @@ HEADLINE = [
     #   bootstrap + change-feed drain through foreachBatch (measures the
     #   whole micro-batch cycle incl. checkpoint I/O, the cost the batch
     #   incremental_agg_view entry does not see)
+    "maxsim_search",            # r8 B7b multi-vector late-interaction: exact
+    #   MaxSim top-10 over Arrow-built token vectors (one scan +
+    #   TakeOrdered; a regression to the expression-built construction
+    #   would surface here as ~+110s of fixed Catalyst resolution)
+    "maxsim_search_pruned",     # r8 B7b scale path: token-table stage-1
+    #   per-query-token top-m (salted two-level windows) + candidate-only
+    #   exact rerank — the retrieve-then-rerank cost shape
 ]
 
 
@@ -239,20 +246,24 @@ def main() -> None:
             "that shared inflation"
         )
 
+    # key order matters: the driver archives only the LAST 4096 bytes of
+    # stdout, so the per-query times (the most diagnostic numbers) print
+    # LAST — with queries-first ordering the head queries' times were
+    # truncated out of BENCH_r07/r08 (r8 verdict #5)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
         "warmup_sec": round(warmup, 3),
         "calibration_sec": round(calib, 4),
         "host_speed_factor": round(speed, 3),
         "suite_inflation": round(med_ratio, 3),
-        "floors": {k: floors[k] for k in times},
         "drift_flags": drift_flags,
         "drift_note": drift_note,
+        "floors": {k: floors[k] for k in times},
+        "queries": times,
     }
     print(json.dumps(out))
 

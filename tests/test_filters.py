@@ -19,13 +19,6 @@ from vector_search_databricks_poc_spark.operators.filters import (
     postfilter_hits,
 )
 
-_PAIR_COSINE = (
-    "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
-    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
-    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
-)
-
-
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
@@ -95,16 +88,13 @@ def test_filter_expr_rejects_malformed(spark):
 
 
 def test_filtered_vector_search_matches_duckdb(spark):
+    # the SQL moved into the registry when filtered_vector_search was
+    # promoted into the driver's oracle window (r9); the pytest compare
+    # stays as the fast local loop
     out = R.QUERIES["filtered_vector_search"](spark, SF_DIR)
-    sql = f"""
-    SELECT e.vec_id, ROUND({_PAIR_COSINE}, 6) AS score
-    FROM embeddings e
-    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    WHERE e.label IN (0, 1, 2) AND e.vec_id >= 10
-    ORDER BY score DESC, e.vec_id
-    LIMIT 10
-    """
-    r = compare(out, duck_connection(SF_DIR), sql)
+    r = compare(
+        out, duck_connection(SF_DIR), R.ORACLE_SQL["filtered_vector_search"]
+    )
     assert r["values_match"], r
 
 

@@ -48,7 +48,7 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_batch_similarity_join_broadcasts_queries(spark, sf_dir):
-    df = QUERIES["batch_similarity_join"](spark, sf_dir)
+    df = R.batch_similarity_join(spark, sf_dir)
     assert A.uses_broadcast_join(df), A.plan_string(df)
 
 
@@ -56,7 +56,7 @@ def test_batch_join_group_limit_before_shuffle(spark, sf_dir):
     """Spark's WindowGroupLimit must prune per-partition top-k BEFORE the
     exchange — the shuffle then carries <= k rows per (query, map task)
     instead of the full corpus x queries score matrix."""
-    df = QUERIES["batch_similarity_join"](spark, sf_dir)
+    df = R.batch_similarity_join(spark, sf_dir)
     s = A.plan_string(df, "simple")
     assert "WindowGroupLimit" in s and "Partial" in s, s[:2000]
 

@@ -35,29 +35,43 @@ def test_sum_partials_empty_frame(spark):
     assert sums["s"] == []
 
 
-def test_sum_partials_plan_is_hash_agg_no_collect_list(spark):
-    # the reduce must be a plain partial+final hash aggregate: no
-    # collect_list (the unbounded single-buffer shape this replaces)
-    parts = spark.createDataFrame(
-        [(1, [1.0])], "n long, s array<double>"
-    )
-    stacked = parts.select(
-        F.lit(0).alias("_c"), F.posexplode("s").alias("_i", "_x")
-    ).unionAll(
-        parts.select(
-            F.lit(-1).alias("_c"), F.lit(0).alias("_i"),
-            F.col("n").cast("double").alias("_x"),
-        )
-    )
+def test_sum_partials_plan_is_hash_agg_single_scan(spark, tmp_path):
+    # the reduce must be a plain partial+final hash aggregate (no
+    # collect_list — the unbounded single-buffer shape this replaces)
+    # AND read its source exactly once: Spark does not deduplicate
+    # identical subtrees across union branches, so the old
+    # one-union-branch-per-column shape re-ran the upstream scan (and
+    # the pandas partials feeding the fits) per column (ADVICE r8)
+    from vector_search_databricks_poc_spark.operators._reduce import _stacked
+
+    path = str(tmp_path / "parts")
+    spark.createDataFrame(
+        [(3, [1.0, 2.0], [10.0, 0.0]), (2, [0.5, -1.0], [1.0, 2.0])],
+        "n long, s array<double>, g array<double>",
+    ).write.parquet(path)
+    parts = spark.read.parquet(path)
     plan = (
-        stacked.groupBy("_c", "_i")
-        .agg(F.sum("_x").alias("_x"))
+        _stacked(parts, ["s", "g"])
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "collect_list" not in plan
     assert "HashAggregate" in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_sum_partials_null_partials_ignored(spark):
+    # a NULL partial row contributes nothing to its column (and must not
+    # null out the concat fan-out for the row's other columns)
+    parts = spark.createDataFrame(
+        [(3, None, [10.0, 0.0]), (2, [0.5, -1.0], None)],
+        "n long, s array<double>, g array<double>",
+    )
+    n, sums = sum_partials(parts, ["s", "g"])
+    assert n == 5
+    assert sums["s"] == [0.5, -1.0]
+    assert sums["g"] == [10.0, 0.0]
 
 
 def test_fit_pca_invariant_to_partitioning(spark):

@@ -16,17 +16,57 @@ parallel — a native tree reduction with no ``collect_list`` buffer and
 no driver concentration beyond the ``1 + sum(d_c)`` result rows
 themselves.
 
-The row count ``n`` rides along as pseudo-column -1 so the whole
-reduction is ONE job / ONE shuffle.  Sums travel as doubles; counts up
-to 2^53 stay exact (1e10 rows is 5 orders of magnitude inside that).
+All columns fan out of ONE select (a concat of per-column struct arrays
+plus the row-count pseudo-column -1, exploded once): Spark does not
+deduplicate identical subtrees across union branches, so the earlier
+one-branch-per-column union re-ran the upstream scan — and, for the PCA
+fit, the O(n*d^2) pandas Gram partials — once per branch (ADVICE r8).
+The single-select shape scans the source exactly once and keeps the
+whole reduction ONE job / ONE shuffle for real.  Sums travel as
+doubles; counts up to 2^53 stay exact (1e10 rows is 5 orders of
+magnitude inside that).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["sum_partials"]
+
+
+def _stacked(parts: DataFrame, array_cols: list[str]) -> DataFrame:
+    """The pre-collect plan: one select over ``parts`` emitting every
+    ``(_c, _i, _x)`` triple — per-column array elements tagged with the
+    column ordinal, plus ``(-1, 0, n)`` for the row count — then the
+    partial+final hash aggregate.  Split out so tests can assert the
+    single-scan plan shape."""
+
+    def _branch(ci: int, c: str) -> Column:
+        def tag(x: Column, i: Column) -> Column:
+            return F.struct(
+                F.lit(ci).alias("_c"), i.alias("_i"), x.alias("_x")
+            )
+
+        return F.transform(
+            F.coalesce(F.col(c), F.array().cast("array<double>")), tag
+        )
+
+    n_branch = F.array(
+        F.struct(
+            F.lit(-1).alias("_c"),
+            F.lit(0).alias("_i"),
+            F.col("n").cast("double").alias("_x"),
+        )
+    )
+    combined = F.concat(
+        *[_branch(ci, c) for ci, c in enumerate(array_cols)], n_branch
+    )
+    return (
+        parts.select(F.explode(combined).alias("s"))
+        .groupBy(F.col("s._c").alias("_c"), F.col("s._i").alias("_i"))
+        .agg(F.sum("s._x").alias("_x"))
+    )
 
 
 def sum_partials(parts: DataFrame, array_cols: list[str]) -> tuple[int, dict]:
@@ -41,20 +81,7 @@ def sum_partials(parts: DataFrame, array_cols: list[str]) -> tuple[int, dict]:
     Eager by contract: callers are fit operators (KMeans/CREATE INDEX
     analogs) whose result is corpus-size-independent.
     """
-    stacked = None
-    for ci, c in enumerate(array_cols):
-        e = parts.select(
-            F.lit(ci).alias("_c"),
-            F.posexplode(c).alias("_i", "_x"),
-        )
-        stacked = e if stacked is None else stacked.unionAll(e)
-    n_rows = parts.select(
-        F.lit(-1).alias("_c"),
-        F.lit(0).alias("_i"),
-        F.col("n").cast("double").alias("_x"),
-    )
-    stacked = n_rows if stacked is None else stacked.unionAll(n_rows)
-    rows = stacked.groupBy("_c", "_i").agg(F.sum("_x").alias("_x")).collect()
+    rows = _stacked(parts, array_cols).collect()
 
     total_n = 0
     by_col: dict[int, dict[int, float]] = {}

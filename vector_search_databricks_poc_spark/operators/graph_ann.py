@@ -157,15 +157,19 @@ def _mark_best_per_dst(edges: DataFrame, flag: str) -> DataFrame:
 
 
 def _prune_keep_in(edges: DataFrame, deg: int) -> DataFrame:
-    """Degree prune that cannot orphan a node: every ``dst``'s single
-    best in-edge is anchored through the per-``src`` top-``deg`` cut, so
-    global in-degree stays >= 1 for every node any edge points at.  A
-    pure score prune lets near-duplicate cliques hoard each other's
-    edges and strands whole regions at zero in-degree — unreachable by
-    any beam whatever their out-edges (measured r8: 34/300 zero-in-degree
-    nodes on the doc-embedding fixture without the anchor, ~0 with).
-    One extra window (by dst) per prune — same exchange class as the
-    top-deg window itself."""
+    """Degree prune with best-effort in-degree protection: every
+    ``dst``'s single best in-edge outranks score inside its ``src``'s
+    top-``deg`` cut.  This is NOT an absolute >=1-in-degree guarantee —
+    a src that is the best in-edge source for more than ``deg`` distinct
+    dsts still sheds the excess anchors (the anchor reorders within the
+    cut, it does not widen it) — but it removes the systematic stranding
+    mode: a pure score prune lets near-duplicate cliques hoard each
+    other's edges and strand whole regions at zero in-degree,
+    unreachable by any beam whatever their out-edges (measured r8:
+    34/300 zero-in-degree nodes on the doc-embedding fixture without the
+    anchor, 0 with — '~0' is the honest contract, the fixture just
+    happens to hit 0).  One extra window (by dst) per prune — same
+    exchange class as the top-deg window itself."""
     return _top_deg(
         _mark_best_per_dst(edges, "_anchor"), deg, anchor_col="_anchor"
     ).drop("_anchor")

@@ -912,9 +912,7 @@ _PAIR_COSINE = (
 )
 
 
-@register(
-    "batch_similarity_join",
-    f"""
+_BATCH_SIM_JOIN_ORACLE = f"""
     SELECT query_id, vec_id, score, CAST(rank AS INTEGER) AS rank
     FROM (
       SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
@@ -924,11 +922,15 @@ _PAIR_COSINE = (
       FROM embeddings e
       CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
     ) WHERE rank <= 3
-    """,
-)
+    """
+
+
 def batch_similarity_join(spark, sf_dir):
     """B8: 8 query vectors x corpus, top-3 each — broadcast cross join +
-    window rank (the exact path; LSH path is the rows-only variant)."""
+    window rank (the exact path; LSH path is the rows-only variant).
+    Oracle-checked as the 'bsj' leg of ``similarity_join_suite`` since
+    the r9 window rotation (slot freed to promote ``maxsim_search``);
+    the bench keeps timing this leg under its own name."""
     from .operators.similarity_join import brute_force_topk_join
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -970,9 +972,7 @@ def rerank_two_stage(spark, sf_dir):
     return rerank(cand_vecs, F.col("_qv"), k=5, metric="cosine")
 
 
-@register(
-    "knn_label_agreement",
-    f"""
+_KNN_AGREEMENT_ORACLE = f"""
     SELECT CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
            COUNT(*) AS n_total
     FROM (
@@ -983,11 +983,14 @@ def rerank_two_stage(spark, sf_dir):
       CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 32) q
       WHERE e.vec_id != q.vec_id
     ) WHERE rank <= 1
-    """,
-)
+    """
+
+
 def knn_label_agreement(spark, sf_dir):
     """Sanity semantics check (FIXTURES.md): nearest neighbor of a vector
-    should usually share its cluster label.  Output: agreement count."""
+    should usually share its cluster label.  Output: agreement count.
+    Oracle-checked as the 'knn' leg of ``similarity_join_suite`` since
+    the r9 window rotation."""
     e = load_table(spark, sf_dir, "embeddings")
     # norms fold ONCE per side before the cross join (|q|+|corpus| folds,
     # not 2x|pairs|) — same left-to-right fold, bit-identical scores
@@ -1015,22 +1018,60 @@ def knn_label_agreement(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_join_suite",
+    f"""
+    SELECT 'bsj' AS kind, query_id, vec_id, score, rank,
+           CAST(NULL AS BIGINT) AS n_agree, CAST(NULL AS BIGINT) AS n_total
+    FROM ({_BATCH_SIM_JOIN_ORACLE})
+    UNION ALL
+    SELECT 'knn', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), n_agree, n_total
+    FROM ({_KNN_AGREEMENT_ORACLE})
+    """,
+)
+def similarity_join_suite(spark, sf_dir):
+    """B8 batch similarity join, exact + semantics legs tagged by kind
+    (merged ``batch_similarity_join`` + ``knn_label_agreement`` in the r9
+    window rotation to free a driver slot for ``maxsim_search``): 'bsj' =
+    8 query vectors x corpus top-3 via broadcast cross join + window
+    rank; 'knn' = 32-query nearest-neighbor label agreement over the same
+    join shape.  Both legs keep their own module functions (the bench
+    times 'bsj' under its original name)."""
+    bsj = batch_similarity_join(spark, sf_dir).select(
+        F.lit("bsj").alias("kind"), "query_id", "vec_id", "score", "rank",
+        F.lit(None).cast("long").alias("n_agree"),
+        F.lit(None).cast("long").alias("n_total"),
+    )
+    knn = knn_label_agreement(spark, sf_dir).select(
+        F.lit("knn").alias("kind"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+        "n_agree", "n_total",
+    )
+    return bsj.unionByName(knn)
+
+
 # ---------------------------------------------------------------------------
 # B9/B10: dedup
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "exact_dedup_keeper",
-    """
+_EXACT_DEDUP_KEEPER_ORACLE = """
     SELECT lang, source, CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS group_size
     FROM documents
     GROUP BY lang, source
-    """,
-)
+    """
+
+
 def exact_dedup_keeper(spark, sf_dir):
     """B9: exact dedup on (lang, source) with deterministic min-id keeper
-    (the reference's seen-set dedup, main.py:62-67, made distributed)."""
+    (the reference's seen-set dedup, main.py:62-67, made distributed).
+    Oracle-checked as the 'exact' leg of ``dedup_core_suite`` since the
+    r9 window rotation (slot freed to promote ``filtered_vector_search``);
+    the bench keeps timing this leg under its own name."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size")
@@ -1088,16 +1129,42 @@ QUERIES["simhash_near_dup"] = simhash_near_dup
 
 
 def ngram_jaccard_dedup(spark, sf_dir):
-    """B10-ngram: exact n-gram Jaccard pairs via shingle inverted index
-    (rows-only: shingle generation is SQL-expressible but the inverted-index
-    join shape is the point here; exactness covered by pytest)."""
+    """B10-ngram: exact n-gram Jaccard pairs via shingle inverted index.
+    Oracle-checked as the 'ngram' leg of ``dedup_core_suite`` since the
+    r9 window rotation."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return ngram_jaccard_pairs(d, n=3, threshold=0.2)
 
 
-QUERIES["ngram_jaccard_dedup"] = ngram_jaccard_dedup
+@register("dedup_core_suite")  # oracle assigned where its ngram leg's SQL
+# is defined (next to the other shingle oracles, ~line 3360)
+def dedup_core_suite(spark, sf_dir):
+    """B9 + B10 core dedup, exact-keeper + n-gram-Jaccard legs tagged by
+    kind (merged ``exact_dedup_keeper`` + ``ngram_jaccard_dedup`` in the
+    r9 window rotation to free a driver slot for
+    ``filtered_vector_search``): 'exact' = (lang, source) group dedup
+    with deterministic min-id keeper; 'ngram' = exact 3-gram Jaccard
+    pairs via the shingle inverted index.  Both legs keep their own
+    module functions (the bench times 'exact' under its original
+    name)."""
+    exact = exact_dedup_keeper(spark, sf_dir).select(
+        F.lit("exact").alias("kind"), "lang", "source", "doc_id",
+        "group_size",
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    ngram = ngram_jaccard_dedup(spark, sf_dir).select(
+        F.lit("ngram").alias("kind"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("group_size"),
+        "id_a", "id_b", "jaccard",
+    )
+    return exact.unionByName(ngram)
 
 
 # ---------------------------------------------------------------------------
@@ -2056,16 +2123,26 @@ def batch_endpoint_brute(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@register("filtered_vector_search")
+@register(
+    "filtered_vector_search",
+    f"""
+    SELECT e.vec_id, ROUND({_PAIR_COSINE}, 6) AS score
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.label IN (0, 1, 2) AND e.vec_id >= 10
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def filtered_vector_search(spark, sf_dir):
     """B7/B14 extension — the reference client's similarity_search
     ``filters=`` knob (public client surface the reference calls
     unfiltered, query_endpoint.py:136-150): a metadata predicate dict
     compiled to ONE Catalyst expression and applied BEFORE ranking
     (operators/filters.py::filtered_top_k), so it pushes down to the
-    parquet scan.  One lazy plan.  Rows-only by slot budget; full DuckDB
-    value compare + index pre/post-filter equivalence in
-    tests/test_filters.py."""
+    parquet scan.  One lazy plan.  Driver-checked since the r9 window
+    rotation (the oracle re-derives prefilter + cosine + top-10); index
+    pre/post-filter equivalence stays in tests/test_filters.py."""
     from .operators.filters import filtered_top_k
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3331,7 +3408,16 @@ _NGRAM_JACCARD_ORACLE = """
     WHERE ROUND(s.shared::DOUBLE / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.2
 """
 
-ORACLE_SQL["ngram_jaccard_dedup"] = _NGRAM_JACCARD_ORACLE
+ORACLE_SQL["dedup_core_suite"] = f"""
+    SELECT 'exact' AS kind, lang, source, doc_id, group_size,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_EXACT_DEDUP_KEEPER_ORACLE})
+    UNION ALL
+    SELECT 'ngram', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), id_a, id_b, jaccard
+    FROM ({_NGRAM_JACCARD_ORACLE})
+    """
 
 
 @register(
@@ -4998,8 +5084,86 @@ def packed_sequences_q(spark, sf_dir):
 
 _MAXSIM_QUERY_TEXT = "fast hash join query over the part table"
 
+_MAXSIM_DIM = 16
 
-@register("maxsim_search")
+
+def _maxsim_vec_sql(tok: str) -> str:
+    """DuckDB re-derivation of token_vector_expr(portable=True): char
+    3-grams -> polynomial hash -> signed bucket fold (L2 norm applied by
+    the caller)."""
+    grams = (
+        f"CASE WHEN length({tok}) < 3 THEN [{tok}] "
+        f"ELSE list_transform(range(1, length({tok}) - 1), "
+        f"i -> substr({tok}, CAST(i AS INT), 3)) END"
+    )
+    hashes = (
+        f"list_transform({grams}, g -> list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(g) + 1), "
+        f"j -> CAST(ascii(g[CAST(j AS INT)]) AS BIGINT))), "
+        f"(a, b) -> (a * 131 + b) % 2147483647))"
+    )
+    return (
+        f"list_transform(range(0, {_MAXSIM_DIM}), d -> list_sum("
+        f"list_transform({hashes}, h -> CASE WHEN h % {_MAXSIM_DIM} = d THEN "
+        f"(CASE WHEN (h // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END) "
+        f"ELSE 0.0 END)))"
+    )
+
+
+_MAXSIM_NORM_SQL = (
+    "CASE WHEN nrm <> 0 THEN list_transform(v, x -> x / nrm) ELSE v END"
+)
+
+
+def _maxsim_oracle(query_text: str, k: int = 10) -> str:
+    """Full independent re-derivation of the MaxSim top-k: tokens,
+    char-3-gram polynomial hashes, signed bucket folds, L2 norms,
+    per-query-token maxes, the MaxSim sum, and the ranked top-k — all in
+    DuckDB ``list_*`` SQL (promoted from tests/test_multivec.py in the
+    r9 window rotation)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')[1:32] AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dt AS (SELECT doc_id, unnest(ts) AS tok FROM d0 WHERE len(ts) > 0),
+    dvr AS (SELECT doc_id, {_maxsim_vec_sql('tok')} AS v FROM dt),
+    dv AS (
+      SELECT doc_id, {_MAXSIM_NORM_SQL} AS v
+      FROM (SELECT doc_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM dvr)
+    ),
+    q0 AS (
+      SELECT list_filter(string_split_regex(lower('{qlit}'), '\\s+'),
+                         t -> t <> '')[1:32] AS qt
+    ),
+    qt AS (
+      SELECT i AS qi, qt[CAST(i AS INT)] AS tok
+      FROM q0, UNNEST(range(1, len(qt) + 1)) u(i)
+    ),
+    qvr AS (SELECT qi, {_maxsim_vec_sql('tok')} AS v FROM qt),
+    qv AS (
+      SELECT qi, {_MAXSIM_NORM_SQL} AS v
+      FROM (SELECT qi, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM qvr)
+    ),
+    dots AS (
+      SELECT d.doc_id, q.qi, list_dot_product(d.v, q.v) AS s
+      FROM dv d CROSS JOIN qv q
+    ),
+    mx AS (SELECT doc_id, qi, MAX(s) AS m FROM dots GROUP BY doc_id, qi),
+    sc AS (SELECT doc_id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY doc_id)
+    SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("maxsim_search", _maxsim_oracle(_MAXSIM_QUERY_TEXT))
 def maxsim_search(spark, sf_dir):
     """Multi-vector late-interaction search (r8 — operators/multivec.py,
     the ColBERT MaxSim retrieval shape): every document becomes an array
@@ -5007,11 +5171,11 @@ def maxsim_search(spark, sf_dir):
     pure expressions), the query string is encoded driver-side by the
     bit-identical pure-Python twin (so the builder stays LAZY), and the
     score is sum-over-query-tokens of max-dot-over-doc-tokens with a
-    TakeOrderedAndProject top-10.  Rows-only: full DuckDB re-derivation
-    of tokens, hashes, vectors, MaxSim, and ranking in
-    tests/test_multivec.py; the retrieve-then-rerank scale path (token
-    table + per-query-token top-m prune) is equivalence- and
-    recall-tested there too."""
+    TakeOrderedAndProject top-10.  Driver-checked since the r9 window
+    rotation: the oracle re-derives tokens, hashes, vectors, MaxSim, and
+    ranking in DuckDB list_* SQL; the retrieve-then-rerank scale path
+    (token table + per-query-token top-m prune) is equivalence- and
+    recall-tested in tests/test_multivec.py."""
     from .operators.multivec import (
         maxsim_topk,
         multi_vector_pandas,
@@ -5749,7 +5913,14 @@ def streaming_agg_view(spark, sf_dir):
         new, view, log, keys=["g"], measures=measures, id_col="rid",
         mode="delta", checkpoint_dir=ckpt,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # availableNow stream hung: reading the view now would return a
+        # PARTIALLY maintained state that looks like a correctness/bench
+        # drift — fail loudly instead (ADVICE r8)
+        q.stop()
+        raise RuntimeError(
+            "streaming_agg_view: change-feed stream did not drain within 300s"
+        )
     return read_agg_view(spark, view).select(
         "g", F.col("n").cast("long").alias("n"),
         F.col("total").cast("double").alias("total"),
