@@ -73,7 +73,13 @@ HEADLINE = [
     #   batch (first call builds+caches the k-NN graph; timed reps measure
     #   the amortized beam — the driver-loop hop depth is the serial cost,
     #   so per-query time is the batch divided by 16, the shape that
-    #   matters at scale)
+    #   matters at scale).  Floor re-seeded 3.486 -> 4.18 in r9: the r8
+    #   anchored prune (_prune_keep_in) keeps each node's best in-edge
+    #   through the degree cut, so the graph is better connected and
+    #   beams exact-score more neighbors per hop — measured +20% search
+    #   time for recall@10 0.925 -> 0.931 and stranded nodes -> 0
+    #   (scripts/graph_anchor_ab.py A/B at sf0.1; a deliberate
+    #   recall-for-time trade, not a plan regression)
     "filtered_vector_search",   # r6 B7: similarity_search filters= knob —
     #   predicate pushed to the scan, zero shuffles, TakeOrdered ranking
     "manifest_pruned_scan",     # r6 layout: manifest-pruned file-skipping box

@@ -467,3 +467,42 @@ def test_maxsim_query_type(spark, docs):
             spark, docs, docs, ["lang"],
             query_text=qt, num_results=5, query_type="maxsim",
         )
+
+
+def test_maxsim_token_index_mode(spark, docs, tmp_path):
+    """maxsim_token_index (r9): stage 1 through the IVF token index from
+    inside the facade — full probe + wide m == the exact facade result;
+    requires maxsim_m."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        build_token_index,
+        multi_vector_expr,
+    )
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True).alias(
+            "token_vecs"
+        ),
+    ).localCheckpoint()
+    tok_idx = build_token_index(
+        corpus, str(tmp_path / "tok_ivf"), id_col="vec_id", k_centroids=4
+    )
+    qt = "fast hash join query over the part table"
+    exact = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=5, dim=16, query_type="maxsim",
+    ).collect()
+    indexed = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=5, dim=16, query_type="maxsim",
+        maxsim_m=10**6, nprobe=4, maxsim_token_index=tok_idx,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in indexed] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+    with pytest.raises(ValueError, match="requires maxsim_m"):
+        similarity_search(
+            spark, corpus, docs, ["lang"],
+            query_text=qt, num_results=5, dim=16, query_type="maxsim",
+            maxsim_token_index=tok_idx,
+        )

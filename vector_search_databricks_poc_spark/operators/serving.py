@@ -50,6 +50,7 @@ def similarity_search(
     text_col: str = "text",
     max_tokens: int = 32,
     maxsim_m: int | None = None,
+    maxsim_token_index=None,
 ) -> DataFrame:
     """One similarity query, reference call shape.
 
@@ -80,9 +81,17 @@ def similarity_search(
     ``dim``/``max_tokens``), ``query_text`` is encoded driver-side by
     the bit-identical pure-Python twin (no Spark action), scoring is
     exact MaxSim (or retrieve-then-rerank when ``maxsim_m`` is set) and
-    ``filters`` become an exact metadata prefilter.  The hybrid vector
-    leg scans the vectors the handle holds (index tables carry them),
-    exact over the corpus — hybrid is a recall-first mode.
+    ``filters`` become an exact metadata prefilter.
+    ``maxsim_token_index`` (r9, requires ``maxsim_m``) routes stage 1
+    through an IVF token index built with ``multivec.build_token_index``
+    — each query token probes ``nprobe`` centroid partitions of the
+    token table instead of scanning it (the 100 TB shape).  The filter
+    prefilter still applies to stage 2's corpus, but the index probe
+    itself is unfiltered: a tight filter can under-fill below k — widen
+    ``maxsim_m``/``nprobe`` (same honesty contract as the other index
+    postfilter paths).  The hybrid vector leg scans the vectors the
+    handle holds (index tables carry them), exact over the corpus —
+    hybrid is a recall-first mode.
     """
     if (query_text is None) == (query_vector is None):
         raise ValueError("pass exactly one of query_text / query_vector")
@@ -96,7 +105,12 @@ def similarity_search(
         if query_text is None:
             raise ValueError("query_type='maxsim' needs query_text")
         from .filters import filter_expr
-        from .multivec import maxsim_topk, maxsim_topk_pruned, py_multi_vector
+        from .multivec import (
+            maxsim_topk,
+            maxsim_topk_indexed,
+            maxsim_topk_pruned,
+            py_multi_vector,
+        )
 
         if not (isinstance(index, DataFrame) and "token_vecs" in index.columns):
             raise ValueError(
@@ -112,7 +126,14 @@ def similarity_search(
                 F.col(doc_id_col).alias(id_col)
             )
             corpus = corpus.join(allowed, id_col, "left_semi")
-        if maxsim_m is not None:
+        if maxsim_token_index is not None:
+            if maxsim_m is None:
+                raise ValueError("maxsim_token_index requires maxsim_m")
+            hits = maxsim_topk_indexed(
+                spark, corpus, maxsim_token_index, qvs,
+                k=num_results, m=maxsim_m, nprobe=nprobe, id_col=id_col,
+            )
+        elif maxsim_m is not None:
             hits = maxsim_topk_pruned(
                 corpus, qvs, k=num_results, m=maxsim_m, id_col=id_col
             )
