@@ -134,6 +134,22 @@ def test_indexed_partial_probe_recall_floor(spark, corpus, token_index):
     assert len(exact & pruned) >= 7, (exact, pruned)
 
 
+def test_indexed_plan_shape(spark, corpus, token_index):
+    """The indexed stage 1 keeps the engine's plan discipline: the
+    planned queries BROADCAST into the centroid equi-join (the token
+    table is filtered by probe, never shuffled), the candidate set
+    broadcasts into the stage-2 semi-join, the finish is TakeOrdered,
+    and the non-broadcast exchange budget matches the brute path's 4
+    (max agg + two salted windows + candidate distinct)."""
+    q = py_multi_vector(QT, dim=DIM, max_tokens=32)
+    plan = maxsim_topk_indexed(
+        spark, corpus, token_index, q, k=10, m=32, nprobe=2
+    )
+    assert audit.uses_take_ordered(plan)
+    assert audit.uses_broadcast_join(plan)
+    assert audit.count_exchanges(plan) <= 4
+
+
 def test_null_and_empty_docs_score_null_and_drop(spark):
     df = spark.createDataFrame(
         [(1, "real tokens here"), (2, None), (3, ""), (4, "   ")],
