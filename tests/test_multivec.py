@@ -47,6 +47,19 @@ def test_maxsim_search_matches_duckdb(spark):
     assert r["values_match"], r
 
 
+def test_maxsim_pruned_matches_duckdb_rederivation(spark):
+    """The DECLARED pruned query (retrieve-then-rerank at m=32) == a
+    full independent DuckDB re-derivation including the stage-1
+    candidate gather: per query token, documents rank by their best
+    token dot (the operator's salted two-level top-m equals a flat
+    per-token top-m — salting redistributes work, not results), the
+    distinct candidates gate the exact MaxSim.  Deterministic end to
+    end — r10 can promote `maxsim_search_pruned` by pure rotation."""
+    out = R.QUERIES["maxsim_search_pruned"](spark, SF_DIR)
+    r = compare(out, duck_connection(SF_DIR), R._maxsim_oracle(QT, m=32))
+    assert r["values_match"], r
+
+
 def test_python_query_encoder_is_bit_exact(spark):
     """py_multi_vector (the driver-side lazy query encoder) must equal the
     corpus expression value-for-value — it feeds plan literals that the
@@ -129,6 +142,46 @@ def test_indexed_partial_probe_recall_floor(spark, corpus, token_index):
         r["doc_id"]
         for r in maxsim_topk_indexed(
             spark, corpus, token_index, q, k=10, m=128, nprobe=2
+        ).collect()
+    }
+    assert len(exact & pruned) >= 7, (exact, pruned)
+
+
+@pytest.fixture(scope="module")
+def pq_token_index(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mv") / "token_ivf_pq")
+    return build_token_index(
+        corpus, path, k_centroids=4, kind="ivf_pq", pq_m=4, pq_k=16
+    )
+
+
+def test_pq_indexed_full_probe_wide_m_equals_exact(spark, corpus, pq_token_index):
+    """The codes-only (IVF-PQ) token index: full probe + wide m still
+    equals the exact path bit for bit — a wide candidate gather makes
+    the ADC ordering irrelevant and stage 2 rescores exactly — while the
+    stage-1 scan reads pq codes (4 ints/token vs 16 doubles)."""
+    q = py_multi_vector(QT, dim=DIM, max_tokens=32)
+    exact = [tuple(r) for r in maxsim_topk(corpus, q, k=10).collect()]
+    indexed = [
+        tuple(r)
+        for r in maxsim_topk_indexed(
+            spark, corpus, pq_token_index, q, k=10, m=10**6, nprobe=4
+        ).collect()
+    ]
+    assert indexed == exact
+
+
+def test_pq_indexed_partial_m_recall_floor(spark, corpus, pq_token_index):
+    """Quantized candidate gather at m=128, full probe: ADC ordering must
+    still recover >= 7/10 of the exact top-10 (the PQ approximation only
+    reorders the gather; the fixture's tie classes make this adversarial
+    exactly as for the float paths)."""
+    q = py_multi_vector(QT, dim=DIM, max_tokens=32)
+    exact = {r["doc_id"] for r in maxsim_topk(corpus, q, k=10).collect()}
+    pruned = {
+        r["doc_id"]
+        for r in maxsim_topk_indexed(
+            spark, corpus, pq_token_index, q, k=10, m=128, nprobe=4
         ).collect()
     }
     assert len(exact & pruned) >= 7, (exact, pruned)

@@ -148,6 +148,7 @@ def build_ivf_pq_index(
     pq_m: int = 8,
     pq_k: int = 16,
     seed: int = 42,
+    extra_cols: tuple[str, ...] = (),
 ) -> "IvfPqIndex":
     """IVF-PQ: coarse quantizer (KMeans centroids, partition pruning) +
     product-quantized RESIDUALS (vector minus its centroid) inside each
@@ -164,7 +165,9 @@ def build_ivf_pq_index(
     from ..functions.quantization import PqCodebook
 
     normalized = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), V.l2_normalize(vec_col).cast("array<float>").alias(vec_col)
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        V.l2_normalize(vec_col).cast("array<float>").alias(vec_col),
     )
     centroids = fit_centroids(normalized, vec_col, k_centroids, seed)
     assigned = assign_centroid(normalized, centroids, vec_col=vec_col)
@@ -177,7 +180,7 @@ def build_ivf_pq_index(
     with_res = assigned.withColumn("_res", residual)
     codebook = PqCodebook.fit(with_res, vec_col="_res", m=pq_m, k=pq_k, seed=seed)
     encoded = codebook.encode(with_res, vec_col="_res").select(
-        id_col, "centroid_id", "pq_code"
+        id_col, *extra_cols, "centroid_id", "pq_code"
     )
     save_table(encoded, index_path, partition_by=["centroid_id"])
     _write_meta(
@@ -248,10 +251,11 @@ class IvfPqIndex:
         self,
         spark: SparkSession,
         queries: DataFrame,
-        k: int = 10,
+        k: int | None = 10,
         nprobe: int = 4,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        payload_cols: tuple = (),
     ) -> DataFrame:
         """Many queries in ONE job, codes-only scan end to end:
 
@@ -266,7 +270,12 @@ class IvfPqIndex:
 
         Returns (query_id, id, adc, rank) — candidates by quantized score;
         callers rerank survivors against float vectors when exactness
-        matters (same contract as ``search``).
+        matters (same contract as ``search``).  ``k=None`` returns EVERY
+        scored (query, row) pair in the probed partitions with no window
+        (the aggregation-consumer shape — e.g. MaxSim candidate gather
+        over a PQ token index); ``payload_cols`` forwards index payload
+        columns (build's ``extra_cols``) alongside the id — both mirror
+        ``IvfIndex.batch_search``.
 
         The per-query planning columns (probe list, dot(q, centroid)
         constants, the m ADC lookup tables) are produced by ONE vectorized
@@ -330,8 +339,11 @@ class IvfPqIndex:
                 F.element_at("_luts", j + 1), F.element_at("pq_code", j + 1) + 1
             )
         scored = pairs.select(
-            "query_id", F.col(self.id_col), F.round(adc, 6).alias("adc")
+            "query_id", F.col(self.id_col),
+            *[F.col(c) for c in payload_cols], F.round(adc, 6).alias("adc"),
         )
+        if k is None:
+            return scored
         w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col(self.id_col))
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -380,19 +380,29 @@ def build_token_index(
     vecs_col: str = "token_vecs",
     k_centroids: int = 16,
     token_table: DataFrame | None = None,
+    kind: str = "ivf",
+    pq_m: int = 4,
+    pq_k: int = 16,
 ):
-    """Materialize the flat token table AS AN IVF INDEX — the 100 TB
+    """Materialize the flat token table AS AN ANN INDEX — the 100 TB
     stage-1 shape the module docstring promises: every (doc, token_pos)
     vector becomes one indexed row (primary key ``doc_id#token_pos``,
     ``doc_id`` carried as payload so candidate gathering needs no join
     back), KMeans-partitioned by centroid so a probe reads
     ``nprobe/k_centroids`` of the token table instead of scoring every
-    token.  The per-token twin of ``pipelines.build_chunk_index`` —
-    index maintenance (incremental sync, rebalance, compaction) applies
-    to the token table unchanged.  Eager by contract (CREATE INDEX
-    analog: fits centroids + writes the partitioned table)."""
-    from .index import build_ivf_index
+    token.  ``kind='ivf_pq'`` additionally product-quantizes the token
+    vectors so the probe scan reads CODES (``pq_m`` ints per token, vs
+    dim floats — the stage-1 I/O cut that matters when the token table
+    is 10-100x the doc table); candidate gather by ADC score, stage 2
+    exact as ever.  The per-token twin of
+    ``pipelines.build_chunk_index`` — index maintenance (incremental
+    sync, rebalance, compaction) applies to the token table unchanged.
+    Eager by contract (CREATE INDEX analog: fits centroids + writes the
+    partitioned table)."""
+    from .index import build_ivf_index, build_ivf_pq_index
 
+    if kind not in ("ivf", "ivf_pq"):
+        raise ValueError(f"kind must be ivf|ivf_pq, got {kind!r}")
     tt = token_table if token_table is not None else build_token_table(
         corpus, id_col, vecs_col
     )
@@ -404,6 +414,12 @@ def build_token_index(
         F.col("token_pos"),
         F.col("token_vec"),
     )
+    if kind == "ivf_pq":
+        return build_ivf_pq_index(
+            keyed, index_path, id_col="token_id", vec_col="token_vec",
+            k_centroids=k_centroids, pq_m=pq_m, pq_k=pq_k,
+            extra_cols=(id_col, "token_pos"),
+        )
     return build_ivf_index(
         keyed, index_path, id_col="token_id", vec_col="token_vec",
         k_centroids=k_centroids, extra_cols=(id_col, "token_pos"),
@@ -438,7 +454,11 @@ def maxsim_topk_indexed(
     exactly as for single-vector search — measured, not assumed
     (tests/test_multivec.py).  Stage-1 cost at scale: ``k_q`` query
     tokens x ``nprobe/k_centroids`` of the token table, vs the brute
-    path's full token-table scan."""
+    path's full token-table scan.  With a ``kind='ivf_pq'`` token index
+    the probe scan reads CODES only (candidates ordered by ADC score);
+    the full-probe + wide-m equality still holds exactly, because a wide
+    gather makes candidate order irrelevant and stage 2 never touches
+    quantized values."""
     queries = spark.createDataFrame(
         [(i, [float(x) for x in qv]) for i, qv in enumerate(query_vectors)],
         "query_id int, query_vec array<double>",
@@ -446,9 +466,12 @@ def maxsim_topk_indexed(
     scored = index.batch_search(
         spark, queries, k=None, nprobe=nprobe, payload_cols=(id_col,)
     )
+    # IvfIndex emits exact dots as "score"; IvfPqIndex emits quantized
+    # "adc" — either orders the candidate gather, stage 2 is exact anyway
+    sc = "score" if "score" in scored.columns else "adc"
     best = scored.groupBy(
         F.col("query_id").alias("_qi"), F.col(id_col)
-    ).agg(F.max("score").alias("_dot"))
+    ).agg(F.max(sc).alias("_dot"))
     cands = _candidate_docs(best, m, id_col)
     pruned = corpus.join(F.broadcast(cands), id_col, "left_semi")
     return maxsim_topk(

@@ -5116,13 +5116,40 @@ _MAXSIM_NORM_SQL = (
 )
 
 
-def _maxsim_oracle(query_text: str, k: int = 10) -> str:
+def _maxsim_oracle(query_text: str, k: int = 10, m: int | None = None) -> str:
     """Full independent re-derivation of the MaxSim top-k: tokens,
     char-3-gram polynomial hashes, signed bucket folds, L2 norms,
     per-query-token maxes, the MaxSim sum, and the ranked top-k — all in
     DuckDB ``list_*`` SQL (promoted from tests/test_multivec.py in the
-    r9 window rotation)."""
+    r9 window rotation).
+
+    ``m`` re-derives the RETRIEVE-THEN-RERANK path instead
+    (maxsim_topk_pruned): stage 1 ranks documents per query token by
+    their best token dot (the salted two-level top-m in the operator
+    equals a flat per-token top-m — salting redistributes work, not
+    results), the distinct candidates gate stage 2's exact MaxSim.
+    Deterministic end to end, so `maxsim_search_pruned` is promotable by
+    pure rotation in a future round; until then the compare runs in
+    tests/test_multivec.py."""
     qlit = query_text.replace("'", "''")
+    if m is not None:
+        pruned_tail = f"""
+    cand AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT qi, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qi ORDER BY m DESC, doc_id) AS r
+        FROM mx
+      ) WHERE r <= {m}
+    ),
+    sc AS (
+      SELECT doc_id, ROUND(SUM(m), 6) AS score FROM mx
+      WHERE doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+    """
+    else:
+        pruned_tail = None
     return f"""
     WITH d0 AS (
       SELECT doc_id,
@@ -5158,8 +5185,10 @@ def _maxsim_oracle(query_text: str, k: int = 10) -> str:
       FROM dv d CROSS JOIN qv q
     ),
     mx AS (SELECT doc_id, qi, MAX(s) AS m FROM dots GROUP BY doc_id, qi),
+    {pruned_tail if pruned_tail is not None else f'''
     sc AS (SELECT doc_id, ROUND(SUM(m), 6) AS score FROM mx GROUP BY doc_id)
     SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+    '''}
     """
 
 
