@@ -5251,11 +5251,15 @@ def maxsim_search_pruned(spark, sf_dir):
     )
     # Arrow-batched construction: bit-identical to the portable
     # expression form (asserted corpus-wide in tests/test_multivec.py),
-    # without re-evaluating the build per MaxSim lambda reference
+    # without re-evaluating the build per MaxSim lambda reference.
+    # persist() (lazy — no job until the action) makes the stage-1
+    # token-table branch and the stage-2 rerank branch share ONE encode:
+    # Spark does not deduplicate identical subtrees across branches, so
+    # the unpersisted plan ran the pandas construction twice
     corpus = docs.withColumn(
         "token_vecs",
         multi_vector_pandas("text", dim=16, max_tokens=32),
-    )
+    ).persist()
     q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
     return maxsim_topk_pruned(corpus, q, k=10, m=32)
 
