@@ -107,6 +107,40 @@ def test_pruned_narrow_recall_floor(spark, corpus):
     assert len(exact & pruned) >= 8, (exact, pruned)
 
 
+def test_batch_matches_per_query_and_plan(spark, corpus):
+    """maxsim_topk_batch == maxsim_topk per query (same scores, same
+    order), through ONE plan whose query side broadcasts and whose
+    per-query top-k group-limits BEFORE the exchange (the corpus x
+    queries score matrix never shuffles whole)."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk_batch,
+    )
+
+    texts = {
+        0: QT,
+        1: "customer order priority",
+        2: "hash",
+        3: "supplier nation region economy",
+    }
+    queries = spark.createDataFrame(
+        [(i, py_multi_vector(t, dim=DIM, max_tokens=32)) for i, t in texts.items()],
+        "query_id int, query_vecs array<array<double>>",
+    )
+    got = maxsim_topk_batch(corpus, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
+    for qid, text in texts.items():
+        single = maxsim_topk(
+            corpus, py_multi_vector(text, dim=DIM, max_tokens=32), k=5
+        ).collect()
+        want = [(r["doc_id"], r["score"], i + 1) for i, r in enumerate(single)]
+        assert sorted(by_q[qid], key=lambda t: t[2]) == want, qid
+    assert audit.uses_broadcast_join(got)
+    s = audit.plan_string(got, "simple")
+    assert "WindowGroupLimit" in s and "Partial" in s, s[:2000]
+
+
 @pytest.fixture(scope="module")
 def token_index(spark, corpus, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("mv") / "token_ivf")

@@ -506,3 +506,64 @@ def test_maxsim_token_index_mode(spark, docs, tmp_path):
             query_text=qt, num_results=5, dim=16, query_type="maxsim",
             maxsim_token_index=tok_idx,
         )
+
+
+def test_batch_maxsim_query_type(spark, docs):
+    """Batch query_type='maxsim' (r9): N query texts token-encoded
+    in-plan and MaxSim-scored through one broadcast cross join — each
+    query's rows equal the single-query maxsim facade; filters apply as
+    the exact prefilter."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        multi_vector_expr,
+    )
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True).alias(
+            "token_vecs"
+        ),
+    ).localCheckpoint()
+    texts = {
+        0: "fast hash join query over the part table",
+        1: "customer order priority",
+    }
+    queries = spark.createDataFrame(
+        list(texts.items()), "query_id int, query_text string"
+    )
+    got = similarity_search_batch(
+        spark, corpus, docs, ["lang"], queries,
+        num_results=5, dim=16, query_type="maxsim",
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in texts.items():
+        single = similarity_search(
+            spark, corpus, docs, ["lang"],
+            query_text=text, num_results=5, dim=16, query_type="maxsim",
+        ).collect()
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [(r["vec_id"], r["score"]) for r in rows] == [
+            (r["vec_id"], r["score"]) for r in single
+        ], qid
+
+    filt = similarity_search_batch(
+        spark, corpus, docs, ["lang"], queries,
+        num_results=5, dim=16, query_type="maxsim", filters={"lang": "en"},
+    ).collect()
+    assert len(filt) == 10 and all(r["lang"] == "en" for r in filt)
+
+    with pytest.raises(ValueError, match="needs query_text"):
+        similarity_search_batch(
+            spark, corpus, docs, ["lang"],
+            queries.select("query_id", F.lit([0.0] * 16).alias("query_vec")),
+            num_results=5, dim=16, query_type="maxsim",
+        )
+    with pytest.raises(ValueError, match="token-vector corpus"):
+        similarity_search_batch(
+            spark, docs, docs, ["lang"], queries,
+            num_results=5, dim=16, query_type="maxsim",
+        )

@@ -68,6 +68,7 @@ __all__ = [
     "py_multi_vector",
     "maxsim_expr",
     "maxsim_topk",
+    "maxsim_topk_batch",
     "build_token_table",
     "maxsim_topk_pruned",
     "build_token_index",
@@ -285,6 +286,53 @@ def maxsim_topk(
         .where(F.col("score").isNotNull())
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+    )
+
+
+def maxsim_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vecs_col: str = "token_vecs",
+    query_id_col: str = "query_id",
+    qvecs_col: str = "query_vecs",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact MaxSim for MANY queries in ONE plan — the batch serving
+    shape (the reference client loops its endpoint per query;
+    query_endpoint.py:126-152): the small query frame (query_id +
+    per-token query vectors) BROADCASTS into a cross join, every
+    (doc, query) pair scores once with the nested-HOF MaxSim, and the
+    per-query top-k is a window rank whose WindowGroupLimit prunes to
+    <= k rows per (query, map task) BEFORE the exchange — the corpus is
+    scanned once however many queries ride along.  Returns
+    (query_id, id, score, rank) with rank 1..k per query, ties on id;
+    NULL scores (empty docs or empty queries) drop."""
+    corpus = _ensure_scorable_vecs(corpus, id_col, vecs_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(qvecs_col).cast("array<array<double>>").alias("_qvs"),
+        )
+    )
+    s = F.aggregate(
+        F.col("_qvs"),
+        F.lit(0.0).cast("double"),
+        lambda acc, qv: acc
+        + F.array_max(F.transform(F.col(vecs_col), lambda tv: V.dot(tv, qv))),
+    )
+    if score_decimals is not None:
+        s = F.round(s, score_decimals)
+    scored = (
+        corpus.crossJoin(q)
+        .select("query_id", F.col(id_col), s.alias("score"))
+        .where(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -287,6 +287,8 @@ def similarity_search_batch(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     query_vec_col: str = "query_vec",
+    query_type: str = "ann",
+    max_tokens: int = 32,
 ) -> DataFrame:
     """Many queries through one plan — the batch shape of
     ``similarity_search`` (the reference client loops the endpoint one
@@ -306,6 +308,13 @@ def similarity_search_batch(
     float vectors before the final rank (the single-path rerank
     contract).
 
+    ``query_type='maxsim'`` (r9) is the batch late-interaction mode:
+    ``index`` must be a token-vector corpus DataFrame (id +
+    ``token_vecs``), ``queries`` must carry ``query_text`` — every query
+    is token-encoded IN-PLAN by the Arrow twin and scored through ONE
+    broadcast MaxSim cross join (multivec.maxsim_topk_batch); ``filters``
+    become the exact metadata prefilter, as in the single-query facade.
+
     Returns (query_id, <id>, *columns, score, rank) with rank <= k dense
     per query.
     """
@@ -319,6 +328,48 @@ def similarity_search_batch(
 
     k = num_results
     fetch = over_fetch * k if filters else k
+    if query_type not in ("ann", "maxsim"):
+        raise ValueError(
+            f"query_type must be ann|maxsim for the batch facade, got {query_type!r}"
+        )
+    if query_type == "maxsim":
+        from .multivec import maxsim_topk_batch, multi_vector_pandas
+
+        if not (isinstance(index, DataFrame) and "token_vecs" in index.columns):
+            raise ValueError(
+                "query_type='maxsim' needs a token-vector corpus DataFrame "
+                "(id + token_vecs via multivec.multi_vector_pandas)"
+            )
+        if query_text_col not in queries.columns:
+            raise ValueError("batch query_type='maxsim' needs query_text")
+        id_col = "vec_id" if "vec_id" in index.columns else doc_id_col
+        qv = queries.select(
+            F.col(query_id_col),
+            multi_vector_pandas(
+                query_text_col, dim=dim, max_tokens=max_tokens
+            ).alias("query_vecs"),
+        )
+        corpus = index
+        if filters:
+            # exact prefilter: same single-scan cost, always fills k
+            allowed = documents.where(filter_expr(filters)).select(
+                F.col(doc_id_col).alias(id_col)
+            )
+            corpus = corpus.join(allowed, id_col, "left_semi")
+        hits = maxsim_topk_batch(
+            corpus, qv, k=k, id_col=id_col, query_id_col=query_id_col
+        ).select(query_id_col, id_col, "score")
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        payload = documents.select(F.col(doc_id_col).alias(id_col), *cols)
+        wk = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+        return (
+            payload.join(hits, id_col)
+            .withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, *cols, "score", "rank")
+        )
     has_text = query_text_col in queries.columns
     has_vec = query_vec_col in queries.columns
     if has_text == has_vec:
