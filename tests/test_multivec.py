@@ -221,6 +221,66 @@ def test_pq_indexed_partial_m_recall_floor(spark, corpus, pq_token_index):
     assert len(exact & pruned) >= 7, (exact, pruned)
 
 
+def test_token_index_incremental_maintenance(spark, tmp_path):
+    """The module's maintenance claim, evidenced: the token index is an
+    ordinary IvfIndex, so incremental_upsert applies unchanged — a doc
+    UPDATE is delete-its-old-token-ids + upsert-its-new-token-rows (token
+    count may shrink, so stale positions must tombstone), an INSERT is
+    upsert alone.  After churn, full-probe + wide-m indexed search over
+    the post-churn corpus equals the exact path over the same corpus."""
+    from vector_search_databricks_poc_spark.operators.incremental import (
+        incremental_upsert,
+    )
+
+    def enc(df):
+        return df.withColumn(
+            "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+        ).localCheckpoint()
+
+    base = enc(spark.createDataFrame(
+        [(i, f"base document number {i} about topic {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    ))
+    path = str(tmp_path / "tok_ivf")
+    idx = build_token_index(base, path, k_centroids=2)
+
+    # churn: doc 3 shrinks (fewer tokens), doc 4 grows, docs 30-31 insert
+    updated = enc(spark.createDataFrame(
+        [
+            (3, "shrunk"),
+            (4, "grown document with many extra tokens about hash joins"),
+            (30, "fresh document about part tables"),
+            (31, "another fresh document about hash joins"),
+        ],
+        "doc_id long, text string",
+    ))
+    keyed = build_token_table(updated).select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("token_pos").cast("string")
+        ).alias("token_id"),
+        "doc_id", "token_pos", "token_vec",
+    )
+    old_ids = spark.read.parquet(path).where(
+        F.col("doc_id").isin(3, 4)
+    ).select("token_id")
+    incremental_upsert(spark, idx, keyed, deleted=old_ids)
+
+    post = enc(
+        base.select("doc_id", "text")
+        .where(~F.col("doc_id").isin(3, 4))
+        .unionByName(updated.select("doc_id", "text"))
+    )
+    q = py_multi_vector("hash joins topic", dim=DIM)
+    exact = [tuple(r) for r in maxsim_topk(post, q, k=8).collect()]
+    indexed = [
+        tuple(r)
+        for r in maxsim_topk_indexed(
+            spark, post, idx, q, k=8, m=10**6, nprobe=2
+        ).collect()
+    ]
+    assert indexed == exact
+
+
 def test_indexed_plan_shape(spark, corpus, token_index):
     """The indexed stage 1 keeps the engine's plan discipline: the
     planned queries BROADCAST into the centroid equi-join (the token

@@ -443,8 +443,12 @@ def build_token_index(
     dim floats — the stage-1 I/O cut that matters when the token table
     is 10-100x the doc table); candidate gather by ADC score, stage 2
     exact as ever.  The per-token twin of
-    ``pipelines.build_chunk_index`` — index maintenance (incremental
-    sync, rebalance, compaction) applies to the token table unchanged.
+    ``pipelines.build_chunk_index`` — index maintenance applies to the
+    token table unchanged and is TESTED, not assumed
+    (tests/test_multivec.py::test_token_index_incremental_maintenance):
+    a doc UPDATE is ``incremental_upsert(changed=new token rows,
+    deleted=the doc's old token_ids)`` — token counts shrink, so stale
+    positions must tombstone — and an insert is the upsert alone.
     Eager by contract (CREATE INDEX analog: fits centroids + writes the
     partitioned table)."""
     from .index import build_ivf_index, build_ivf_pq_index
