@@ -78,6 +78,31 @@ __all__ = [
 _P = 2_147_483_647  # the portable polynomial hash modulus (2^31 - 1)
 
 
+def _py_token_vector(tok: str, dim: int, ngram: int) -> list[float]:
+    """One token's portable vector in pure Python — char n-grams,
+    polynomial hash, signed bucket fold, L2 norm — bit-for-bit the
+    expression/oracle value (integer hashing is exact; the fold sums
+    ±1.0 doubles, every partial sum an exactly-representable integer, so
+    the result is order-independent and the final divide deterministic)."""
+    import math
+
+    grams = (
+        [tok]
+        if len(tok) < ngram
+        else [tok[i : i + ngram] for i in range(len(tok) - ngram + 1)]
+    )
+    vec = [0.0] * dim
+    for g in grams:
+        acc = 0
+        for ch in g:
+            acc = (acc * 131 + ord(ch)) % _P
+        vec[acc % dim] += 1.0 if (acc >> 15) & 1 else -1.0
+    norm = math.sqrt(sum(x * x for x in vec))
+    if norm != 0:
+        vec = [x / norm for x in vec]
+    return vec
+
+
 def py_multi_vector(
     text: str, dim: int = 16, max_tokens: int = 32, ngram: int = 3
 ) -> list[list[float]]:
@@ -86,39 +111,17 @@ def py_multi_vector(
     polynomial hash, signed bucket fold, L2 norm), so a query string
     becomes plan literals with NO Spark action — declared queries using
     it stay lazy — and bit-for-bit the values the corpus expression (and
-    the DuckDB oracle) produce: the integer hash is exact and the float
-    fold performs the same IEEE-double ops in the same order.  ASCII
-    query strings only (corpus text never passes through here)."""
-    import math
+    the DuckDB oracle) produce.  ASCII query strings only (corpus text
+    never passes through here)."""
     import re
 
-    out: list[list[float]] = []
     # Java-regex-\s-equivalent split ([ \t\n\x0b\f\r]), so the corpus
     # pandas twin tokenizes exactly like the Catalyst expression;
     # identical to str.split() on ASCII
     toks = [
         t for t in re.split("[ \\t\\n\\x0b\\f\\r]+", text.lower()) if t
     ][:max_tokens]
-    for tok in toks:
-        grams = (
-            [tok]
-            if len(tok) < ngram
-            else [tok[i : i + ngram] for i in range(len(tok) - ngram + 1)]
-        )
-        hs = []
-        for g in grams:
-            acc = 0
-            for ch in g:
-                acc = (acc * 131 + ord(ch)) % _P
-            hs.append(acc)
-        vec = [0.0] * dim
-        for h in hs:
-            vec[h % dim] += 1.0 if (h >> 15) & 1 else -1.0
-        norm = math.sqrt(sum(x * x for x in vec))
-        if norm != 0:
-            vec = [x / norm for x in vec]
-        out.append(vec)
-    return out
+    return [_py_token_vector(tok, dim, ngram) for tok in toks]
 
 
 def _char_ngrams(tok: Column, n: int = 3) -> Column:
@@ -212,11 +215,25 @@ def multi_vector_pandas(
 
     @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
     def _mv(s: pd.Series) -> pd.Series:
+        import re
+        from functools import lru_cache
+
+        # Per-executor-worker token memo (r9): natural-language corpora
+        # are Zipf-distributed, so a bounded cache turns the per-token
+        # construction into a dict hit for the hot vocabulary — measured
+        # 146k token instances / ~90 distinct on the sf0.1 fixture.
+        # Bit-identity is free: the cached value IS _py_token_vector's.
+        @lru_cache(maxsize=65536)
+        def tok_vec(tok: str) -> list[float]:
+            return _py_token_vector(tok, dim, ngram)
+
+        split = re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+
         def enc(t):
             if t is None:
                 return None
-            vecs = py_multi_vector(t, dim=dim, max_tokens=max_tokens, ngram=ngram)
-            return vecs if vecs else None
+            toks = [x for x in split(t.lower()) if x][:max_tokens]
+            return [tok_vec(tok) for tok in toks] if toks else None
 
         return s.map(enc)
 
