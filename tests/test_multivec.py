@@ -281,6 +281,38 @@ def test_token_index_incremental_maintenance(spark, tmp_path):
     assert indexed == exact
 
 
+def test_graph_token_index_recall_floor(spark):
+    """kind='graph': the token table rides the graph-ANN rung too — the
+    beam returns top tokens per query token, docs unpack from the packed
+    token_key, and the gather+exact-rerank must recover >= 6/8 of the
+    exact top-8.  (No full-probe==exact claim: beam search is
+    approximate at any ef — the graph rung's contract is the measured
+    floor, as everywhere in the engine.)"""
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 5} bravo{i % 7} charlie{i % 11} delta{i % 13}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    corpus = docs.withColumn(
+        "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+    ).localCheckpoint()
+    import tempfile
+
+    idx = build_token_index(
+        corpus, tempfile.mkdtemp(prefix="mv_graph_") + "/g",
+        k_centroids=2, kind="graph", deg=8,
+    )
+    q = py_multi_vector("alpha3 bravo4 charlie5", dim=DIM)
+    exact = {r["doc_id"] for r in maxsim_topk(corpus, q, k=8).collect()}
+    got = {
+        r["doc_id"]
+        for r in maxsim_topk_indexed(
+            spark, corpus, idx, q, k=8, m=48, nprobe=2
+        ).collect()
+    }
+    assert len(exact & got) >= 6, (exact, got)
+
+
 def test_indexed_plan_shape(spark, corpus, token_index):
     """The indexed stage 1 keeps the engine's plan discipline: the
     planned queries BROADCAST into the centroid equi-join (the token

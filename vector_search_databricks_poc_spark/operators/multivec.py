@@ -448,6 +448,7 @@ def build_token_index(
     kind: str = "ivf",
     pq_m: int = 4,
     pq_k: int = 16,
+    deg: int = 8,
 ):
     """Materialize the flat token table AS AN ANN INDEX — the 100 TB
     stage-1 shape the module docstring promises: every (doc, token_pos)
@@ -468,13 +469,33 @@ def build_token_index(
     positions must tombstone — and an insert is the upsert alone.
     Eager by contract (CREATE INDEX analog: fits centroids + writes the
     partitioned table)."""
+    from .graph_ann import build_graph_index
     from .index import build_ivf_index, build_ivf_pq_index
 
-    if kind not in ("ivf", "ivf_pq"):
-        raise ValueError(f"kind must be ivf|ivf_pq, got {kind!r}")
+    if kind not in ("ivf", "ivf_pq", "graph"):
+        raise ValueError(f"kind must be ivf|ivf_pq|graph, got {kind!r}")
     tt = token_table if token_table is not None else build_token_table(
         corpus, id_col, vecs_col
     )
+    if kind == "graph":
+        # the graph rung keys nodes by LONG id: pack (doc, pos) into one
+        # key — max_tokens <= 32 << 1024, so doc = token_key >> 10
+        if not corpus.schema[id_col].dataType.simpleString().startswith(
+            ("long", "int", "bigint")
+        ):
+            raise ValueError(
+                f"kind='graph' needs an integral {id_col!r} (packs doc*1024+pos)"
+            )
+        keyed = tt.select(
+            (F.col(id_col).cast("long") * 1024 + F.col("token_pos")).alias(
+                "token_key"
+            ),
+            F.col("token_vec"),
+        )
+        return build_graph_index(
+            keyed, index_path, id_col="token_key", vec_col="token_vec",
+            deg=deg, k_centroids=k_centroids,
+        )
     keyed = tt.select(
         F.concat_ws(
             "#", F.col(id_col).cast("string"), F.col("token_pos").cast("string")
@@ -528,13 +549,33 @@ def maxsim_topk_indexed(
     the full-probe + wide-m equality still holds exactly, because a wide
     gather makes candidate order irrelevant and stage 2 never touches
     quantized values."""
+    from .graph_ann import GraphIndex
+
     queries = spark.createDataFrame(
         [(i, [float(x) for x in qv]) for i, qv in enumerate(query_vectors)],
         "query_id int, query_vec array<double>",
     )
-    scored = index.batch_search(
-        spark, queries, k=None, nprobe=nprobe, payload_cols=(id_col,)
-    )
+    if isinstance(index, GraphIndex):
+        # the beam returns top-k TOKENS per query token, not docs: over-
+        # fetch tokens so ~m distinct docs survive the per-doc max, then
+        # unpack doc = token_key >> 10 (build_token_index kind='graph').
+        # No full-probe==exact guarantee here — beam search is
+        # approximate at any ef — so the graph rung's contract is the
+        # measured recall floor, like every beam search in the engine.
+        fetch = max(4 * m, 64)
+        hits = index.batch_search(
+            spark, queries, k=fetch, ef=max(48, min(fetch, 1024)),
+            nprobe=nprobe,
+        )
+        scored = hits.select(
+            "query_id",
+            F.shiftright(F.col(index.id_col), 10).alias(id_col),
+            "score",
+        )
+    else:
+        scored = index.batch_search(
+            spark, queries, k=None, nprobe=nprobe, payload_cols=(id_col,)
+        )
     # IvfIndex emits exact dots as "score"; IvfPqIndex emits quantized
     # "adc" — either orders the candidate gather, stage 2 is exact anyway
     sc = "score" if "score" in scored.columns else "adc"
