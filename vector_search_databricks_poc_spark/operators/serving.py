@@ -78,7 +78,11 @@ def similarity_search(
     interaction: ``index`` must be a token-vector corpus DataFrame
     (id + ``token_vecs`` built with multivec.multi_vector_pandas — or the
     bit-identical expression form over a MATERIALIZED column — at
-    ``dim``/``max_tokens``), ``query_text`` is encoded driver-side by
+    ``dim``/``max_tokens``; ``dim`` MUST equal the corpus encoder's dim:
+    the facade default is 64, token corpora are often narrower, and a
+    mismatch is guarded in-plan — the job fails with a clear message
+    instead of NULL-scoring everything to zero rows),
+    ``query_text`` is encoded driver-side by
     the bit-identical pure-Python twin (no Spark action), scoring is
     exact MaxSim (or retrieve-then-rerank when ``maxsim_m`` is set) and
     ``filters`` become an exact metadata prefilter.
@@ -106,6 +110,7 @@ def similarity_search(
             raise ValueError("query_type='maxsim' needs query_text")
         from .filters import filter_expr
         from .multivec import (
+            assert_token_dim,
             maxsim_topk,
             maxsim_topk_indexed,
             maxsim_topk_pruned,
@@ -119,7 +124,11 @@ def similarity_search(
             )
         id_col = "vec_id" if "vec_id" in index.columns else doc_id_col
         qvs = py_multi_vector(query_text, dim=dim, max_tokens=max_tokens)
-        corpus = index
+        # dim must match the corpus encoder (the facade default is 64;
+        # most token corpora are built narrower) — a mismatch would
+        # NULL-pad every zip_with dot and silently return zero rows, so
+        # guard in-plan: the job fails with a clear message instead
+        corpus = assert_token_dim(index, dim)
         if filters:
             # exact prefilter: same single-scan cost, always fills k
             allowed = documents.where(filter_expr(filters)).select(
@@ -314,6 +323,8 @@ def similarity_search_batch(
     is token-encoded IN-PLAN by the Arrow twin and scored through ONE
     broadcast MaxSim cross join (multivec.maxsim_topk_batch); ``filters``
     become the exact metadata prefilter, as in the single-query facade.
+    ``dim`` must match the corpus encoder's dim (guarded in-plan — a
+    mismatch fails the job instead of silently returning zero rows).
 
     Returns (query_id, <id>, *columns, score, rank) with rank <= k dense
     per query.
@@ -333,7 +344,11 @@ def similarity_search_batch(
             f"query_type must be ann|maxsim for the batch facade, got {query_type!r}"
         )
     if query_type == "maxsim":
-        from .multivec import maxsim_topk_batch, multi_vector_pandas
+        from .multivec import (
+            assert_token_dim,
+            maxsim_topk_batch,
+            multi_vector_pandas,
+        )
 
         if not (isinstance(index, DataFrame) and "token_vecs" in index.columns):
             raise ValueError(
@@ -349,26 +364,28 @@ def similarity_search_batch(
                 query_text_col, dim=dim, max_tokens=max_tokens
             ).alias("query_vecs"),
         )
-        corpus = index
+        # in-plan dim guard: a query encoded at the wrong dim would
+        # NULL-pad every dot and silently return zero rows
+        corpus = assert_token_dim(index, dim)
         if filters:
             # exact prefilter: same single-scan cost, always fills k
             allowed = documents.where(filter_expr(filters)).select(
                 F.col(doc_id_col).alias(id_col)
             )
             corpus = corpus.join(allowed, id_col, "left_semi")
+        # maxsim_topk_batch already emits rank 1..k per query — keep it
+        # (ONE Window in the whole plan) and broadcast the (N·k)-row
+        # hits side into the payload join, rather than recomputing the
+        # identical window over the joined payload (r9 verdict #5)
         hits = maxsim_topk_batch(
             corpus, qv, k=k, id_col=id_col, query_id_col=query_id_col
-        ).select(query_id_col, id_col, "score")
+        ).select(
+            F.col("query_id").alias(query_id_col), id_col, "score", "rank"
+        )
         cols = [columns] if isinstance(columns, str) else list(columns)
         payload = documents.select(F.col(doc_id_col).alias(id_col), *cols)
-        wk = Window.partitionBy(query_id_col).orderBy(
-            F.desc("score"), F.col(id_col)
-        )
-        return (
-            payload.join(hits, id_col)
-            .withColumn("rank", F.row_number().over(wk))
-            .where(F.col("rank") <= k)
-            .select(query_id_col, id_col, *cols, "score", "rank")
+        return payload.join(F.broadcast(hits), id_col).select(
+            query_id_col, id_col, *cols, "score", "rank"
         )
     has_text = query_text_col in queries.columns
     has_vec = query_vec_col in queries.columns
