@@ -2796,7 +2796,9 @@ def sampling_suite(spark, sf_dir):
     return sp.unionByName(cap).unionByName(qb)
 
 
-_CENTROID_OUTLIERS_ORACLE = """
+@register(
+    "centroid_outliers",
+    """
     WITH cent AS (
       SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
       FROM embeddings, range(1, 65) t(i)
@@ -2809,17 +2811,12 @@ _CENTROID_OUTLIERS_ORACLE = """
       GROUP BY e.vec_id, e.label
     )
     SELECT vec_id, label, d FROM dist ORDER BY d DESC, vec_id LIMIT 20
-    """
-
-
+    """,
+)
 def centroid_outliers(spark, sf_dir):
     """Embedding outlier detection: distance of each vector to its label
     centroid, top-20 farthest (the 'mislabeled/garbage embedding' sweep).
-    Fully distributed: posexplode -> per-(label,dim) mean -> rejoin.
-    Oracle-checked as the 'outlier' leg of ``drift_profile_suite`` since
-    the r10 window rotation (slot freed to promote
-    ``maxsim_search_pruned``); the bench keeps this module function for
-    per-operator regression tracking."""
+    Fully distributed: posexplode -> per-(label,dim) mean -> rejoin."""
     e = load_table(spark, sf_dir, "embeddings")
     exploded = e.select(
         "vec_id", "label",
@@ -3036,7 +3033,9 @@ def bloom_decontamination(spark, sf_dir):
 QUERIES["bloom_decontamination"] = bloom_decontamination
 
 
-_PROFILE_COLUMNS_ORACLE = """
+@register(
+    "profile_columns",
+    """
     SELECT 'o_totalprice' AS col, COUNT(*) AS n, COUNT(o_totalprice) AS n_nonnull,
            COUNT(DISTINCT o_totalprice) AS n_distinct,
            ROUND(MIN(o_totalprice), 2) AS min_val, ROUND(MAX(o_totalprice), 2) AS max_val
@@ -3049,14 +3048,11 @@ _PROFILE_COLUMNS_ORACLE = """
     SELECT 'value', COUNT(*), COUNT(value), COUNT(DISTINCT value),
            ROUND(MIN(value), 2), ROUND(MAX(value), 2)
     FROM events
-    """
-
-
+    """,
+)
 def profile_columns(spark, sf_dir):
     """Data profiling: per-column counts/nulls/distincts/min/max — the
-    pre-flight quality report every ingest pipeline runs.  Oracle-checked
-    as the 'profile' leg of ``drift_profile_suite`` since the r10 window
-    rotation (slot freed to promote ``maxsim_search_pruned``)."""
+    pre-flight quality report every ingest pipeline runs."""
 
     def prof(df, col):
         return df.agg(
@@ -3075,48 +3071,6 @@ def profile_columns(spark, sf_dir):
         .unionByName(prof(o, "o_custkey"))
         .unionByName(prof(ev, "value"))
     )
-
-
-@register(
-    "drift_profile_suite",
-    f"""
-    SELECT 'outlier' AS kind, vec_id, label, d,
-           CAST(NULL AS VARCHAR) AS col, CAST(NULL AS BIGINT) AS n,
-           CAST(NULL AS BIGINT) AS n_nonnull,
-           CAST(NULL AS BIGINT) AS n_distinct,
-           CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val
-    FROM ({_CENTROID_OUTLIERS_ORACLE})
-    UNION ALL
-    SELECT 'profile', CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-           CAST(NULL AS DOUBLE), col, n, n_nonnull, n_distinct,
-           min_val, max_val
-    FROM ({_PROFILE_COLUMNS_ORACLE})
-    """,
-)
-def drift_profile_suite(spark, sf_dir):
-    """Data-quality monitoring suite, outlier + profile legs tagged by
-    kind (merged ``centroid_outliers`` + ``profile_columns`` in the r10
-    window rotation to free a driver slot for ``maxsim_search_pruned``):
-    'outlier' = per-label centroid distances, top-20 farthest embeddings;
-    'profile' = per-column count/null/distinct/min/max pre-flight report.
-    Both legs keep their own module functions."""
-    co = centroid_outliers(spark, sf_dir).select(
-        F.lit("outlier").alias("kind"), "vec_id", "label", "d",
-        F.lit(None).cast("string").alias("col"),
-        F.lit(None).cast("long").alias("n"),
-        F.lit(None).cast("long").alias("n_nonnull"),
-        F.lit(None).cast("long").alias("n_distinct"),
-        F.lit(None).cast("double").alias("min_val"),
-        F.lit(None).cast("double").alias("max_val"),
-    )
-    pc = profile_columns(spark, sf_dir).select(
-        F.lit("profile").alias("kind"),
-        F.lit(None).cast("long").alias("vec_id"),
-        F.lit(None).cast("int").alias("label"),
-        F.lit(None).cast("double").alias("d"),
-        "col", "n", "n_nonnull", "n_distinct", "min_val", "max_val",
-    )
-    return co.unionByName(pc)
 
 
 # ---------------------------------------------------------------------------
@@ -5275,21 +5229,20 @@ def maxsim_search(spark, sf_dir):
     return maxsim_topk(corpus, q, k=10)
 
 
-@register("maxsim_search_pruned", _maxsim_oracle(_MAXSIM_QUERY_TEXT, m=32))
+_MAXSIM_PRUNED_LIVE_CORPUS: dict = {}
+
+
+@register("maxsim_search_pruned")
 def maxsim_search_pruned(spark, sf_dir):
     """The scale path of ``maxsim_search``: ColBERT retrieve-then-rerank —
     stage 1 gathers each query token's top-32 corpus tokens from the
     flat (doc, token_pos, token_vec) table, stage 2 exact-MaxSims only
     the candidate documents.  The token table is the row shape the
     engine's ANN rungs index at 100 TB (the brute stage 1 here is the
-    oracle-checkable baseline).  Driver-checked since the r10 window
-    rotation: ``_maxsim_oracle(m=32)`` re-derives the PRUNE itself in
-    DuckDB — per-query-token flat top-m document ranking (== the
-    operator's salted two-level top-m: salting redistributes work, not
-    results), distinct candidate gather, candidate-scoped exact MaxSim
-    — so the retrieve-then-rerank path is hash-compared end to end, not
-    just its exact-equivalence at wide m (that, plus the narrow-m recall
-    floor, stays asserted in tests/test_multivec.py)."""
+    oracle-checkable baseline).  Rows-only; pruned==exact at wide m and
+    the recall floor at narrow m asserted in tests/test_multivec.py, and
+    the full DuckDB re-derivation of the prune itself
+    (``_maxsim_oracle(m=32)``) is pytest-compared there too."""
     from .operators.multivec import (
         maxsim_topk_pruned,
         multi_vector_pandas,
@@ -5298,26 +5251,29 @@ def maxsim_search_pruned(spark, sf_dir):
 
     from .catalog import ensure_parallelism
 
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # Arrow-batched construction: bit-identical to the portable
     # expression form (asserted corpus-wide in tests/test_multivec.py),
     # without re-evaluating the build per MaxSim lambda reference.
     # persist() (lazy — no job until the action) makes the stage-1
     # token-table branch and the stage-2 rerank branch share ONE encode:
     # Spark does not deduplicate identical subtrees across branches, so
-    # the unpersisted plan ran the pandas construction twice.  The
-    # persisted handle is memoized per (process, sf_dir) — repeated
-    # builder invocations (bench reps) reuse ONE cached DataFrame
-    # instead of stacking a new persist per rep (ADVICE r9)
-    def _build():
-        docs = ensure_parallelism(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        return docs.withColumn(
-            "token_vecs",
-            multi_vector_pandas("text", dim=16, max_tokens=32),
-        ).persist()
-
-    corpus = _cached_index("maxsim_pruned_corpus", sf_dir, _build)
+    # the unpersisted plan ran the pandas construction twice.  Each
+    # invocation gets a FRESH (unpopulated) persist — every timed run
+    # pays the encode, same as the exact twin — and unpersists the
+    # previous invocation's handle so repeated builder calls (bench
+    # reps) hold at most ONE cached corpus instead of stacking them
+    # until LRU eviction (ADVICE r9)
+    corpus = docs.withColumn(
+        "token_vecs",
+        multi_vector_pandas("text", dim=16, max_tokens=32),
+    ).persist()
+    prev = _MAXSIM_PRUNED_LIVE_CORPUS.get(sf_dir)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _MAXSIM_PRUNED_LIVE_CORPUS[sf_dir] = corpus
     q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
     return maxsim_topk_pruned(corpus, q, k=10, m=32)
 
