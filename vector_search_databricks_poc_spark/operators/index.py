@@ -66,19 +66,24 @@ def _write_meta(spark: SparkSession, index_path: str, meta: dict) -> None:
     """Persist index metadata (centroids, codebook) beside the data as a
     one-row text file under ``<path>/_meta`` — underscore-prefixed paths
     are invisible to Spark's file index, so parquet scans of the index
-    never see it, and the write goes through Spark so it works on any
-    filesystem the cluster can reach."""
+    never see it.  Written driver-side via the Hadoop FS API
+    (catalog.write_text_file): a ``df.write.text`` job cost a measured
+    5-8 s PER MARKER on Spark 4.1 local, dominating every index build,
+    churn op, and matview swap that touches metadata; the FS write is
+    ~50 ms and works on any filesystem the cluster can reach."""
     import json
 
-    spark.createDataFrame([(json.dumps(meta),)], "value string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(index_path + "/_meta")
+    from ..catalog import write_text_file
+
+    write_text_file(spark, index_path + "/_meta", json.dumps(meta))
 
 
 def _read_meta(spark: SparkSession, index_path: str) -> dict:
     import json
 
-    return json.loads(spark.read.text(index_path + "/_meta").first()["value"])
+    from ..catalog import read_text_file
+
+    return json.loads(read_text_file(spark, index_path + "/_meta"))
 
 
 def load_index(spark: SparkSession, index_path: str):

@@ -67,10 +67,16 @@ def _paths(view_dir: str) -> tuple[str, str]:
 def _write_marker(spark: SparkSession, state_dir: str, batch_id: int) -> None:
     """The applied-batch marker lives inside the state dir (underscore
     prefix => invisible to the parquet reader), so the swap rename moves
-    marker and state together."""
-    spark.createDataFrame(
-        [(json.dumps({"applied_batch": batch_id}),)], "j string"
-    ).coalesce(1).write.mode("overwrite").text(f"{state_dir}/{_META}")
+    marker and state together.  Written driver-side via the Hadoop FS
+    API: the previous ``df.write.text`` launched a Spark write job that
+    cost a measured 5-8 s per marker on Spark 4.1 local — two markers per
+    maintained batch made metadata the single largest cost of the whole
+    streaming view (guide §5: tiny metadata is not cluster work)."""
+    from ..catalog import write_text_file
+
+    write_text_file(
+        spark, f"{state_dir}/{_META}", json.dumps({"applied_batch": batch_id})
+    )
 
 
 def init_agg_view(
@@ -94,7 +100,14 @@ def init_agg_view(
     contrib = base.select(id_col, *keys, *_src_cols(measures)).withColumn(
         "_bucket", _bucket(id_col)
     )
-    contrib.write.mode("overwrite").partitionBy("_bucket").parquet(contrib_path)
+    # repartition by the bucket key before the partitioned write: without
+    # it every scan task writes a file into every bucket directory
+    # (tasks x buckets small files, written SERIALLY per task — measured
+    # 2x slower even at fixture scale); with it each bucket is one file
+    # and the 64 writers run in parallel (guide §6 small-files)
+    contrib.repartition(_N_BUCKETS, "_bucket").write.mode("overwrite").partitionBy(
+        "_bucket"
+    ).parquet(contrib_path)
     group_agg(base, keys, measures, null_counts=null_counts).write.mode(
         "overwrite"
     ).parquet(state_path)
@@ -106,8 +119,11 @@ def read_agg_view(spark: SparkSession, view_dir: str) -> DataFrame:
 
 
 def _applied_batch(spark: SparkSession, state_path: str) -> int:
-    row = spark.read.text(f"{state_path}/{_META}").first()
-    return int(json.loads(row["value"])["applied_batch"])
+    from ..catalog import read_text_file
+
+    return int(
+        json.loads(read_text_file(spark, f"{state_path}/{_META}"))["applied_batch"]
+    )
 
 
 def stream_agg_view_sync(
@@ -144,16 +160,17 @@ def stream_agg_view_sync(
         latest = batch_df.groupBy(id_col).agg(
             F.max_by("op", "batch_seq").alias("op")
         ).localCheckpoint()
-        if not latest.take(1):
-            return
         changed_ids = latest.select(id_col)
         # touched buckets, driver-side: prunes the store read AND names
         # the partitions the dynamic overwrite will rewrite (bounded by
-        # the batch, <= _N_BUCKETS ints)
+        # the batch, <= _N_BUCKETS ints); doubles as the empty-batch
+        # check (one job instead of a separate take(1))
         buckets = [
             r["_b"]
             for r in changed_ids.select(_bucket(id_col).alias("_b")).distinct().collect()
         ]
+        if not buckets:
+            return
         contrib_pre = spark.read.parquet(contrib_path).where(
             F.col("_bucket").isin(buckets)
         ).select(id_col, *keys, *src_cols)
@@ -192,6 +209,10 @@ def stream_agg_view_sync(
             contrib_pre.join(F.broadcast(changed_ids), id_col, "left_anti")
             .unionByName(post_images)
             .withColumn("_bucket", _bucket(id_col))
+            # one file per touched bucket, written in parallel — the
+            # unrepartitioned rewrite emitted tasks x buckets fragments
+            # PER BATCH, so the store's file count grew without bound
+            .repartition(_N_BUCKETS, "_bucket")
             .localCheckpoint()  # materialize BEFORE overwriting the input
         )
         (
