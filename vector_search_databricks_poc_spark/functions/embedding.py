@@ -17,11 +17,12 @@ micro-batching, syntetic_data_arxiv.py:198) are fixed here:
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
 from ..operators.text import tokens
 
@@ -33,58 +34,134 @@ from ..operators.text import tokens
 _ENCODER_CACHE: dict = {}
 
 
+@_functools.lru_cache(maxsize=65536)
+def _portable_token_hash(tok: str) -> int:
+    """Python twin of operators.dedup.portable_string_hash — the
+    polynomial fold acc = (acc*131 + codepoint) mod (2^31-1), bit-exact
+    (pure integer arithmetic; Spark's substring/ascii walk code points
+    exactly like Python's str).  Module-level lru_cache: natural-language
+    token streams are Zipf-distributed, so the hot vocabulary becomes a
+    dict hit per occurrence (same per-worker memo pattern as
+    multivec._token_vec_cached)."""
+    acc = 0
+    for ch in tok:
+        acc = (acc * 131 + ord(ch)) % 2_147_483_647
+    return acc
+
+
+def _hash_fold_pandas(dim: int, normalize: bool, sign_bit: int, hash_in_python: bool = False):
+    """Arrow-vectorized bucket fold for the hashing-trick embedding: takes
+    the per-row ``array<long>`` of TOKEN HASHES (computed JVM-side, where
+    xxhash64 / the polynomial hash are cheap codegen) and folds them into
+    the signed dim-bucket vector in numpy.
+
+    Why a Python boundary at all (guide §4.2): the pure-expression fold is
+    O(dim x n_tokens) INTERPRETED higher-order-function work per row
+    (immutable array accumulators make every formulation copy or rescan
+    the dim-array per token) — measured as the dominant stage of every
+    corpus-scale embed.  Here the fold is O(n_tokens) vectorized adds
+    (np.add.at) plus one O(dim) normalize, and only one narrow long-array
+    column crosses the boundary each way.
+
+    Bit-identity with the old expression fold is structural, not hoped
+    for: bucket weights are sums of +/-1.0 — small integers, exact in
+    doubles at ANY accumulation order — so the pre-normalization vector
+    is exactly equal; norm^2 is a sum of integer squares (exact), sqrt
+    and the per-element division are single correctly-rounded IEEE ops in
+    both engines.  The DuckDB oracles that recompute these embeddings
+    (portable_embed_search and friends) stay hash-green (driver-checked).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # NOTE: no parameter annotations (same reason as the transformer UDF
+    # below): `from __future__ import annotations` stringifies hints,
+    # which breaks pandas_udf eval-type inference; the explicit
+    # returnType + default SCALAR eval type suffice.
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _fold(s):
+        out = [None] * len(s)
+        if hash_in_python:
+            # portable variant: rows are token-STRING arrays (the JVM
+            # expression for the polynomial hash nests a lambda that
+            # captures the outer lambda's variable, which defeats
+            # PythonUDF extraction in union/set-op branches — so the
+            # hash itself moves here, memoized per worker)
+            th = _portable_token_hash
+            live = [
+                (i, np.fromiter((th(t) for t in v), dtype=np.int64, count=len(v)))
+                for i, v in enumerate(s)
+                if v is not None
+            ]
+        else:
+            live = [(i, np.asarray(v, dtype=np.int64)) for i, v in enumerate(s) if v is not None]
+        if not live:
+            return pd.Series(out)
+        idx = [i for i, _ in live]
+        arrs = [a for _, a in live]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        acc = np.zeros((len(arrs), dim), dtype=np.float64)
+        if int(lens.sum()):
+            flat = np.concatenate(arrs)
+            rows = np.repeat(np.arange(len(arrs)), lens)
+            bucket = flat % dim  # numpy % == Spark pmod for int64
+            sign = np.where(((flat >> sign_bit) & 1) == 1, 1.0, -1.0)
+            np.add.at(acc, (rows, bucket), sign)
+        if normalize:
+            n2 = np.einsum("ij,ij->i", acc, acc)  # integer-valued: exact
+            nz = n2 != 0.0
+            acc[nz] /= np.sqrt(n2[nz])[:, None]
+        vecs = acc.tolist()
+        for j, i in enumerate(idx):
+            out[i] = vecs[j]
+        return pd.Series(out)
+
+    return _fold
+
+
 def hashing_embedding(
     text: Column | str, dim: int = 64, normalize: bool = True, portable: bool = False
 ) -> Column:
-    """Deterministic hashing-trick embedding, pure Catalyst expressions.
+    """Deterministic hashing-trick embedding: token hashing in Catalyst,
+    bucket fold Arrow-vectorized in numpy.
 
     Each token hashes to a bucket (xxhash64 mod dim) with sign from a second
     hash bit — the classic signed feature-hashing map — then the vector is
-    L2-normalized.  JVM-side, codegen-friendly, model-free: the engine's
-    default test-path encoder (same role as HashingTF+Normalizer, without
-    leaving Catalyst or bridging to VectorUDT).
+    L2-normalized.  Tokenization + per-token hashing stay JVM-side
+    (codegen); the fold crosses to numpy as one ``array<long>`` column per
+    row (see :func:`_hash_fold_pandas` for the cost argument and the
+    bit-identity proof vs the pre-r10 pure-expression fold).
 
     ``portable=True`` swaps xxhash64 for the polynomial token hash
     (operators.dedup.portable_string_hash) so the DuckDB oracle can
     recompute the embedding — the hook that makes the whole
     embed->similarity-search pipeline oracle-checkable.
-
-    Cost note: the bucket fold is O(dim * n_tokens) interpreted-HOF work
-    per row — unavoidable in pure expressions (immutable array
-    accumulators make the 'one pass over tokens' form copy the dim-array
-    per token, same product).  This encoder is the test/default path;
-    corpus-scale embedding belongs to the Arrow-batched transformer UDF.
     """
     t = tokens(text)
+    # bucket = |h| % dim ; sign from a high-ish bit independent of the
+    # bucket (bit 62 for xxhash64; bit 15 for the 31-bit portable hash).
+    # xxhash64 hashing stays JVM-side (cheap codegen; only the long array
+    # crosses).  The PORTABLE polynomial hash moves into the same Python
+    # worker as the fold: its expression form nests a lambda capturing
+    # the outer lambda's token variable, which Spark's PythonUDF
+    # extraction cannot lift out of union/set-op branches (runtime
+    # INTERNAL_ERROR 'Cannot evaluate expression' on e.g. exceptAll) —
+    # and the Python twin is bit-exact integer arithmetic anyway.
+    sign_bit = 15 if portable else 62
     if portable:
-        from ..operators.dedup import portable_string_hash
-
-        h = F.transform(t, lambda tok: portable_string_hash(tok))
+        h = t
     else:
         h = F.transform(t, lambda tok: F.xxhash64(tok))
-    # bucket = |h| % dim ; sign from a high-ish bit independent of the
-    # bucket (bit 62 for xxhash64; bit 15 for the 31-bit portable hash)
-    sign_bit = 15 if portable else 62
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.aggregate(
-            h,
-            F.lit(0.0),
-            lambda acc, hv: acc
-            + F.when(
-                F.pmod(hv, F.lit(dim)) == d,
-                F.when(F.shiftright(hv, sign_bit).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-            ).otherwise(0.0),
-        ),
-    )
-    if normalize:
-        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-        vec = F.when(norm != 0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
     # NULL text -> NULL embedding, not an array of dim NULL elements: the
     # element-NULL form passes size()==dim validity checks (vec_dim_ok)
-    # and then poisons every downstream cosine/dot with NULL scores
-    c = F.col(text) if isinstance(text, str) else text
-    return F.when(c.isNotNull(), vec).cast(ArrayType(FloatType()))
+    # and then poisons every downstream cosine/dot with NULL scores.
+    # NULL propagates NATURALLY here (tokens(NULL) -> NULL array -> the
+    # fold returns None) — no when() wrapper, which would also leave the
+    # PythonUDF inside a CaseWhen that some operator positions (grouping
+    # keys, set-op hashing) cannot extract into an ArrowEvalPython node.
+    return _hash_fold_pandas(dim, normalize, sign_bit, hash_in_python=portable)(
+        h
+    ).cast(ArrayType(FloatType()))
 
 
 def masked_mean_pool(last_hidden_state, attention_mask):
