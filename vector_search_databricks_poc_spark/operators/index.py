@@ -303,6 +303,15 @@ class IvfPqIndex:
 
         def _plan(batches):
             for s in batches:
+                # NULL query vectors have no defined result (SQL
+                # null-comparison semantics) — dropped HERE rather than
+                # with a .where on the query frame: when the vectors come
+                # from an in-plan pandas_udf embed, a filter on the UDF
+                # column gets pushed below its projection and DUPLICATES
+                # the ArrowEvalPython node (guide §4.4)
+                s = s[s["_qv"].notna()]
+                if not len(s):
+                    continue
                 qm = np.asarray(
                     [np.asarray(v, dtype="float64") for v in s["_qv"]]
                 )
@@ -323,9 +332,6 @@ class IvfPqIndex:
                 )
 
         qid_type = queries.schema[query_id_col].dataType.simpleString()
-        # a NULL query vector has no defined result (SQL null-comparison
-        # semantics) and would TypeError inside the planning UDF
-        queries = queries.where(F.col(query_vec_col).isNotNull())
         planned = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
         ).mapInPandas(
@@ -438,6 +444,13 @@ class IvfIndex:
 
         def _plan(batches):
             for s in batches:
+                # NULL query vectors drop HERE, not via .where on the
+                # query frame: a filter on an in-plan pandas_udf embed
+                # column is pushed below its projection and DUPLICATES
+                # the ArrowEvalPython node (guide §4.4)
+                s = s[s["_v"].notna()]
+                if not len(s):
+                    continue
                 qm = np.asarray([np.asarray(v, dtype="float64") for v in s["_v"]])
                 norms = np.linalg.norm(qm, axis=1)
                 norms[norms == 0.0] = 1.0
@@ -453,9 +466,6 @@ class IvfIndex:
                 )
 
         qid_type = queries.schema[query_id_col].dataType.simpleString()
-        # a NULL query vector has no defined result (SQL null-comparison
-        # semantics) and would TypeError inside the planning UDF
-        queries = queries.where(F.col(query_vec_col).isNotNull())
         planned = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
         ).mapInPandas(
