@@ -107,9 +107,17 @@ HEADLINE = [
     #   MaxSim top-10 over Arrow-built token vectors (one scan +
     #   TakeOrdered; a regression to the expression-built construction
     #   would surface here as ~+110s of fixed Catalyst resolution)
-    "maxsim_search_pruned",     # r8 B7b scale path: token-table stage-1
-    #   per-query-token top-m (salted two-level windows) + candidate-only
-    #   exact rerank — the retrieve-then-rerank cost shape
+    "maxsim_search_pruned",     # r8 B7b scale path: stage-1 per-query-token
+    #   top-m (salted two-level windows) + candidate-only exact rerank —
+    #   the retrieve-then-rerank cost shape.  Floor re-seeded 1.167 ->
+    #   1.74 in r10: the r9 floor was recorded with an ACCIDENTAL
+    #   cross-rep cache (each rep's fresh persist() registered an
+    #   identical analyzed plan and the CacheManager swapped rep 1's
+    #   materialized encode into reps 2+), which the optimization-round
+    #   rules forbid; every rep now pays the Arrow encode through a
+    #   fresh lazy localCheckpoint, and 1.74 is the measured honest
+    #   best after the r10 stage-1 array-aggregate rewrite (the
+    #   cache-free r9 shape measured 2.14)
 ]
 
 

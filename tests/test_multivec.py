@@ -89,6 +89,35 @@ def test_pruned_wide_equals_exact_and_token_table_reuse(spark, corpus):
     assert reused == exact
 
 
+def test_pruned_array_form_equals_token_table_form(spark, corpus):
+    """The r10 in-plan stage-1 derivation (per-doc ARRAY aggregate of
+    best dots — no token explode, no aggregate shuffle) returns the
+    IDENTICAL result as the token-table form at the same narrow m: the
+    per-(qtoken, doc) max is a max over the same dot set either way, and
+    NULL/empty token_vecs docs (no token rows in the exploded form) are
+    dropped by the isNotNull guard in the array form.  Includes a
+    planted NULL-vec and empty-text doc so the edge case is actually
+    exercised."""
+    docs = corpus.unionByName(
+        spark.createDataFrame(
+            [(900001, "x", None), (900002, "", [])],
+            "doc_id long, text string, token_vecs array<array<double>>",
+        )
+    ).localCheckpoint()
+    q = py_multi_vector(QT, dim=DIM, max_tokens=32)
+    for m in (4, 32):
+        default_form = [
+            tuple(r) for r in maxsim_topk_pruned(docs, q, k=10, m=m).collect()
+        ]
+        tt_form = [
+            tuple(r)
+            for r in maxsim_topk_pruned(
+                docs, q, k=10, m=m, token_table=build_token_table(docs)
+            ).collect()
+        ]
+        assert default_form == tt_form, m
+
+
 def test_pruned_narrow_recall_floor(spark, corpus):
     """m=128 docs per query token must recover >= 8/10 of the exact
     top-10 — measured, not assumed.  The synthetic fixture is

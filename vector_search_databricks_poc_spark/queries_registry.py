@@ -5229,9 +5229,6 @@ def maxsim_search(spark, sf_dir):
     return maxsim_topk(corpus, q, k=10)
 
 
-_MAXSIM_PRUNED_LIVE_CORPUS: dict = {}
-
-
 @register("maxsim_search_pruned")
 def maxsim_search_pruned(spark, sf_dir):
     """The scale path of ``maxsim_search``: ColBERT retrieve-then-rerank —
@@ -5257,23 +5254,21 @@ def maxsim_search_pruned(spark, sf_dir):
     # Arrow-batched construction: bit-identical to the portable
     # expression form (asserted corpus-wide in tests/test_multivec.py),
     # without re-evaluating the build per MaxSim lambda reference.
-    # persist() (lazy — no job until the action) makes the stage-1
-    # token-table branch and the stage-2 rerank branch share ONE encode:
-    # Spark does not deduplicate identical subtrees across branches, so
-    # the unpersisted plan ran the pandas construction twice.  Each
-    # invocation gets a FRESH (unpopulated) persist — every timed run
-    # pays the encode, same as the exact twin — and unpersists the
-    # previous invocation's handle so repeated builder calls (bench
-    # reps) hold at most ONE cached corpus instead of stacking them
-    # until LRU eviction (ADVICE r9)
+    # localCheckpoint(eager=False) — lazy, no job until the action —
+    # makes the stage-1 candidate branch and the stage-2 rerank branch
+    # share ONE encode (Spark does not deduplicate identical subtrees
+    # across branches).  Chosen over persist() deliberately (r10,
+    # measured 1.72 s vs 2.08 s): the checkpointed blocks are released
+    # by the ContextCleaner when the frame goes out of scope — no
+    # unpersist bookkeeping, no leak across bench reps (ADVICE r9) —
+    # and a FRESH checkpoint per invocation means every timed rep pays
+    # the encode, same as the exact twin (no cross-rep CacheManager
+    # plan-match reuse, which persist() silently provides and this
+    # round's no-result-caching rule forbids).
     corpus = docs.withColumn(
         "token_vecs",
         multi_vector_pandas("text", dim=16, max_tokens=32),
-    ).persist()
-    prev = _MAXSIM_PRUNED_LIVE_CORPUS.get(sf_dir)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _MAXSIM_PRUNED_LIVE_CORPUS[sf_dir] = corpus
+    ).localCheckpoint(eager=False)
     q = py_multi_vector(_MAXSIM_QUERY_TEXT, dim=16, max_tokens=32)
     return maxsim_topk_pruned(corpus, q, k=10, m=32)
 
