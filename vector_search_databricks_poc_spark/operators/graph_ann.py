@@ -513,16 +513,28 @@ class GraphIndex:
                 pd.DataFrame(pair_rows, columns=["_qid", "_cand", "_cent"]),
                 "_qid long, _cand long, _cent int",
             )
-            cand_ids = pairs.select(F.col("_cand").alias(self.id_col)).distinct()
+            # ONE broadcast join attaches (qid, cand) to the pruned scan:
+            # pairs are unique per (qid, cand) by construction (seeds are
+            # distinct; the frontier proposes each neighbor at most once
+            # per query), so joining pairs directly both PRUNES the scan
+            # to candidate rows and fans each row out per querying qid —
+            # the r9 shape spent a third join + a distinct on the same
+            # effect, ~0.1 s of per-hop plan/exec overhead on a loop
+            # whose cost IS per-hop overhead (guide §2.4)
             rows = (
                 scan.where(F.col("centroid_id").isin(parts))
-                .join(F.broadcast(cand_ids), self.id_col)
-                .select(idc, "neighbors", F.col(self.vec_col).alias("_v"))
+                .join(
+                    F.broadcast(
+                        pairs.select("_qid", F.col("_cand").alias(self.id_col))
+                    ),
+                    self.id_col,
+                )
+                .select(
+                    "_qid", idc, "neighbors", F.col(self.vec_col).alias("_v")
+                )
             )
             return (
-                F.broadcast(pairs.select("_qid", F.col("_cand").alias(self.id_col)))
-                .join(rows, self.id_col)
-                .join(F.broadcast(qn), "_qid")
+                rows.join(F.broadcast(qn), "_qid")
                 .select(
                     "_qid",
                     idc,
