@@ -115,6 +115,49 @@ def binary_quantize_table(
     return df.withColumn(bits_col, pack_bits_expr(vec_col, mean))
 
 
+def _query_hamming_pandas(mean: list[float], qbits: list[int]):
+    """Arrow-vectorized twin of ``hamming_expr(pack_bits_expr(vec, mean),
+    lit(qbits))`` for the UNPACKED-corpus search path: one numpy pass
+    packs each vector's sign bits against ``mean`` and pops the XOR count
+    against the query sketch.
+
+    Why: the expression form embeds a 64-term chained when/add tree PER
+    WORD with the mean as a literal — Catalyst ANALYSIS of that tree cost
+    a measured 1.5-5 s of driver time per fresh plan (the fixture scan
+    itself is milliseconds), and the interpreted zip_with fold paid again
+    at execution.  Bit-identity is trivial: sign bits come from the same
+    IEEE float64 subtract-and-compare, and XOR/popcount are integer ops.
+    NULL vectors stay NULL (same candidate-ordering semantics); vectors
+    shorter/longer than ``mean`` contribute sign bits only for the
+    positions both sides have, exactly like the zip_with form."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(mean)
+    n_words = (d + 63) // 64
+    mean_np = np.asarray(mean, dtype=np.float64)
+    qb_np = np.asarray(qbits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _ham(s):
+        out = [None] * len(s)
+        for i, v in enumerate(s):
+            if v is None:
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = min(x.size, d)
+            pos = np.nonzero(x[:n] - mean_np[:n] > 0)[0]
+            words = np.zeros(n_words, dtype=np.uint64)
+            np.bitwise_or.at(
+                words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+            x8 = (words ^ qb_np.view(np.uint64)).view(np.uint8)
+            out[i] = int(np.unpackbits(x8).sum())
+        return pd.Series(out, dtype="object")
+
+    return _ham
+
+
 def binary_search(
     corpus: DataFrame,
     mean: list[float],
@@ -127,15 +170,21 @@ def binary_search(
 ) -> DataFrame:
     """Two-stage top-k cosine: Hamming-ranked candidates (ties to id) via
     TakeOrderedAndProject, exact full-precision rerank.  Pass ``bits_col``
-    when the corpus already carries a persisted sketch; otherwise it is
-    packed in-plan (one scan, still codegen).
+    when the corpus already carries a persisted sketch (pure codegen XOR/
+    bit_count scan); otherwise the sign-pack + Hamming runs as one Arrow
+    numpy pass (see :func:`_query_hamming_pandas` for why the expression
+    form lost: Catalyst analysis of the literal-mean when-tree dominated
+    the whole query).
 
     Output: ``id_col, score`` (exact cosine, 6dp), descending, k rows."""
     q = [float(x) for x in query_vector]
     qb = _pack_python(q, mean)
-    bits = F.col(bits_col) if bits_col else pack_bits_expr(vec_col, mean)
+    if bits_col:
+        ham = hamming_expr(F.col(bits_col), F.lit(qb))
+    else:
+        ham = _query_hamming_pandas(mean, qb)(F.col(vec_col))
     staged = corpus.select(
-        F.col(id_col), F.col(vec_col), hamming_expr(bits, F.lit(qb)).alias("_ham")
+        F.col(id_col), F.col(vec_col), ham.alias("_ham")
     )
     cand = staged.orderBy(F.asc("_ham"), F.asc(id_col)).limit(k * over_fetch)
     rescored = cand.withColumn(
