@@ -336,10 +336,15 @@ def test_pack_token_ids_two_shuffles(spark, sf_dir):
 
 def test_binary_search_plan_take_ordered_no_shuffle(spark, sf_dir):
     """Binary rung stage 1: the Hamming rank must plan as
-    TakeOrderedAndProject over the single scan — no Exchange, no Python
-    (packing and popcount are codegen expressions)."""
+    TakeOrderedAndProject over the single scan — no Exchange.  On the
+    UNPACKED-corpus path the sign-pack + popcount runs as exactly ONE
+    vectorized ArrowEvalPython (r10: the literal-mean when-tree cost
+    seconds of Catalyst analysis per fresh plan — see binary_quant.
+    _query_hamming_pandas); with a persisted ``bits_col`` the stage is
+    pure codegen XOR/bit_count, no Python at all (the at-rest scale
+    shape)."""
     from vector_search_databricks_poc_spark.operators.binary_quant import (
-        binary_search, mean_vector,
+        binary_quantize_table, binary_search, mean_vector,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -351,7 +356,18 @@ def test_binary_search_plan_take_ordered_no_shuffle(spark, sf_dir):
     s = A.plan_string(df)
     assert A.uses_take_ordered(df), s
     assert A.count_exchanges(df) == 0, s
-    assert "pythonUDF" not in s and "ArrowEval" not in s, s
+    # count on the SIMPLE plan (formatted prints each node twice)
+    assert A.plan_string(df, "simple").count("ArrowEvalPython") == 1, s
+    assert "BatchEvalPython" not in s, s       # never row-at-a-time
+
+    packed = binary_quantize_table(e, mean).localCheckpoint()
+    df2 = binary_search(
+        packed, mean, list(q), k=10, over_fetch=10, bits_col="bits"
+    )
+    s2 = A.plan_string(df2)
+    assert A.uses_take_ordered(df2), s2
+    assert A.count_exchanges(df2) == 0, s2
+    assert "pythonUDF" not in s2 and "ArrowEval" not in s2, s2
 
 
 def test_pca_search_plan_take_ordered_no_shuffle(spark, sf_dir):
