@@ -23,13 +23,12 @@ Li, WWW 2011) — expressed entirely as DataFrame ops:
 - **search**: distributed best-first beam search, single-query and
   batched (``batch_search`` advances EVERY query's beam through the same
   hop jobs, so driver-loop depth amortizes across the batch).  Per-query
-  state
-  (scored nodes, ≤ ``ef``·hops rows) lives in a localCheckpoint'd
-  DataFrame; each hop expands the top-``ef`` unexpanded nodes through
-  their neighbor arrays, then scores exactly the NEW ids via a
-  partition-pruned scan of the graph table broadcast-joined to the
-  candidate-id set.  The driver sees only bounded metadata — the hop's
-  partition-id list and a convergence count — never vectors.
+  state (scored nodes, ≤ ``ef``·hops tuples) lives on the driver; each
+  hop expands the top-``ef`` unexpanded nodes through their neighbor
+  arrays, then scores exactly the NEW ids via ONE partition-pruned scan
+  job of the graph table broadcast-joined to the (query, candidate)
+  pairs.  The driver holds only batch-bounded state — beam tuples, the
+  query batch's own vectors, neighbor-id lists — never corpus vectors.
 
 100 TB shape: the build's per-bucket kNN is the standard construction
 cost, bounded by bucket size (size ``k_centroids`` ≈ n / target_bucket;
@@ -52,6 +51,49 @@ from .index import _read_meta, _write_meta, assign_centroid, fit_centroids
 # neighbor-array schema: each struct carries the neighbor's PARTITION so a
 # search hop can partition-prune before reading
 _NBR_T = "array<struct<nbr_id:bigint,nbr_centroid:int>>"
+
+
+def _sq_l2_py(a, b) -> float | None:
+    """Driver-side squared-L2, bit-identical to ``_centroid_dists``'s
+    Spark fold: ``zip_with`` pads the shorter side with NULL and the
+    left-to-right ``acc + (x-y)^2`` fold goes (and stays) NULL at the
+    first NULL term — so any length mismatch or NULL element returns
+    None, and NaN elements propagate NaN through the same IEEE double
+    ops Spark performs."""
+    la, lb = len(a), len(b)
+    n = la if la > lb else lb
+    acc = 0.0
+    for j in range(n):
+        x = a[j] if j < la else None
+        y = b[j] if j < lb else None
+        if x is None or y is None:
+            return None
+        t = (x - y) * (x - y)
+        acc = acc + t
+    return acc
+
+
+def _rank_centroids_py(qv, centroids: list[list[float]]) -> list[int]:
+    """Driver-side bit-identical replica of the seed plan's
+    ``array_sort(zip_with(_centroid_dists(qv), sequence, struct(d, i)))``
+    ranking (ascending by distance, ties on centroid index): a struct
+    with a NULL ``d`` field sorts FIRST (Spark struct-field ordering) and
+    NaN sorts LAST (Spark double total order) — both verified against
+    ``array_sort`` on Spark 4.1.  Returns centroid indices in probe
+    order."""
+    import math
+
+    keyed = []
+    for i, cent in enumerate(centroids):
+        d = _sq_l2_py(qv, cent)
+        if d is None:
+            keyed.append((-1, 0.0, i))
+        elif math.isnan(d):
+            keyed.append((1, 0.0, i))
+        else:
+            keyed.append((0, d, i))
+    keyed.sort()
+    return [i for _, _, i in keyed]
 
 
 def _bucket_knn_fn(id_col: str, vec_col: str, deg: int, block: int = 1024):
@@ -397,23 +439,24 @@ class GraphIndex:
         serial driver-loop depth — amortizes across the whole query batch
         instead of multiplying by it.
 
-        Per hop (exactly TWO Spark jobs — the serial loop's cost is job
-        count, not data volume): (1) rank the per-query state (window by
-        query id), expand each query's top-``ef`` unexpanded nodes through
-        their neighbor structs, anti-join out (query, id) pairs already
-        scored, and collect the surviving candidate tuples — bounded by
-        queries × ef × deg, the same volume the fetch join broadcasts
-        through the driver regardless (million-query batches: pass
-        ``shard_size``); (2) fetch exactly the NEW ids via one
+        Per hop (exactly ONE Spark job — the serial loop's cost is job
+        count, not data volume): fetch exactly the NEW ids via one
         partition-pruned scan of the graph table (partition list = the
-        hop's distinct ``nbr_centroid`` values, now free driver metadata)
-        and checkpoint the unioned state.  A query whose hop proposes NO
-        unseen candidates can never change its beam again (scores are
-        fixed, new rows only worsen existing ranks), so it retires
-        immediately: its top-k is set aside lazily and later hops' windows
-        and explodes carry only still-moving queries.  State stays
-        O(active queries × ef × hops) rows and localCheckpoint'd per hop
-        to keep lineage flat.
+        hop's distinct ``nbr_centroid`` values, free driver metadata)
+        broadcast-joined to the hop's (query, candidate) pairs and the
+        per-invocation local query relation — both broadcasts build from
+        local relations driver-side, costing no executor job.  Frontier
+        bookkeeping (rank each query's beam, expand the top-``ef``
+        unexpanded nodes through their neighbor structs, drop already-seen
+        proposals) runs driver-side over ≤ queries × ef × deg tuples —
+        the same volume the fetch join broadcasts through the driver
+        regardless (million-query batches: pass ``shard_size``).  A query
+        whose hop proposes NO unseen candidates can never change its beam
+        again (scores are fixed, new rows only worsen existing ranks), so
+        it retires immediately: later hops carry only still-moving
+        queries.  The driver holds the query batch's vectors (collected
+        once, bounded by ``shard_size``) and per-node neighbor-id lists —
+        never corpus vectors.
 
         Returns (query_id, id, score, rank) with rank ≤ k per query,
         ordered within a query by score desc, ties on id.
@@ -463,96 +506,88 @@ class GraphIndex:
         nprobe = min(nprobe, k_c)
         idc = F.col(self.id_col)
 
-        # tiny query side: normalized once, reused (broadcast) every hop.
+        # tiny query side: normalized by the SAME Spark expression as
+        # before, collected ONCE (batch-sized, bounded by shard_size — the
+        # same driver bound class as the seed/hit collects).  One job
+        # replaces the r10 shape's two (eager localCheckpoint + a seed
+        # plan with a literal centroid table and a distinct shuffle,
+        # measured 0.9 s of the 3.5 s query): the seeds are ranked
+        # driver-side over the collected doubles (bit-identical replica —
+        # see _rank_centroids_py), and the hop joins reuse one local
+        # relation instead of re-broadcasting a checkpointed RDD per hop.
         # A NULL query vector has no defined result (same contract as
         # IvfIndex.batch_search) — dropped, not propagated as null probes.
-        qn = queries.where(F.col(query_vec_col).isNotNull()).select(
-            F.col(query_id_col).alias("_qid"),
-            V.l2_normalize(F.col(query_vec_col).cast("array<double>")).alias("_qv"),
-        ).localCheckpoint(eager=True)
-
-        # per-query probe centroids + entry seeds, all in-plan expressions
-        # over the literal centroid table (same shape as the build's
-        # multi-assignment ranking)
-        ranked_cents = F.array_sort(
-            F.zip_with(
-                _centroid_dists("_qv", self.centroids),
-                F.sequence(F.lit(0), F.lit(k_c - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        )
-        probe_arr = F.transform(F.slice(ranked_cents, 1, nprobe), lambda s: s["i"])
-        ecs = sorted(self.entries)
-        entry_map = F.map_from_arrays(
-            F.array(*[F.lit(int(c)).cast("int") for c in ecs]),
-            F.array(*[F.lit(int(self.entries[c])).cast("long") for c in ecs]),
-        )
-        seeds = (
-            qn.select("_qid", F.explode(probe_arr).alias("_cent"))
+        qn_rows = (
+            queries.where(F.col(query_vec_col).isNotNull())
             .select(
-                "_qid",
-                F.element_at(entry_map, F.col("_cent").cast("int")).alias("_cand"),
-                "_cent",
+                F.col(query_id_col).alias("_qid"),
+                V.l2_normalize(
+                    F.col(query_vec_col).cast("array<double>")
+                ).alias("_qv"),
             )
-            .where(F.col("_cand").isNotNull())
-            .distinct()
+            .collect()
         )
 
+        # per-query probe centroids + entry seeds, driver-side over the
+        # collected query vectors (≤ batch × nprobe tuples, deduped like
+        # the former seeds.distinct())
+        seed_set: set[tuple] = set()
+        for r in qn_rows:
+            order = _rank_centroids_py(r["_qv"], self.centroids)
+            for cent in order[:nprobe]:
+                node = self.entries.get(int(cent))
+                if node is not None:
+                    seed_set.add((r["_qid"], int(node), int(cent)))
+        seed_rows = sorted(seed_set)
+        if not seed_rows:
+            raise ValueError(f"index at {self.path} resolved no entry seeds")
+
+        # hop-invariant plan pieces, built ONCE per invocation: the local
+        # query relation (LocalTableScan — its broadcast builds driver-side,
+        # no per-hop job), and the scoring/projection Columns (each
+        # F.transform / zip_with lambda costs ~0.1 s of py4j round trips to
+        # construct; Column objects are immutable and reusable across hops)
+        qn_local = spark.createDataFrame(
+            [(r["_qid"], r["_qv"]) for r in qn_rows],
+            "_qid long, _qv array<double>",
+        )
+        bqn = F.broadcast(qn_local)
         scan = spark.read.parquet(self.path)
+        score_col = V.dot("_v", "_qv").alias("_score")
+        nids_col = F.transform("neighbors", lambda s: s["nbr_id"]).alias("_nids")
+        ncents_col = F.transform(
+            "neighbors", lambda s: s["nbr_centroid"]
+        ).alias("_ncents")
+        pair_schema = f"_qid long, {self.id_col} long"
 
-        import pandas as pd
-
-        def fetch(pair_rows: list) -> pd.DataFrame:
+        def fetch(pair_rows: list):
             """ONE shuffle-free distributed job per hop: partition-pruned
             scan for the candidate rows, broadcast joins, dot scores
             computed executor-side (bit-identical to every other index
             family's scoring), and the bounded (≤ batch × ef × deg)
-            result Arrow-batched back to the driver."""
+            result Arrow-batched back to the driver (``toArrow``).
+
+            ONE broadcast join attaches (qid, cand) to the pruned scan:
+            pairs are unique per (qid, cand) by construction (seeds are
+            distinct; the frontier proposes each neighbor at most once
+            per query), so joining pairs directly both PRUNES the scan
+            to candidate rows and fans each row out per querying qid
+            (guide §2.4).  Both broadcast inputs are local relations, so
+            neither costs an executor job to build."""
             parts = sorted({c for _, _, c in pair_rows})
             pairs = spark.createDataFrame(
-                pd.DataFrame(pair_rows, columns=["_qid", "_cand", "_cent"]),
-                "_qid long, _cand long, _cent int",
+                [(q, c) for q, c, _ in pair_rows], pair_schema
             )
-            # ONE broadcast join attaches (qid, cand) to the pruned scan:
-            # pairs are unique per (qid, cand) by construction (seeds are
-            # distinct; the frontier proposes each neighbor at most once
-            # per query), so joining pairs directly both PRUNES the scan
-            # to candidate rows and fans each row out per querying qid —
-            # the r9 shape spent a third join + a distinct on the same
-            # effect, ~0.1 s of per-hop plan/exec overhead on a loop
-            # whose cost IS per-hop overhead (guide §2.4)
-            rows = (
+            return (
                 scan.where(F.col("centroid_id").isin(parts))
-                .join(
-                    F.broadcast(
-                        pairs.select("_qid", F.col("_cand").alias(self.id_col))
-                    ),
-                    self.id_col,
-                )
+                .join(F.broadcast(pairs), self.id_col)
                 .select(
                     "_qid", idc, "neighbors", F.col(self.vec_col).alias("_v")
                 )
+                .join(bqn, "_qid")
+                .select("_qid", idc, score_col, nids_col, ncents_col)
+                .toArrow()
             )
-            return (
-                rows.join(F.broadcast(qn), "_qid")
-                .select(
-                    "_qid",
-                    idc,
-                    V.dot("_v", "_qv").alias("_score"),
-                    F.transform("neighbors", lambda s: s["nbr_id"]).alias("_nids"),
-                    F.transform("neighbors", lambda s: s["nbr_centroid"]).alias(
-                        "_ncents"
-                    ),
-                )
-                .toPandas()
-            )
-
-        # ≤ batch × nprobe tuples — the hop loop's driver-side bound class
-        seed_rows = [
-            (r["_qid"], r["_cand"], r["_cent"]) for r in seeds.collect()
-        ]
-        if not seed_rows:
-            raise ValueError(f"index at {self.path} resolved no entry seeds")
 
         # Driver-side beam bookkeeping: sets and sorts over ≤ batch × ef ×
         # deg × hops tuples — the SAME volume the fetch join broadcasts
@@ -576,8 +611,11 @@ class GraphIndex:
                 break  # every query converged: no beam reaches anything new
             fetched = fetch(pending)
             for qid, nid, score, nids, ncents in zip(
-                fetched["_qid"], fetched[self.id_col], fetched["_score"],
-                fetched["_nids"], fetched["_ncents"],
+                fetched.column("_qid").to_pylist(),
+                fetched.column(self.id_col).to_pylist(),
+                fetched.column("_score").to_pylist(),
+                fetched.column("_nids").to_pylist(),
+                fetched.column("_ncents").to_pylist(),
             ):
                 beams.setdefault(int(qid), []).append((float(score), int(nid)))
                 if nid not in nbrs_of:
@@ -609,10 +647,7 @@ class GraphIndex:
                 for fp, nid in rows_
             ]
             scored = spark.createDataFrame(
-                pd.DataFrame(
-                    out_rows,
-                    columns=[query_id_col, self.id_col, "score", "centroid_id"],
-                ),
+                out_rows,
                 f"{query_id_col} long, {self.id_col} long, score double,"
                 " centroid_id int",
             )
@@ -623,9 +658,7 @@ class GraphIndex:
                 for fp, nid in rows_
             ]
             scored = spark.createDataFrame(
-                pd.DataFrame(
-                    out_rows, columns=[query_id_col, self.id_col, "score"]
-                ),
+                out_rows,
                 f"{query_id_col} long, {self.id_col} long, score double",
             )
         if score_decimals is not None:
